@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+
+/** Column-level API over the graft expression library.
+  *
+  * Score convention follows the reference ("higher is better"; L2 stored
+  * negated — reference: src/Pyrope.GarnetServer/Vector/BruteForceVectorIndex.cs:350-356).
+  */
+package object functions {
+
+  private[graft] def mkCol(e: Expression): Column = toColumn(e)
+  private[graft] def mkExpr(c: Column): Expression = toExpression(c)
+
+  def vector_dot(a: Column, b: Column): Column = mkCol(VectorDot(mkExpr(a), mkExpr(b)))
+  def vector_l2sq(a: Column, b: Column): Column = mkCol(VectorL2Sq(mkExpr(a), mkExpr(b)))
+  def vector_cosine(a: Column, b: Column): Column = mkCol(VectorCosine(mkExpr(a), mkExpr(b)))
+  def vector_norm(a: Column): Column = mkCol(VectorNorm(mkExpr(a)))
+
+  /** Metric-aware score, uniformly "higher is better"
+    * (L2 → -distance², InnerProduct → dot, Cosine → cosine). */
+  def vector_score(metric: String, query: Column, v: Column): Column =
+    metric.toUpperCase match {
+      case "L2"                  => -vector_l2sq(query, v)
+      case "IP" | "INNERPRODUCT" => vector_dot(query, v)
+      case "COSINE"              => vector_cosine(query, v)
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
+  /** Register SQL-callable versions of the vector functions. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_l2sq", es => VectorL2Sq(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_cosine", es => VectorCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "scala_udf")
+  }
+}

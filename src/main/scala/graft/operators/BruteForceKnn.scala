@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector_score
+
+/** Exact brute-force top-k nearest-neighbor search as a DataFrame plan.
+  *
+  * Capability mirror of the reference's flat scan index
+  * (reference: src/Pyrope.GarnetServer/Vector/BruteForceVectorIndex.cs:275-379),
+  * re-shaped for Spark: the per-query loop becomes a broadcast
+  * nested-loop join of the (small) query batch against the (huge) vector
+  * table, scored by a codegen'd expression, reduced by a map-side bounded
+  * top-k aggregate. The big table is never shuffled — only ≤ k rows per
+  * (query, input partition) reach the exchange.
+  */
+object BruteForceKnn {
+
+  /** vectors: (id BIGINT, vec ARRAY<FLOAT>), queries: (query_id BIGINT,
+    * qvec ARRAY<FLOAT>) → (query_id, rank, id, score). */
+  def knn(vectors: DataFrame, queries: DataFrame, metric: String, k: Int): DataFrame = {
+    val scored = vectors
+      .crossJoin(broadcast(queries))
+      .select(
+        col("query_id"),
+        col("id"),
+        vector_score(metric, col("qvec"), col("vec")).as("score"))
+    TopK.perGroup(scored, Seq("query_id"), k)
+  }
+
+  /** Tag-filtered variant: conjunctive all-of tag semantics
+    * (reference: src/Pyrope.GarnetServer/Extensions/VectorCommandSet.cs:802-824 —
+    * empty filter passes everything; a record must contain every filter tag).
+    * Unlike the reference (which filters AFTER top-k and can return < k
+    * hits), we filter before ranking — strictly better recall; the
+    * divergence is deliberate and documented in SURVEY §4.1.
+    * vectors additionally carries `tags ARRAY<STRING>`; queries carries
+    * `filter_tags ARRAY<STRING>`. */
+  def knnFiltered(vectors: DataFrame, queries: DataFrame, metric: String, k: Int): DataFrame = {
+    val scored = vectors
+      .crossJoin(broadcast(queries))
+      .filter(
+        size(col("filter_tags")) === 0 ||
+          forall(col("filter_tags"), t => array_contains(col("tags"), t)))
+      .select(
+        col("query_id"),
+        col("id"),
+        vector_score(metric, col("qvec"), col("vec")).as("score"))
+    TopK.perGroup(scored, Seq("query_id"), k)
+  }
+}
