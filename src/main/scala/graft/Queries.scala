@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions._
 import graft.model.Tables
-import graft.operators.{BruteForceKnn, TopK}
+import graft.operators.{BruteForceKnn, DeltaIndex, IvfFlat, IvfPq, Pq, ScalarQuant, TopK}
 
 /** The operator inventory exposed through [[SparkEntry]]: each entry is a
   * named DataFrame plan over the driver testdata plus (where ANSI-SQL
@@ -97,6 +97,142 @@ object Queries {
        |)
        |SELECT query_id, rank, id FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-Flat ANN search (nlist=10 ≈ the label structure, nprobe=3).
+    * Not DuckDB-expressible (KMeans); correctness is covered by the
+    * brute-force-oracle recall suite (AnnRecallSpec). */
+  val ivfFlatSearch: QueryFn = (s, dir) => {
+    val idx = IvfFlat.build(vectorsOf(s, dir), nlist = 10, metric = "L2", seed = 42L)
+    IvfFlat.search(idx, queriesOf(s, dir), "L2", K, nprobe = 3)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ with residual codes + exact rerank (M=8 subspaces, K=16). */
+  val ivfPqSearch: QueryFn = (s, dir) => {
+    val vs = vectorsOf(s, dir).cache()
+    val idx = IvfPq.build(vs, nlist = 10, m = 8, k = 16)
+    IvfPq.searchRefined(idx, vs, queriesOf(s, dir), K, nprobe = 3, refine = 10)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** SQ8 quantized brute-force search (uint8 fast path). */
+  val sq8Search: QueryFn = (s, dir) => {
+    val vs = vectorsOf(s, dir)
+    val p = ScalarQuant.train(vs)
+    val enc = ScalarQuant.encode(vs, p)
+    val qEnc = ScalarQuant.encode(queriesOf(s, dir), p, vecCol = "qvec")
+    ScalarQuant.knn(enc, qEnc, p, K)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Delta head/tail semantics end-to-end: a "fresh" head (re-written
+    * vectors, scaled by 0.9) overrides the stale tail copy of the same id,
+    * then brute-force KNN runs over the merged current state
+    * (reference head-wins merge: DeltaVectorIndex.cs:76-122). */
+  val deltaMergeKnn: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tail = vectorsOf(s, dir).withColumn("pri", lit(1))
+    val head = vectorsOf(s, dir)
+      .filter(col("id") % 7 === 0)
+      .withColumn("vec", transform(col("vec"), x => (x * lit(0.9)).cast("float")))
+      .withColumn("pri", lit(0))
+    val w = Window.partitionBy("id").orderBy("pri")
+    val merged = head.unionByName(tail)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("id", "vec")
+    BruteForceKnn.knn(merged, queriesOf(s, dir), "IP", K)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  val deltaMergeKnnSql: String =
+    s"""WITH head AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x*0.9 AS FLOAT)) AS vec, 0 AS pri
+       |  FROM embeddings WHERE vec_id % 7 = 0
+       |), tail AS (
+       |  SELECT vec_id AS id, embedding AS vec, 1 AS pri FROM embeddings
+       |), merged AS (
+       |  SELECT id, vec FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY pri) AS rn
+       |    FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, m.id,
+       |         list_dot_product(m.vec::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM merged m CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id, round(score, 6) AS score FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Conjunctive tag filtering on the search path (reference F1 semantics):
+    * tags derived deterministically from the label column; each query
+    * filters to its own label-tag. */
+  val knnTagFiltered: QueryFn = (s, dir) => {
+    val vs = t(s, dir, "embeddings").select(
+      col("vec_id").as("id"), col("embedding").as("vec"),
+      array(concat(lit("lab"), col("label") % 3), lit("all")).as("tags"))
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < NQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("qvec"),
+      array(concat(lit("lab"), col("label") % 3)).as("filter_tags"))
+    BruteForceKnn.knnFiltered(vs, qs, "COSINE", K)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  val knnTagFilteredSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, label % 3 AS lab
+       |  FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM embeddings e CROSS JOIN q WHERE e.label % 3 = q.lab
+       |), r AS (
+       |  SELECT query_id, id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id, round(score, 6) AS score FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Hit hydration: broadcast-join the (tiny) hit list back to a record
+    * table for metadata projection (reference J2/F4: store lookup per hit,
+    * VectorCommandSet.cs:461-480), using documents as the record store. */
+  val hydrationKnn: QueryFn = (s, dir) => {
+    val hits = BruteForceKnn.knn(vectorsOf(s, dir), queriesOf(s, dir), "COSINE", K)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("source"))
+    broadcast(hits).join(docs, Seq("id"), "left")
+      .select(col("query_id"), col("rank"), col("id"),
+        round(col("score"), 6).as("score"), col("lang"), col("source"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hydrationKnnSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM embeddings e CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT r.query_id, r.rank, r.id, round(r.score, 6) AS score, d.lang, d.source
+       |FROM r LEFT JOIN documents d ON r.id = d.doc_id
+       |WHERE r.rank <= $K ORDER BY r.query_id, r.rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // Relational / governance analytics (SURVEY §2.4)
@@ -260,6 +396,12 @@ object Queries {
     "knn_dot" -> knnDot,
     "knn_cosine" -> knnCosine,
     "knn_l2" -> knnL2,
+    "ivf_flat_search" -> ivfFlatSearch,
+    "ivf_pq_search" -> ivfPqSearch,
+    "sq8_search" -> sq8Search,
+    "delta_merge_knn" -> deltaMergeKnn,
+    "knn_tag_filtered" -> knnTagFiltered,
+    "hydration_knn" -> hydrationKnn,
     "q1_pricing" -> q1Pricing,
     "current_state" -> currentState,
     "latency_histogram" -> latencyHistogram,
@@ -274,6 +416,9 @@ object Queries {
     "knn_dot" -> knnDotSql,
     "knn_cosine" -> knnCosineSql,
     "knn_l2" -> knnL2Sql,
+    "delta_merge_knn" -> deltaMergeKnnSql,
+    "knn_tag_filtered" -> knnTagFilteredSql,
+    "hydration_knn" -> hydrationKnnSql,
     "q1_pricing" -> q1PricingSql,
     "current_state" -> currentStateSql,
     "latency_histogram" -> latencyHistogramSql,

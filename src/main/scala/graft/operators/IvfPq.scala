@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: coarse inverted lists + product-quantized residuals.
+  *
+  * Capability mirror of the reference's IvfPqVectorIndex
+  * (reference: src/Pyrope.GarnetServer/Vector/IvfPqVectorIndex.cs:55-198):
+  * build = coarse KMeans → residual v − centroid → PQ codebooks on
+  * residuals → byte codes; search = probe top-nprobe clusters, build one
+  * residual ADC table per (query, probed cluster), score candidates by
+  * table lookups only.
+  */
+object IvfPq {
+
+  case class Index(assigned: DataFrame, // (id, cluster_id, codes BINARY)
+                   centroids: DataFrame, // (cluster_id, centroid ARRAY<FLOAT>)
+                   cb: Pq.Codebook)
+
+  def build(vectors: DataFrame, nlist: Int, m: Int, k: Int,
+            seed: Long = 123L): Index = {
+    val coarse = IvfFlat.build(vectors, nlist, "L2", seed)
+    val residuals = coarse.assigned
+      .join(broadcast(coarse.centroids), Seq("cluster_id"))
+      .withColumn("rvec", zip_with(col("vec"), col("centroid"), (x, y) => x - y))
+      .select("id", "cluster_id", "rvec")
+    val cb = Pq.train(residuals, m, k, seed, vecCol = "rvec")
+    val assigned = Pq.encode(residuals, cb, vecCol = "rvec")
+      .select("id", "cluster_id", "codes")
+    Index(assigned, coarse.centroids, cb)
+  }
+
+  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val coarse = IvfFlat.Index(index.assigned, index.centroids)
+    val probeSet = IvfFlat.probes(coarse, queries, "L2", nprobe)
+      .join(broadcast(index.centroids), Seq("cluster_id"))
+      .withColumn("rq", zip_with(col("qvec"), col("centroid"), (x, y) => x - y))
+      .select("query_id", "cluster_id", "rq")
+
+    // One residual ADC table per (query, probed cluster): nq × nprobe × M × K
+    // doubles — small by construction, so broadcast as a lookup map.
+    val tables = probeSet.collect().map { r =>
+      (r.getLong(0), r.getInt(1)) -> Pq.adcTableFor(r.getSeq[Float](2), index.cb)
+    }.toMap
+    val bTables = spark.sparkContext.broadcast(tables)
+
+    val score = udf { (queryId: Long, clusterId: Int, codes: Array[Byte]) =>
+      val t = bTables.value((queryId, clusterId))
+      var s = 0.0; var mi = 0
+      while (mi < codes.length) { s += t(mi)(codes(mi) & 0xff); mi += 1 }
+      -s
+    }
+    import spark.implicits._
+    val probePairs = broadcast(
+      tables.keys.toSeq.toDF("query_id", "cluster_id"))
+    val scored = index.assigned
+      .join(probePairs, Seq("cluster_id"))
+      .select(col("query_id"), col("id"),
+        score(col("query_id"), col("cluster_id"), col("codes")).as("score"))
+    TopK.perGroup(scored, Seq("query_id"), k)
+  }
+
+  /** ADC candidate generation + exact rerank against the true vectors
+    * (see Pq.knnRefined — same rationale). */
+  def searchRefined(index: Index, vectors: DataFrame, queries: DataFrame,
+                    k: Int, nprobe: Int, refine: Int = 10): DataFrame = {
+    val candidates = search(index, queries, k * refine, nprobe)
+      .select("query_id", "id")
+    Pq.rerank(candidates, vectors, queries, k, "L2")
+  }
+}
