@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions._
 import graft.model.Tables
-import graft.operators.{BruteForceKnn, DeltaIndex, IvfFlat, IvfPq, Pq, ScalarQuant, TopK}
+import graft.operators.{BruteForceKnn, DeltaIndex, EmbeddingDedup, IvfFlat, IvfPq, Pq, ScalarQuant, TextAnalysis, TextDedup, TopK}
 
 /** The operator inventory exposed through [[SparkEntry]]: each entry is a
   * named DataFrame plan over the driver testdata plus (where ANSI-SQL
@@ -388,6 +388,113 @@ object Queries {
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** 3-gram shingle Jaccard near-dup pairs (τ=0.5; the testdata plants 25
+    * near-dup pairs with a wide margin below the threshold). */
+  val dedupNgramJaccard: QueryFn = (s, dir) =>
+    TextDedup.jaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id1", "id2")
+
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2]
+      |  ))) AS g
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |)
+      |SELECT id1, id2, round(c * 1.0 / (s1.n_sh + s2.n_sh - c), 6) AS jaccard
+      |FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |WHERE c * 1.0 / (s1.n_sh + s2.n_sh - c) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, verified at τ=0.5 — should recover the
+    * same planted pairs as the exact Jaccard query (LSH is probabilistic;
+    * ScalaTest covers recall on planted fixtures; driver does rows-only). */
+  val dedupMinhash: QueryFn = (s, dir) =>
+    TextDedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id1", "id2")
+
+  /** SimHash near-dup pairs at Hamming ≤ 12 (rows-only + ScalaTest). */
+  val dedupSimhash: QueryFn = (s, dir) =>
+    TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 12)
+      .orderBy("id1", "id2")
+
+  /** Top-50 most-similar embedding pairs by exact cosine (the brute
+    * baseline of embedding near-dup detection). */
+  val embeddingTopPairs: QueryFn = (s, dir) =>
+    EmbeddingDedup.topPairs(t(s, dir, "embeddings"), 50)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  val embeddingTopPairsSql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, id1, id2
+      |LIMIT 50""".stripMargin
+
+  /** Per-document quality features (length / distinct / stopword ratios). */
+  val textQuality: QueryFn = (s, dir) =>
+    TextAnalysis.quality(t(s, dir, "documents")).orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.EnStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens, n_distinct, n_stop, n_chars,
+       |       n_distinct * 1.0 / n_tokens AS distinct_ratio,
+       |       n_stop * 1.0 / n_tokens AS stop_ratio,
+       |       (n_chars - (n_tokens - 1)) * 1.0 / n_tokens AS mean_token_len
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic stopword-profile language guess. */
+  val langId: QueryFn = (s, dir) =>
+    TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")
+
+  val langIdSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.EnStop)}))) AS en,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.DeStop)}))) AS de,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.FrStop)}))) AS fr,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.EsStop)}))) AS es
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+       |            WHEN en = greatest(en, de, fr, es) THEN 'en'
+       |            WHEN de = greatest(en, de, fr, es) THEN 'de'
+       |            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+       |            ELSE 'es' END AS lang_pred
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Order-sensitive document fingerprint (rolling hash; rows-only). */
+  val docFingerprint: QueryFn = (s, dir) =>
+    TextDedup.fingerprints(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Vector SimHash fingerprints (reference E7 LSH cache keys; rows-only —
+    * .NET Random parity is impossible, properties are ScalaTested). */
+  val simhashBuckets: QueryFn = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorSimHash.simhashCol(col("embedding")).as("simhash"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -410,6 +517,14 @@ object Queries {
     "markov_rules" -> markovRules,
     "dedup_exact" -> dedupExact,
     "token_count" -> tokenCount,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "embedding_top_pairs" -> embeddingTopPairs,
+    "text_quality" -> textQuality,
+    "lang_id" -> langId,
+    "doc_fingerprint" -> docFingerprint,
+    "simhash_buckets" -> simhashBuckets,
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,5 +542,9 @@ object Queries {
     "markov_rules" -> markovRulesSql,
     "dedup_exact" -> dedupExactSql,
     "token_count" -> tokenCountSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "embedding_top_pairs" -> embeddingTopPairsSql,
+    "text_quality" -> textQualitySql,
+    "lang_id" -> langIdSql,
   )
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Sign-random-projection LSH (SimHash) over float vectors.
+  *
+  * Capability mirror of the reference's LshService
+  * (reference: src/Pyrope.GarnetServer/Services/LshService.cs:21-70): 64
+  * random hyperplanes, fingerprint bit b = sign(v · r_b). The reference
+  * seeds .NET Random(seed+dim); bit parity with that is impossible and
+  * pointless (SURVEY §7.3) — we derive Rademacher ±1 projections from
+  * [[StableHash]] so the family is deterministic, seedable, and identical
+  * on every executor without shipping a matrix.
+  */
+object VectorSimHash {
+
+  /** fingerprint bit b = sign( Σ_i v(i) · (±1 from hash(seed,b,i)) ). */
+  def simhash64(v: Seq[Float], seed: Long): Long = {
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      val base = StableHash.mix64(seed ^ StableHash.mix64(b.toLong))
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val sign = if ((StableHash.mix64(base ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+        s += sign * v(i)
+        i += 1
+      }
+      if (s >= 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  def simhashCol(vec: Column, seed: Long = 42L): Column =
+    udf((v: Seq[Float]) => simhash64(v, seed)).apply(vec)
+
+  def hamming(a: Long, b: Long): Int = StableHash.popcount(a ^ b)
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Document deduplication family for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * All operators take a `(doc_id BIGINT, text STRING)` table. Everything is
+  * deterministic (seeded hash families from [[StableHash]]) so results are
+  * reproducible across runs and cluster layouts.
+  *
+  * Scale design: pair generation NEVER does an all-pairs join — candidates
+  * come from equi-joins on shared shingles / LSH band buckets, with an
+  * optional document-frequency cap to cut hub-shingle skew (the classic
+  * "stop-shingle" problem: one shingle shared by 1M docs creates 10^12
+  * candidate pairs; at 100 TB the cap is mandatory, and dropping
+  * ubiquitous shingles barely affects Jaccard).
+  */
+object TextDedup {
+
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Distinct word n-gram shingles per document. */
+  def shingleCol(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(tokens(text)) - n),
+      i => concat_ws("_", slice(tokens(text), i + 1, lit(n)))))
+
+  /** Exact dedup: group identical texts by content hash, keep min doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exploded (doc_id, shingle) with optional document-frequency cap. */
+  private def shingleTable(docs: DataFrame, n: Int, maxDocFreq: Int): DataFrame = {
+    val sh = docs
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"), explode(shingleCol(col("text"), n)).as("g"))
+    if (maxDocFreq > 0) {
+      // drop hub shingles before the pair join — the anti-skew guard
+      val hubs = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("g")
+      sh.join(broadcast(hubs), Seq("g"), "left_anti")
+    } else sh
+  }
+
+  /** All pairs with n-gram Jaccard ≥ tau, via shared-shingle equi-join
+    * (no cross product): candidates are pairs sharing ≥1 shingle; the
+    * common-count divided by union size is the exact Jaccard. */
+  def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
+                   maxDocFreq: Int = 0): DataFrame = {
+    val sh = shingleTable(docs, n, maxDocFreq)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard", col("c") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jaccard") >= tau)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signature of the shingle set: k independent hash functions,
+    * h_j(S) = min over shingles of mix(hash(s) ^ mix(j)). */
+  private def minhashUdf(numHashes: Int) = udf { (shingles: Seq[String]) =>
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = StableHash.hashString(s)
+      var j = 0
+      while (j < numHashes) {
+        val hj = StableHash.rehash(h, j)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  /** Signatures table: (doc_id, sig ARRAY<BIGINT>). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    docs.filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        minhashUdf(numHashes)(shingleCol(col("text"), n)).as("sig"))
+
+  /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band, band-hash), then verify candidates
+    * with exact n-gram Jaccard ≥ tau. The LSH S-curve makes the candidate
+    * set ≈ the true near-dup set, so verification touches ~no false pairs. */
+  def minhashLshPairs(docs: DataFrame, n: Int, tau: Double,
+                      numHashes: Int = 128, bands: Int = 64,
+                      maxDocFreq: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val bandHash = udf { (sig: Seq[Long], band: Int) =>
+      var h = 0L
+      var i = band * rows
+      while (i < (band + 1) * rows) { h = StableHash.mix64(h ^ sig(i)); i += 1 }
+      h
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // verify candidates with exact Jaccard (semi-join keeps it tiny)
+    val verified = jaccardPairsOf(docs, candidates, n, maxDocFreq)
+    verified.filter(col("jaccard") >= tau)
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set. */
+  private def jaccardPairsOf(docs: DataFrame, pairs: DataFrame, n: Int,
+                             maxDocFreq: Int): DataFrame = {
+    val ids = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2"))).distinct()
+    val sh = shingleTable(docs.join(ids, "doc_id"), n, maxDocFreq)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+      .join(pairs, Seq("id1", "id2"), "left_semi")
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard", col("c") / (col("n1") + col("n2") - col("c")))
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: per-token hash votes ±1 on each
+    * bit, fingerprint = sign vector. Near-dup texts → small Hamming
+    * distance. */
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = StableHash.hashString(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashUdf(tokens(col("text"))).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * from 4×16-bit band buckets (any pair within Hamming ≤ 3 must agree on
+    * ≥1 band; wider radii trade recall, standard SimHash practice). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = simhashes(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", expr("shiftrightunsigned(simhash, band * 16)")
+        .bitwiseAND(lit(0xffffL)))
+    val a = banded.as("a"); val b = banded.as("b")
+    val hamming = udf((x: Long, y: Long) => StableHash.popcount(x ^ y))
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", hamming(col("s1"), col("s2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Whole-document fingerprint: polynomial rolling hash over tokens
+    * (order-sensitive, unlike the simhash). */
+  private val fingerprintUdf = udf { (toks: Seq[String]) =>
+    var h = 0L
+    toks.foreach { t => h = h * 0x100000001b3L + StableHash.hashString(t) }
+    StableHash.mix64(h)
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintUdf(tokens(col("text"))).as("fingerprint"))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorSimHash
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 near-dups (one word changed out of 40), 2 exact dup
+  // of 0, 3/4 unrelated (disjoint vocabularies). Long docs keep SimHash bit
+  // margins stable.
+  private val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu red green blue yellow " +
+    "purple orange silver golden copper iron stone river ocean cloud")
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base.replace("oscar", "mercury")),
+    (2L, base),
+    (3L, ("ein zwei drei vier funf sechs sieben acht neun zehn " +
+      "elf zwolf dreizehn vierzehn funfzehn sechzehn siebzehn achtzehn neunzehn zwanzig " +
+      "haus baum berg fluss wald feld stadt dorf strasse bruecke " +
+      "sonne mond stern regen schnee wind sturm nebel donner blitz")),
+    (4L, ("uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince gato perro casa arbol montana " +
+      "rio bosque campo ciudad pueblo calle puente sol luna estrella " +
+      "lluvia nieve viento tormenta niebla trueno rayo mar playa isla"))
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = TextDedup.exact(docs).collect()
+    assert(r.length == 4) // 0 and 2 collapse
+    val dup = r.find(_.getAs[Long]("dup_cnt") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram jaccard finds the planted near-dups and the exact dup") {
+    val pairs = TextDedup.jaccardPairs(docs, n = 3, tau = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the same pairs as exact jaccard at tau") {
+    val exact = TextDedup.jaccardPairs(docs, 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(docs, 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val sigs = TextDedup.minhashSignatures(docs, 3, 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 128
+    assert(est(0L, 2L) == 1.0)         // identical docs → identical sigs
+    assert(est(0L, 1L) > 0.5)          // near dups
+    assert(est(0L, 3L) < 0.2)          // unrelated
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val fps = TextDedup.simhashes(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(VectorSimHash.hamming(fps(0L), fps(2L)) == 0)
+    assert(VectorSimHash.hamming(fps(0L), fps(1L)) <= 12)
+    assert(VectorSimHash.hamming(fps(0L), fps(3L)) > 12)
+    val pairs = TextDedup.simhashPairs(docs, 12)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 3L && p._1 != 4L || p._1 == 3L))
+  }
+
+  test("fingerprint is order-sensitive, equal only for equal token streams") {
+    val fps = TextDedup.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(2L))
+    assert(fps(0L) != fps(1L))
+    val rev = Seq((9L, "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "text")
+    val fRev = TextDedup.fingerprints(rev).head.getLong(1)
+    assert(fRev != fps(0L))
+  }
+
+  test("hub-shingle cap drops ubiquitous shingles but keeps true dups") {
+    val withHub = docs.withColumn("text", concat(col("text"), lit(" common tail phrase")))
+    val capped = TextDedup.jaccardPairs(withHub, 3, 0.5, maxDocFreq = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 2L)))
+  }
+
+  test("jaccard pair generation shuffles shingles, not a cross product") {
+    val plan = TextDedup.jaccardPairs(docs, 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
