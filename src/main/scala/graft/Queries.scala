@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions._
 import graft.model.Tables
-import graft.operators.{BruteForceKnn, DeltaIndex, EmbeddingDedup, IvfFlat, IvfPq, Pq, ScalarQuant, TextAnalysis, TextDedup, TopK}
+import graft.operators.{BruteForceKnn, Caching, DeltaIndex, EmbeddingDedup, Governance, IvfFlat, IvfPq, Pq, ScalarQuant, TextAnalysis, TextDedup, TopK}
 
 /** The operator inventory exposed through [[SparkEntry]]: each entry is a
   * named DataFrame plan over the driver testdata plus (where ANSI-SQL
@@ -361,6 +361,221 @@ object Queries {
       |  )
       |) WHERE rn = 1 AND cnt >= 3 ORDER BY prev""".stripMargin
 
+  /** Per-tenant billing accumulation (A11 + E10 cost units). */
+  val billingUsage: QueryFn = (s, dir) =>
+    Governance.billingUsage(t(s, dir, "events")).orderBy("user_id")
+
+  val billingUsageSql: String =
+    """SELECT user_id, count(*) AS n_requests,
+      |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+      |       min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS min_cents,
+      |       max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS max_cents,
+      |       (count(*) / 10000.0) * (64 / 128.0) AS cost_units
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Monthly budget windows (A14): month-of-ts cost sums vs a fixed budget. */
+  val monthlyBudget: QueryFn = (s, dir) =>
+    Governance.monthlyBudget(t(s, dir, "events"), budgetCents = 100000L)
+      .orderBy("user_id", "y", "m")
+
+  val monthlyBudgetSql: String =
+    """SELECT user_id, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+      |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS month_cents,
+      |       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) > 100000 AS over_budget
+      |FROM events GROUP BY 1, 2, 3 ORDER BY user_id, y, m""".stripMargin
+
+  /** Write-heat detection (A12): 1-minute tumbling counts, hot > 10/min. */
+  val writeHeat: QueryFn = (s, dir) =>
+    Governance.writeHeat(t(s, dir, "events")).orderBy("user_id", "minute")
+
+  val writeHeatSql: String =
+    """SELECT user_id, epoch_ns(ts) // 60000000000 AS minute, count(*) AS n_writes,
+      |       count(*) > 10 AS hot
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, minute""".stripMargin
+
+  /** Per-tenant daily-request-limit violations (reference DailyRequestLimit,
+    * Model/TenantConfig.cs:39-57 + A13 window enforcement): tumbling 1-day
+    * windows vs a per-tenant quota table (limit 3 for every third tenant,
+    * else 5). */
+  val qpsViolations: QueryFn = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("sec", expr("ts div 86400000000000")) // day window
+    val quotas = ev.select("user_id").distinct()
+      .withColumn("max_qps", when(col("user_id") % 3 === 0, 3).otherwise(5))
+    ev.groupBy("user_id", "sec").agg(count(lit(1)).as("n"))
+      .join(broadcast(quotas), Seq("user_id"))
+      .filter(col("n") > col("max_qps"))
+      .select(col("user_id"), col("sec").as("day"), col("n"),
+        col("max_qps").as("daily_limit"))
+      .orderBy("user_id", "day")
+  }
+
+  val qpsViolationsSql: String =
+    """SELECT user_id, day, n, daily_limit FROM (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n,
+      |         CASE WHEN user_id % 3 = 0 THEN 3 ELSE 5 END AS daily_limit
+      |  FROM events GROUP BY 1, 2
+      |) WHERE n > daily_limit ORDER BY user_id, day""".stripMargin
+
+  /** Exact nearest-rank latency percentiles per event type (A8/A9). */
+  val percentilesByType: QueryFn = (s, dir) =>
+    Governance.percentiles(t(s, dir, "events"), "event_type", "value")
+      .orderBy("event_type")
+
+  val percentilesByTypeSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+      |       max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS p95,
+      |       max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99
+      |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** SLO windows (St6 batch form): per-minute p99 vs target 100. */
+  val sloWindows: QueryFn = (s, dir) =>
+    Governance.sloWindows(t(s, dir, "events"), "value", target = 100.0)
+      .orderBy("event_type", "minute")
+
+  val sloWindowsSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute, value,
+      |         row_number() OVER (PARTITION BY event_type, epoch_ns(ts) // 60000000000 ORDER BY value) AS rn,
+      |         count(*) OVER (PARTITION BY event_type, epoch_ns(ts) // 60000000000) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, minute, value AS p99, value > 100.0 AS degraded
+      |FROM ranked WHERE rn = ceil(0.99 * n) ORDER BY event_type, minute""".stripMargin
+
+  /** RoundK cache-key bucketing (W3) over the distinct quantity domain. */
+  val roundKBuckets: QueryFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("int").as("k")).distinct()
+      .withColumn("k_bucket", Caching.roundK(col("k")))
+      .orderBy("k")
+
+  val roundKBucketsSql: String =
+    """SELECT DISTINCT CAST(l_quantity AS INTEGER) AS k,
+      |       CASE WHEN CAST(l_quantity AS INTEGER) <= 5 THEN 5
+      |            WHEN CAST(l_quantity AS INTEGER) <= 10 THEN 10
+      |            WHEN CAST(l_quantity AS INTEGER) <= 20 THEN 20
+      |            WHEN CAST(l_quantity AS INTEGER) <= 50 THEN 50
+      |            WHEN CAST(l_quantity AS INTEGER) <= 100 THEN 100
+      |            ELSE CAST(l_quantity AS INTEGER) END AS k_bucket
+      |FROM lineitem ORDER BY k""".stripMargin
+
+  /** Namespace validation (F7): `[A-Za-z0-9_-]+` over customer names. */
+  val namespaceValidation: QueryFn = (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_name").rlike("^[A-Za-z0-9_-]+$").as("valid"))
+      .orderBy("c_custkey")
+
+  val namespaceValidationSql: String =
+    """SELECT c_custkey, c_name, regexp_full_match(c_name, '[A-Za-z0-9_-]+') AS valid
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Join + per-group ranking: top-5 orders by price per nation
+    * (broadcast dims, window over the fact side). */
+  val topOrdersByNation: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("n_name"), col("rk").cast("int").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("n_name", "rk")
+  }
+
+  val topOrdersByNationSql: String =
+    """SELECT n_name, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT n.n_name, o.o_orderkey, o.o_totalprice,
+      |         CAST(row_number() OVER (PARTITION BY n.n_name
+      |           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS rk
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |) WHERE rk <= 5 ORDER BY n_name, rk""".stripMargin
+
+  /** Epoch-checked cache lookup (St8/E12): KNN results materialized as a
+    * cache table keyed by the stable xxhash64 QueryKey; entries whose epoch
+    * is stale read as misses. The key value itself never leaves the plan
+    * (engine-own hash), only hit/miss observables do. */
+  val cacheEpochLookup: QueryFn = (s, dir) => {
+    val hits = BruteForceKnn.knn(vectorsOf(s, dir), queriesOf(s, dir), "IP", K)
+    val keyed = hits.withColumn("cache_key",
+      Caching.queryKey(lit("tenant0"), lit("emb"), lit(K), lit("IP"),
+        array(), col("query_id").cast("string")))
+    val cache = keyed.groupBy("cache_key", "query_id")
+      .agg(count(lit(1)).as("n_entries"))
+      .withColumn("epoch", col("query_id") % 2)
+      .withColumn("result", lit("cached"))
+      .withColumn("expires_at", lit(null).cast("timestamp"))
+    val requests = cache.select("cache_key", "query_id")
+    Caching.lookup(requests, cache.drop("query_id"), lit(1), current_timestamp())
+      .select(col("query_id"), col("hit"), col("n_entries"))
+      .orderBy("query_id")
+  }
+
+  val cacheEpochLookupSql: String =
+    s"""SELECT vec_id AS query_id, vec_id % 2 = 1 AS hit, CAST($K AS BIGINT) AS n_entries
+       |FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id""".stripMargin
+
+  /** L2 semantic-cluster admission (E11): nearest label-representative
+    * vector per query, admitted when within the cost-relaxed closeness
+    * threshold. */
+  val semanticAdmission: QueryFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val repIds = emb.groupBy("label").agg(min("vec_id").as("vec_id"))
+    val reps = emb.join(repIds, Seq("label", "vec_id"))
+      .select(col("label").as("cluster_id"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // E10 cost proxy: count/10000 · dim/128 over the searched collection
+    val cost = lit((emb.count() / 10000.0) * (64 / 128.0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cluster_id"))
+    q.crossJoin(broadcast(reps))
+      .withColumn("cos", vector_cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("cost", cost)
+      .withColumn("admitted",
+        col("cos") >= Caching.closenessThreshold("COSINE", col("cost")))
+      .select(col("query_id"), col("cluster_id"),
+        round(col("cos"), 6).as("cos"), col("admitted"))
+      .orderBy("query_id")
+  }
+
+  val semanticAdmissionSql: String =
+    s"""WITH reps AS (
+       |  SELECT e.label AS cluster_id, e.embedding AS cvec
+       |  FROM embeddings e
+       |  JOIN (SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY 1) r
+       |    ON e.label = r.label AND e.vec_id = r.vec_id
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, reps.cluster_id,
+       |         list_cosine_similarity(q.qvec::DOUBLE[], reps.cvec::DOUBLE[]) AS cos,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_cosine_similarity(q.qvec::DOUBLE[], reps.cvec::DOUBLE[]) DESC, reps.cluster_id) AS rn,
+       |         (SELECT count(*) FROM q) * 0 + (SELECT count(*) FROM embeddings) / 10000.0 * 0.5 AS cost
+       |  FROM q CROSS JOIN reps
+       |)
+       |SELECT query_id, cluster_id, round(cos, 6) AS cos,
+       |       cos >= 0.95 - greatest(0.0, log10(greatest(cost, 0.000000001))) * 0.01 AS admitted
+       |FROM scored WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Training-data pipeline: dedup + text analysis (builder-prompt surface)
   // ---------------------------------------------------------------------
@@ -511,6 +726,17 @@ object Queries {
     "hydration_knn" -> hydrationKnn,
     "q1_pricing" -> q1Pricing,
     "current_state" -> currentState,
+    "billing_usage" -> billingUsage,
+    "monthly_budget" -> monthlyBudget,
+    "write_heat" -> writeHeat,
+    "daily_limit_violations" -> qpsViolations,
+    "percentiles_by_type" -> percentilesByType,
+    "slo_windows" -> sloWindows,
+    "round_k_buckets" -> roundKBuckets,
+    "namespace_validation" -> namespaceValidation,
+    "top_orders_by_nation" -> topOrdersByNation,
+    "cache_epoch_lookup" -> cacheEpochLookup,
+    "semantic_admission" -> semanticAdmission,
     "latency_histogram" -> latencyHistogram,
     "qps_window" -> qpsWindow,
     "markov_transitions" -> markovTransitions,
@@ -536,6 +762,17 @@ object Queries {
     "hydration_knn" -> hydrationKnnSql,
     "q1_pricing" -> q1PricingSql,
     "current_state" -> currentStateSql,
+    "billing_usage" -> billingUsageSql,
+    "monthly_budget" -> monthlyBudgetSql,
+    "write_heat" -> writeHeatSql,
+    "daily_limit_violations" -> qpsViolationsSql,
+    "percentiles_by_type" -> percentilesByTypeSql,
+    "slo_windows" -> sloWindowsSql,
+    "round_k_buckets" -> roundKBucketsSql,
+    "namespace_validation" -> namespaceValidationSql,
+    "top_orders_by_nation" -> topOrdersByNationSql,
+    "cache_epoch_lookup" -> cacheEpochLookupSql,
+    "semantic_admission" -> semanticAdmissionSql,
     "latency_histogram" -> latencyHistogramSql,
     "qps_window" -> qpsWindowSql,
     "markov_transitions" -> markovTransitionsSql,
