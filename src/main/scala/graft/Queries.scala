@@ -710,6 +710,48 @@ object Queries {
         graft.functions.VectorSimHash.simhashCol(col("embedding")).as("simhash"))
       .orderBy("vec_id")
 
+  /** Multimodal plumbing end-to-end: documents' text bytes play the opaque
+    * media payload; features come out of the batch `mapPartitions` decode
+    * path (StubCodec — deterministic, so DuckDB can oracle it). */
+  val multimodalFeatures: QueryFn = (s, dir) => {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("id"), lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"))
+    graft.operators.Multimodal.featurize(media).orderBy("id")
+  }
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS id, 'text' AS modality,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(ascii(text[1]) AS INTEGER) AS head_byte,
+      |       CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS frame_count,
+      |       CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |            i -> ascii(text[i]))) AS BIGINT) AS checksum
+      |FROM documents ORDER BY id""".stripMargin
+
+  /** Frame sampling over binary payloads (every 2nd 256-byte block). */
+  val multimodalFrames: QueryFn = (s, dir) => {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("id"), lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"))
+    graft.operators.Multimodal.sampleFrames(media, stride = 2)
+      .select(col("id"), col("frame_no"), md5(col("frame")).as("frame_md5"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+      .orderBy("id", "frame_no")
+  }
+
+  // documents are ASCII, so a string slice is byte-identical to the blob
+  // slice the Spark side hashes (DuckDB 1.0 has no BLOB substring).
+  val multimodalFramesSql: String =
+    """SELECT doc_id AS id, f AS frame_no,
+      |       md5(substring(text, CAST(f * 256 + 1 AS BIGINT), 256)) AS frame_md5,
+      |       CAST(length(substring(text, CAST(f * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes
+      |FROM (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, (octet_length(encode(text)) + 255) // 256, 2)) AS f
+      |  FROM documents
+      |) ORDER BY id, frame_no""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -751,6 +793,8 @@ object Queries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "simhash_buckets" -> simhashBuckets,
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_frames" -> multimodalFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -783,5 +827,7 @@ object Queries {
     "embedding_top_pairs" -> embeddingTopPairsSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql,
   )
 }

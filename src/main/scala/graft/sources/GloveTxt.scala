@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GloVe text-format reader: `token v1 v2 ... vN` whitespace-separated,
+  * one embedding per line.
+  *
+  * Capability mirror of the reference's reader
+  * (reference: src/Pyrope.Benchmarks/Datasets/GloveTxtReader.cs:13-50)
+  * including the skip-invalid behavior: lines whose arity or floats don't
+  * parse are dropped when `skipInvalid`, errored otherwise. Declarative
+  * `spark.read.text` + split/cast keeps the scan parallel and pushdown-
+  * friendly.
+  */
+object GloveTxt {
+
+  def read(spark: SparkSession, path: String, dim: Int,
+           skipInvalid: Boolean = true): DataFrame = {
+    val lines = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("parts"))
+      .filter(size(col("parts")) > 0)
+    val shaped = lines
+      .select(
+        col("parts").getItem(0).as("token"),
+        slice(col("parts"), 2, dim).as("raw"))
+      .withColumn("vec", transform(col("raw"), x => x.try_cast("float")))
+      .withColumn("valid",
+        size(col("raw")) === dim && !exists(col("vec"), _.isNull))
+    if (skipInvalid) shaped.filter(col("valid")).select("token", "vec")
+    else {
+      // strict mode: surface the first bad line as an error at action time
+      shaped.select(col("token"),
+        when(col("valid"), col("vec"))
+          .otherwise(raise_error(concat(lit("invalid glove line for token: "),
+            col("token")))).as("vec"))
+    }
+  }
+}
