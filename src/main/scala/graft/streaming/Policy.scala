@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** The sidecar's cache-policy computation as deterministic Spark
+  * transformations (St5 consumer side).
+  */
+object Policy {
+
+  /** Heuristic warm-path policy from interval metrics
+    * (reference: src/Pyrope.AISidecar/policy_engine.py:12-25 — miss_rate
+    * > 0.5 ⇒ aggressive ttl 300 s / admission 0.05, else defaults).
+    * metrics: (tenant, n_requests, n_misses). */
+  def heuristic(metrics: DataFrame): DataFrame =
+    metrics
+      .withColumn("miss_rate",
+        when(col("n_requests") > 0, col("n_misses") / col("n_requests"))
+          .otherwise(0.0))
+      .withColumn("aggressive", col("miss_rate") > 0.5)
+      .withColumn("admission_threshold",
+        when(col("aggressive"), 0.05).otherwise(0.2))
+      .withColumn("ttl_seconds",
+        when(col("aggressive"), 300).otherwise(60))
+      .withColumn("eviction_priority",
+        when(col("aggressive"), "aggressive").otherwise("normal"))
+      .select("tenant", "miss_rate", "admission_threshold", "ttl_seconds",
+        "eviction_priority")
+
+  /** ε-greedy bandit override: explore ~ε of (tenant, window) arms by
+    * halving TTL (reference: src/Pyrope.AISidecar/bandit_engine.py:36-77).
+    * Exploration is drawn from a seeded hash of (tenant, window) instead of
+    * a RNG, so replays are reproducible. */
+  def banditAdjust(policies: DataFrame, windowCol: String,
+                   epsilonPct: Int = 10, seed: Long = 42L): DataFrame = {
+    val explore = udf { (tenant: String, w: Long) =>
+      math.floorMod(StableHash.rehash(StableHash.hashString(tenant, seed), w), 100L) < epsilonPct
+    }
+    policies
+      .withColumn("explore", explore(col("tenant"), col(windowCol)))
+      .withColumn("ttl_seconds",
+        when(col("explore"), (col("ttl_seconds") / 2).cast("int"))
+          .otherwise(col("ttl_seconds")))
+  }
+
+  /** Write-hot TTL shortening on L2 entries: hot clusters get 10% TTL,
+    * floor 1 s (reference: VectorCommandSet.cs:500-537 +
+    * SemanticClusterRegistry.cs:95-121). */
+  def shortenHotTtl(policies: DataFrame, heat: DataFrame): DataFrame =
+    policies.join(heat.select("tenant", "cluster", "hot"),
+        Seq("tenant"), "left")
+      .withColumn("ttl_seconds",
+        when(coalesce(col("hot"), lit(false)),
+          greatest((col("ttl_seconds") / 10).cast("int"), lit(1)))
+          .otherwise(col("ttl_seconds")))
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  test("markov transitions via flatMapGroupsWithState keep last-cluster state across batches") {
+    // file-source streaming: two micro-batches via two files
+    val dir = Files.createTempDirectory("mkv").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("tenant", StringType),
+      StructField("cluster", IntegerType)))
+    Seq((ts(0), "t1", 1), (ts(1), "t1", 2), (ts(0), "t2", 7))
+      .toDF("ts", "tenant", "cluster").coalesce(1).write.parquet(dir + "/b1")
+
+    val input = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/b*/")
+    val q = Streams.markovTransitions(input.as[Streams.Interaction])
+      .writeStream.format("memory").queryName("mkv_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: t1 continues 2 → 3 (state must remember last=2)
+      Seq((ts(2), "t1", 3)).toDF("ts", "tenant", "cluster")
+        .coalesce(1).write.parquet(dir + "/b2")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT tenant, prev, next FROM mkv_out ORDER BY tenant, prev")
+        .as[(String, Int, Int)].collect().toSeq
+      assert(got == Seq(("t1", 1, 2), ("t1", 2, 3)))
+    } finally q.stop()
+  }
+
+  test("rule extraction: most-common next, count >= 3 (prediction_engine.py:60-66)") {
+    val transitions = (Seq.fill(3)(("t1", 1, 2)) ++ Seq(("t1", 1, 3)) ++
+      Seq.fill(2)(("t1", 5, 6))).toDF("tenant", "prev", "next")
+    val rules = Streams.extractRules(transitions)
+      .select("prev", "next", "cnt").as[(Int, Int, Long)].collect().toSeq
+    assert(rules == Seq((1, 2, 3L))) // (5→6) has only 2 occurrences
+  }
+
+  test("write-heat: event-time 1-minute windows flag hot clusters") {
+    val dir = Files.createTempDirectory("heat").toString
+    val rows = (0 until 12).map(i => (ts(0, i * 4), "t1", 9)) :+ (ts(1, 30), "t1", 9)
+    rows.toDF("ts", "tenant", "cluster").coalesce(1).write.parquet(dir + "/b1")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("tenant", StringType),
+      StructField("cluster", IntegerType)))
+    val input = spark.readStream.schema(schema).parquet(dir + "/b*/")
+    val q = Streams.writeHeat(input).writeStream.format("memory")
+      .queryName("heat_out").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT n_writes, hot FROM heat_out ORDER BY window_start")
+        .as[(Long, Boolean)].collect().toSeq
+      assert(got == Seq((12L, true), (1L, false)))
+    } finally q.stop()
+  }
+
+  test("SLO hysteresis: degrade above target, recover only at 0.8x (SloGuardrails.cs:25-56)") {
+    val samples = Seq(
+      Streams.SloSample("t1", 1, 40.0),  // ok
+      Streams.SloSample("t1", 2, 60.0),  // > 50 → degrade
+      Streams.SloSample("t1", 3, 45.0),  // > 40 (=0.8*50) → still degraded
+      Streams.SloSample("t1", 4, 39.0),  // ≤ 40 → recover
+      Streams.SloSample("t1", 5, 41.0)   // ≤ 50 → stays ok
+    ).toDS()
+    val got = Streams.sloMonitor(samples, target = 50.0)
+      .collect().sortBy(_.minute).map(_.degraded).toSeq
+    assert(got == Seq(false, true, true, false, false))
+  }
+
+  test("policy heuristic + deterministic bandit + hot-TTL shortening") {
+    val metrics = Seq(("t1", 100L, 80L), ("t2", 100L, 10L))
+      .toDF("tenant", "n_requests", "n_misses")
+    val pol = Policy.heuristic(metrics)
+    val byTenant = pol.collect().map(r => r.getString(0) ->
+      (r.getAs[Int]("ttl_seconds"), r.getAs[Double]("admission_threshold"))).toMap
+    assert(byTenant("t1") == (300, 0.05)) // miss 0.8 → aggressive
+    assert(byTenant("t2") == (60, 0.2))
+
+    val w = pol.withColumn("w", lit(0L))
+    val b1 = Policy.banditAdjust(w, "w").select("tenant", "ttl_seconds").collect()
+    val b2 = Policy.banditAdjust(w, "w").select("tenant", "ttl_seconds").collect()
+    assert(b1.map(_.toString).sorted.sameElements(b2.map(_.toString).sorted)) // reproducible
+
+    val heat = Seq(("t1", 9, true)).toDF("tenant", "cluster", "hot")
+    val shortened = Policy.shortenHotTtl(pol, heat)
+      .filter(col("tenant") === "t1").select("ttl_seconds").head.getInt(0)
+    assert(shortened == 30) // 300 → 10%
+  }
+}
