@@ -1,23 +1,89 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForceKnn, IvfFlat, TopK}
+
+/** Per-round benchmark: one JSON line on stdout.
+  *
+  * Reports (a) wall time of every SparkEntry query at the given SF and
+  * (b) batched-search throughput runs sized to compare against the
+  * reference's published QPS (BASELINE.md): the reference answers queries
+  * one at a time over RESP; we answer a whole query batch as one plan, so
+  * the comparable number is queries-answered / wall-seconds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // top-k aggregation keeps one bounded ~1KB buffer per (query, task);
+      // the default 128-key fallback would push every scoring batch into
+      // sort-based aggregation and serialize buffers through the sort
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // min of 2 runs — the engine-warm number, like the reference's
+    // warmup-then-measure harness (Pyrope.Benchmarks/Program.cs)
+    def time(f: => Unit): Double = math.min(timeOnce(f), timeOnce(f))
+
+    // Warmup: JIT + codegen + parquet footer caches.
+    SparkEntry.entry(spark).count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+    }
+
+    // Throughput runs: the full embeddings table as the query batch.
+    // (local-bench note: the tiny parquet is one row group → explicit
+    // repartition supplies the parallelism files would at real scale)
+    val nCpus = cpus.toInt
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartition(nCpus).cache()
+    val nVec = emb.count()
+    val vectors = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val tBatch = time {
+      BruteForceKnn.knn(vectors, queries, "COSINE", 10).count()
+    }
+    results(s"knn_batch_${nVec}x$nVec") = tBatch
+
+    val tIvfBuild = time {
+      val idx = IvfFlat.build(vectors, nlist = 32, metric = "L2", seed = 42L)
+      idx.assigned.count()
+    }
+    results("ivf_build_sec") = tIvfBuild
+    val idx = IvfFlat.build(vectors, nlist = 32, metric = "L2", seed = 42L)
+    idx.assigned.cache().count()
+    idx.centroids.cache().count()
+    val tIvfSearch = time {
+      IvfFlat.search(idx, queries, "L2", 10, nprobe = 4).count()
+    }
+    results(s"ivf_batch_${nVec}x$nVec") = tIvfSearch
+    emb.unpersist()
+
+    // throughput metrics (not wall-seconds — excluded from "total")
+    val rates = Map(
+      "brute_qps" -> nVec / tBatch,
+      "ivf_qps" -> nVec / tIvfSearch)
+
+    val total = results.filter(_._2 >= 0).values.sum
+    rates.foreach { case (k, v) => results(k) = v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

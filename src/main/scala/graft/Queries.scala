@@ -632,7 +632,11 @@ object Queries {
     * same planted pairs as the exact Jaccard query (LSH is probabilistic;
     * ScalaTest covers recall on planted fixtures; driver does rows-only). */
   val dedupMinhash: QueryFn = (s, dir) =>
-    TextDedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.5)
+    // repartition: the single-file local input is one row group → would
+    // otherwise run the signature computation on one core
+    TextDedup.minhashLshPairs(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        n = 3, tau = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id1", "id2")
 

@@ -18,9 +18,17 @@ import graft.functions.vector_score
 object BruteForceKnn {
 
   /** vectors: (id BIGINT, vec ARRAY<FLOAT>), queries: (query_id BIGINT,
-    * qvec ARRAY<FLOAT>) → (query_id, rank, id, score). */
-  def knn(vectors: DataFrame, queries: DataFrame, metric: String, k: Int): DataFrame = {
-    val scored = vectors
+    * qvec ARRAY<FLOAT>) → (query_id, rank, id, score).
+    *
+    * `repartitionTo` (> 0) redistributes the vector side before scoring —
+    * needed when the input is a handful of small files whose row groups
+    * can't be split (a local-bench artifact); at cluster scale the file
+    * count itself provides parallelism and the knob should stay 0 (no
+    * shuffle of the big side). */
+  def knn(vectors: DataFrame, queries: DataFrame, metric: String, k: Int,
+          repartitionTo: Int = 0): DataFrame = {
+    val vs = if (repartitionTo > 0) vectors.repartition(repartitionTo) else vectors
+    val scored = vs
       .crossJoin(broadcast(queries))
       .select(
         col("query_id"),

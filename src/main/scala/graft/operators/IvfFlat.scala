@@ -68,15 +68,20 @@ object IvfFlat {
       spark.read.parquet(s"$path/centroids"))
 
   /** Probe selection: score each query against all centroids, keep the
-    * top-nprobe clusters (reference: IvfFlatVectorIndex.cs:183-198). */
+    * top-nprobe clusters (reference: IvfFlatVectorIndex.cs:183-198).
+    * The top-nprobe aggregation groups on the integer query_id only (never
+    * on the float-array qvec — array grouping keys wreck the hash
+    * aggregate); qvec is joined back afterwards. */
   def probes(index: Index, queries: DataFrame, metric: String, nprobe: Int): DataFrame = {
     val scored = queries
       .crossJoin(broadcast(index.centroids))
-      .select(col("query_id"), col("qvec"),
+      .select(col("query_id"),
         col("cluster_id").cast("long").as("id"),
         vector_score(metric, col("qvec"), col("centroid")).as("score"))
-    TopK.perGroup(scored, Seq("query_id", "qvec"), nprobe)
-      .select(col("query_id"), col("qvec"), col("id").cast("int").as("cluster_id"))
+    TopK.perGroup(scored, Seq("query_id"), nprobe)
+      .select(col("query_id"), col("id").cast("int").as("cluster_id"))
+      .join(queries, "query_id")
+      .select("query_id", "qvec", "cluster_id")
   }
 
   /** Full IVF search: probe top-nprobe inverted lists, exact-score their

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,20 +25,74 @@ object Pq {
   case class Codebook(m: Int, dsub: Int, k: Int,
                       codebooks: Array[Array[Array[Float]]]) extends Serializable
 
-  /** Train per-subspace codebooks on (id, vec). */
+  /** Train per-subspace codebooks on (id, vec).
+    *
+    * All M subspaces train TOGETHER in one batched Lloyd's loop over an
+    * exploded (m, subvec) table — one assignment job + one centroid-update
+    * job per iteration for every subspace at once, instead of M sequential
+    * MLlib fits (whose per-fit driver overhead dominates; the reference
+    * instead parallelizes across subspaces with threads,
+    * ProductQuantizer.cs:35-58). Deterministic: init picks the k
+    * hash-smallest subvectors per subspace; empty clusters keep their
+    * previous centroid. */
   def train(vectors: DataFrame, m: Int, k: Int, seed: Long = 42L,
             maxIter: Int = 10, vecCol: String = "vec"): Codebook = {
+    val spark = vectors.sparkSession
     val dim = vectors.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val dsub = dim / m
-    val cbs = (0 until m).map { mi =>
-      val sub = vectors.select(
-        array_to_vector(slice(col(vecCol), mi * dsub + 1, dsub)).as("features"))
-      val model = new KMeans()
-        .setK(k).setSeed(seed + mi).setMaxIter(maxIter)
-        .fit(sub)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
+
+    // (m, subvec) exploded table — cached, it drives every iteration
+    val sub = vectors.select(posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mi => slice(col(vecCol), mi * dsub + 1, lit(dsub)))))
+      .select(col("pos").as("m"), col("col").as("subvec"))
+      .cache()
+
+    // deterministic init: k hash-smallest subvectors per subspace
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("m")
+      .orderBy(xxhash64(col("m"), col("subvec"), lit(seed)))
+    val init = sub.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("m", "rn", "subvec").collect()
+    val cbs = Array.fill(m, k)(new Array[Float](dsub))
+    init.foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Float](2).toArray
+    }
+
+    var iter = 0
+    while (iter < maxIter) {
+      val bc = spark.sparkContext.broadcast(cbs)
+      val assign = udf { (mi: Int, v: Seq[Float]) =>
+        val cb = bc.value(mi)
+        var best = 0; var bestD = Double.MaxValue
+        var ki = 0
+        while (ki < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) {
+            val diff = v(i).toDouble - cb(ki)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = ki }
+          ki += 1
+        }
+        best
+      }
+      // centroid update: per-dimension means via one aggregation over
+      // (m, code, dim) — all subspaces in a single job
+      val updated = sub
+        .withColumn("code", assign(col("m"), col("subvec")))
+        .select(col("m"), col("code"), posexplode(col("subvec")))
+        .groupBy("m", "code", "pos")
+        .agg(avg("col").as("mean"))
+        .collect()
+      updated.foreach { r =>
+        cbs(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      bc.destroy()
+      iter += 1
+    }
+    sub.unpersist()
     Codebook(m, dsub, k, cbs)
   }
 
