@@ -183,9 +183,16 @@ class GraftEngine(spark: SparkSession, root: String) {
     * reference's post-filter — deliberate, documented divergence:
     * SURVEY §4.1); hydration joins the ≤k hit ids back to the record
     * snapshot (reference steps 10-12, VectorCommandSet.cs:457-480). */
+  /** `maxScans` > 0 caps the number of scored tail candidates per query —
+    * the reference's cost-ceiling / budget-degradation knob (F6,
+    * BruteForceVectorIndex.cs:288-344; budget halving
+    * VectorCommandSet.cs:436-456). The reference truncates its
+    * insertion-order scan; a distributed table has no insertion order, so
+    * the deterministic analog keeps the `maxScans` hash-smallest candidate
+    * ids per query (documented divergence, COVERAGE.md). */
   def search(tenant: String, index: String, queries: DataFrame, k: Int,
              metric: String = "L2", nprobe: Int = 4,
-             withMeta: Boolean = false): DataFrame = {
+             withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
     val m = manifest(tenant, index)
     val tailIdx = IvfFlat.Index(
       spark.read.parquet(s"${indexPath(tenant, index)}/vectors"),
@@ -210,10 +217,19 @@ class GraftEngine(spark: SparkSession, root: String) {
 
     // tail candidates: probed clusters, minus ids re-written in head
     val probeSet = IvfFlat.probes(tailIdx, baseQueries, metric, nprobe)
-    val tailScored = tailIdx.assigned
+    val tailCandidates = tailIdx.assigned
       .join(broadcast(probeSet), Seq("cluster_id"))
       .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
       .filter(col("masked").isNull)
+    val tailCapped =
+      if (maxScans <= 0) tailCandidates
+      else {
+        val wScan = Window.partitionBy("query_id")
+          .orderBy(xxhash64(col("id_str")))
+        tailCandidates.withColumn("scan_rn", row_number().over(wScan))
+          .filter(col("scan_rn") <= maxScans).drop("scan_rn")
+      }
+    val tailScored = tailCapped
       .select(col("query_id"), col("id_str"),
         graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
 

@@ -714,6 +714,37 @@ object Queries {
         graft.functions.VectorSimHash.simhashCol(col("embedding")).as("simhash"))
       .orderBy("vec_id")
 
+  /** Per-query history features (A17: hit_rate + revisit interval over a
+    * query log, src/Pyrope.AISidecar/feature_engineering.py:60-114). Here
+    * user_id plays the query key; "hit" = value < 50. All arithmetic is
+    * integer counts and exact divisions. */
+  val queryHistory: QueryFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_seen"),
+        sum(when(col("value") < 50, 1L).otherwise(0L)).as("n_hits"),
+        max(expr("ts div 1000000000")).as("last_seen_sec"),
+        min(expr("ts div 1000000000")).as("first_seen_sec"))
+      .withColumn("hit_rate", col("n_hits") / col("n_seen"))
+      .withColumn("mean_gap_sec",
+        when(col("n_seen") > 1,
+          (col("last_seen_sec") - col("first_seen_sec")) / (col("n_seen") - 1)))
+      .orderBy("user_id")
+
+  val queryHistorySql: String =
+    """SELECT user_id, n_seen, n_hits, last_seen_sec, first_seen_sec,
+      |       n_hits * 1.0 / n_seen AS hit_rate,
+      |       CASE WHEN n_seen > 1
+      |            THEN (last_seen_sec - first_seen_sec) * 1.0 / (n_seen - 1) END AS mean_gap_sec
+      |FROM (
+      |  SELECT user_id, count(*) AS n_seen,
+      |         CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |         max(epoch_ns(ts) // 1000000000) AS last_seen_sec,
+      |         min(epoch_ns(ts) // 1000000000) AS first_seen_sec
+      |  FROM events GROUP BY 1
+      |) ORDER BY user_id""".stripMargin
+
   /** Multimodal plumbing end-to-end: documents' text bytes play the opaque
     * media payload; features come out of the batch `mapPartitions` decode
     * path (StubCodec — deterministic, so DuckDB can oracle it). */
@@ -799,6 +830,7 @@ object Queries {
     "simhash_buckets" -> simhashBuckets,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
+    "query_history" -> queryHistory,
   )
 
   val oracles: Map[String, String] = Map(
@@ -833,5 +865,6 @@ object Queries {
     "lang_id" -> langIdSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
+    "query_history" -> queryHistorySql,
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-guard assertions on physical plan shape: the properties that keep
+  * these operators viable at 100 TB must be visible in `.explain`. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF on-disk layout gives partition pruning for cluster filters (nprobe path)") {
+    val vectors = (0 until 200).map(i => (i.toLong, Seq.fill(4)(i.toFloat)))
+      .toDF("id", "vec")
+    val idx = IvfFlat.build(vectors, nlist = 4)
+    val dir = Files.createTempDirectory("prune").toString
+    IvfFlat.save(idx, dir)
+    val plan = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cluster_id").isin(1, 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
+    // the data filter must NOT appear as a post-scan Filter on all rows
+    assert(!plan.contains("PushedFilters: [In(cluster_id"), plan)
+  }
+
+  test("parquet scan prunes columns: 2-column projection reads 2 columns") {
+    val dir = Files.createTempDirectory("cols").toString + "/data"
+    (0 until 100).map(i => (i.toLong, i.toString, i * 1.0, Seq(i.toFloat)))
+      .toDF("id", "name", "value", "vec").write.parquet(dir)
+    val df = spark.read.parquet(dir).select("id", "value")
+      .filter(col("value") > 10)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,value:double>"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,10.0)"), plan)
+  }
+
+  test("vector score expression stays inside whole-stage codegen") {
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f))).toDF("id", "vec")
+    val q = Seq(Tuple1(Seq(1f, 0f))).toDF("qvec")
+    val scored = df.crossJoin(broadcast(q))
+      .select(col("id"), graft.functions.vector_dot(col("vec"), col("qvec")).as("s"))
+      .filter(col("s") > 0)
+    assert(scored.collect().length == 2) // compiles, runs, finalizes THIS plan
+    // codegen'd spans print as "*(n)" in the tree string
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+
+  test("top-k over scored candidates shuffles only aggregated buffers, not raw rows") {
+    val df = (0 until 1000).map(i => (i % 7L, i.toLong, i * 0.5))
+      .toDF("query_id", "id", "score").repartition(8)
+    val plan = TopK.perGroup(df, Seq("query_id"), 5)
+      .queryExecution.executedPlan.toString
+    // partial ObjectHashAggregate before the exchange, final after
+    val exchangeIdx = plan.indexOf("Exchange")
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    assert(firstAgg >= 0 && exchangeIdx >= 0, plan)
+    assert(plan.indexOf("ObjectHashAggregate", exchangeIdx) > exchangeIdx, plan)
+  }
+}
