@@ -117,6 +117,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** HNSW per-partition graph search (rows-only; recall covered by
+    * HnswSpec against the brute-force oracle). */
+  val hnswSearch: QueryFn = (s, dir) => {
+    val graphs = graft.operators.Hnsw.build(
+      vectorsOf(s, dir), "L2", m = 16, efConstruction = 200, numPartitions = 4)
+    graft.operators.Hnsw.search(graphs, queriesOf(s, dir), K, efSearch = 100)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** SQ8 quantized brute-force search (uint8 fast path). */
   val sq8Search: QueryFn = (s, dir) => {
     val vs = vectorsOf(s, dir)
@@ -798,6 +808,7 @@ object Queries {
     "ivf_flat_search" -> ivfFlatSearch,
     "ivf_pq_search" -> ivfPqSearch,
     "sq8_search" -> sq8Search,
+    "hnsw_search" -> hnswSearch,
     "delta_merge_knn" -> deltaMergeKnn,
     "knn_tag_filtered" -> knnTagFiltered,
     "hydration_knn" -> hydrationKnn,

@@ -1,0 +1,218 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** HNSW approximate nearest-neighbor search, Spark-shaped.
+  *
+  * Capability mirror of the reference's HNSW index
+  * (reference: src/Pyrope.GarnetServer/Vector/HnswVectorIndex.cs:64-411 —
+  * multi-layer greedy descent + beam search, flat vector storage,
+  * defaults m=16 efConstruction=200 efSearch=10), with two deliberate
+  * changes: level assignment is SEEDED (hash of id — the reference uses an
+  * unseeded Random, HnswVectorIndex.cs:21, so only recall-level equivalence
+  * is even testable), and the graph is built PER PARTITION inside
+  * `mapPartitions` with results merged by a bounded top-k — the SURVEY §7.1
+  * step-10 design: each executor owns a serialized sub-graph, queries fan
+  * out to all sub-graphs, and the per-partition search is sublinear in
+  * partition size. Adding partitions scales corpus size linearly at
+  * constant per-partition latency.
+  */
+object Hnsw {
+
+  /** One per-partition navigable small-world graph. */
+  final class Graph(val metric: String, val m: Int, val efC: Int, val seed: Long)
+      extends Serializable {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    // adjacency(level)(node) = neighbor node indexes
+    val layers = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    var maxLevel: Int = -1
+    private val mL = 1.0 / math.log(m.toDouble)
+
+    /** "distance": lower is better — negated metric score. */
+    private def dist(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase match {
+      case "L2" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+        s
+      case "IP" | "INNERPRODUCT" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+        -s
+      case "COSINE" =>
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dp += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den < 1e-6) 0.0 else -dp / den
+      case x => throw new IllegalArgumentException(s"unknown metric: $x")
+    }
+
+    private def levelOf(id: Long): Int = {
+      val u = ((StableHash.rehash(id, seed) >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+      math.min((-math.log(u) * mL).toInt, 32)
+    }
+
+    /** Beam search on one layer: returns up to ef (node, dist) closest. */
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
+      val visited = mutable.HashSet(ep)
+      val epD = dist(q, vecs(ep))
+      // candidates: closest-first; results: farthest-first bounded ef
+      val cand = mutable.PriorityQueue((epD, ep))(Ordering.by(-_._1))
+      val res = mutable.PriorityQueue((epD, ep))(Ordering.by(_._1))
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (cd > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val adj = layers(level)(c)
+          var i = 0
+          while (i < adj.length) {
+            val n = adj(i)
+            if (visited.add(n)) {
+              val d = dist(q, vecs(n))
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, n))
+                res.enqueue((d, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Int, Double)]
+      res.foreach { case (d, n) => out += ((n, d)) }
+      out.sortInPlace()(Ordering.by(_._2))
+      out
+    }
+
+    def add(id: Long, vec: Array[Float]): Unit = {
+      val node = ids.length
+      ids += id
+      vecs += vec
+      val level = levelOf(id)
+      while (layers.length <= level) {
+        layers += mutable.ArrayBuffer.empty
+      }
+      for (l <- layers.indices) {
+        while (layers(l).length <= node) layers(l) += mutable.ArrayBuffer.empty[Int]
+      }
+      if (entry < 0) { entry = node; maxLevel = level; return }
+
+      var ep = entry
+      // greedy descent through layers above the node's level
+      var lc = maxLevel
+      while (lc > level) {
+        var changed = true
+        var best = dist(vec, vecs(ep))
+        while (changed) {
+          changed = false
+          val adj = layers(lc)(ep)
+          var i = 0
+          while (i < adj.length) {
+            val d = dist(vec, vecs(adj(i)))
+            if (d < best) { best = d; ep = adj(i); changed = true }
+            i += 1
+          }
+        }
+        lc -= 1
+      }
+      // connect on layers min(level, maxLevel)..0
+      lc = math.min(level, maxLevel)
+      while (lc >= 0) {
+        val cands = searchLayer(vec, ep, efC, lc)
+        val mMax = if (lc == 0) 2 * m else m
+        val neighbors = cands.take(m)
+        neighbors.foreach { case (n, _) =>
+          layers(lc)(node) += n
+          layers(lc)(n) += node
+          if (layers(lc)(n).length > mMax) {
+            // shrink: keep the mMax closest (reference neighbor pruning,
+            // HnswVectorIndex.cs:375-411)
+            val pruned = layers(lc)(n)
+              .map(x => (x, dist(vecs(n), vecs(x))))
+              .sortBy(_._2).take(mMax).map(_._1)
+            layers(lc)(n).clear()
+            layers(lc)(n) ++= pruned
+          }
+        }
+        if (neighbors.nonEmpty) ep = neighbors.head._1
+        lc -= 1
+      }
+      if (level > maxLevel) { maxLevel = level; entry = node }
+    }
+
+    /** Top-k (id, score) with score = -distance (higher better). */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) {
+        var changed = true
+        var best = dist(q, vecs(ep))
+        while (changed) {
+          changed = false
+          val adj = layers(lc)(ep)
+          var i = 0
+          while (i < adj.length) {
+            val d = dist(q, vecs(adj(i)))
+            if (d < best) { best = d; ep = adj(i); changed = true }
+            i += 1
+          }
+        }
+        lc -= 1
+      }
+      searchLayer(q, ep, math.max(ef, k), 0)
+        .take(k).map { case (n, d) => (ids(n), -d) }.toSeq
+    }
+  }
+
+  /** Build one graph per partition: (part_id, graph) dataset.
+    * vectors: (id BIGINT, vec ARRAY<FLOAT>). `numPartitions` > 0
+    * repartitions first (by id hash — deterministic layout). */
+  def build(vectors: DataFrame, metric: String = "L2", m: Int = 16,
+            efConstruction: Int = 200, seed: Long = 42L,
+            numPartitions: Int = 0): Dataset[(Int, Graph)] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    implicit val enc = Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Graph])
+    val vs = if (numPartitions > 0)
+      vectors.repartition(numPartitions, col("id")) else vectors
+    vs.select("id", "vec").as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new Graph(metric, m, efConstruction, seed)
+          // deterministic insert order regardless of scan order
+          rows.sortBy(_._1).foreach { case (id, v) => g.add(id, v.toArray) }
+          Iterator((org.apache.spark.TaskContext.getPartitionId(), g))
+        }
+      }
+  }
+
+  /** Fan the query batch out to every per-partition graph and merge with a
+    * bounded global top-k. */
+  def search(graphs: Dataset[(Int, Graph)], queries: DataFrame, k: Int,
+             efSearch: Int = 50): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val qs = queries.select("query_id", "qvec").as[(Long, Seq[Float])]
+      .collect().map { case (qid, v) => (qid, v.toArray) }
+    val bq = spark.sparkContext.broadcast(qs)
+    val partial = graphs.flatMap { case (_, g) =>
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, k, efSearch).map { case (id, score) => (qid, id, score) }
+      }
+    }.toDF("query_id", "id", "score")
+    TopK.perGroup(partial, Seq("query_id"), k)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val (vectors, queries) = {
+    val rng = new Random(42)
+    val centers = Array.fill(8, dim)(rng.nextFloat() * 2 - 1)
+    val pts = (0 until 1000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val qs = (0 until 6).map { i =>
+      val c = centers(i)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    (pts.toDF("id", "vec").cache(), qs.toDF("query_id", "qvec").cache())
+  }
+
+  private def hitSets(df: DataFrame) = df.select("query_id", "id").collect()
+    .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recall(e: Map[Long, Set[Long]], a: Map[Long, Set[Long]]): Double =
+    e.map { case (q, s) => a.getOrElse(q, Set.empty[Long]).intersect(s).size.toDouble / s.size }
+      .sum / e.size
+
+  test("per-partition HNSW recall vs brute force (multi-partition merge)") {
+    val exact = hitSets(BruteForceKnn.knn(vectors, queries, "L2", 10))
+    val graphs = Hnsw.build(vectors, "L2", m = 16, efConstruction = 200,
+      numPartitions = 4)
+    val got = hitSets(Hnsw.search(graphs, queries, 10, efSearch = 120))
+    val r = recall(exact, got)
+    assert(r > 0.9, s"HNSW recall $r")
+  }
+
+  test("deterministic: same build twice gives identical results") {
+    val g1 = Hnsw.build(vectors, "L2", numPartitions = 3)
+    val g2 = Hnsw.build(vectors, "L2", numPartitions = 3)
+    val a = Hnsw.search(g1, queries, 5).collect().map(_.toString).sorted
+    val b = Hnsw.search(g2, queries, 5).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("cosine metric: query finds its own vector first") {
+    val graphs = Hnsw.build(vectors, "COSINE", numPartitions = 2)
+    val self = queries.limit(1)
+      .join(vectors, queries("query_id") === vectors("id"))
+      .select(vectors("id").as("query_id"), vectors("vec").as("qvec"))
+    val hits = Hnsw.search(graphs, self, 1).collect()
+    assert(hits.head.getAs[Long]("id") == hits.head.getAs[Long]("query_id"))
+    assert(math.abs(hits.head.getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("efSearch increases recall monotonically (quality knob)") {
+    val exact = hitSets(BruteForceKnn.knn(vectors, queries, "L2", 10))
+    val graphs = Hnsw.build(vectors, "L2", m = 8, efConstruction = 100,
+      numPartitions = 4).cache()
+    val rs = Seq(10, 40, 160).map { ef =>
+      recall(exact, hitSets(Hnsw.search(graphs, queries, 10, ef)))
+    }
+    assert(rs == rs.sorted, s"not monotone: $rs")
+  }
+}
