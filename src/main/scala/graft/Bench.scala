@@ -75,10 +75,56 @@ object Bench {
     results(s"ivf_batch_${nVec}x$nVec") = tIvfSearch
     emb.unpersist()
 
+    // Reference-shaped run (BASELINE.md config: 100k synthetic random
+    // float32, dim 128, 100 queries, topK 10): deterministic synthetic
+    // table, brute + IVF search, load throughput.
+    val dim = 128
+    val synth = spark.range(100000)
+      .select(col("id"), transform(sequence(lit(1), lit(dim)),
+        i => (pmod(xxhash64(col("id") * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0)
+          .cast("float")).as("vec"))
+      .repartition(nCpus).cache()
+    synth.count()
+    val q100 = synth.filter(col("id") < 100)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+    q100.count()
+
+    val tLoad = timeOnce {
+      val dir = java.nio.file.Files.createTempDirectory("bench_load").toString
+      synth.write.mode("overwrite").parquet(dir + "/vectors")
+    }
+    val tBrute100k = time {
+      BruteForceKnn.knn(synth.select(col("id"), col("vec")), q100, "L2", 10).count()
+    }
+    val idx100k = IvfFlat.build(synth.select(col("id"), col("vec")), nlist = 100,
+      metric = "L2", seed = 42L)
+    idx100k.assigned.cache().count()
+    idx100k.centroids.cache().count()
+    val tIvf100k = time {
+      IvfFlat.search(idx100k, q100, "L2", 10, nprobe = 10).count()
+    }
+    // same 100k corpus, 2000-query batch: fixed job overhead amortizes —
+    // the batch-engine regime the reference (one query per RESP round
+    // trip) cannot reach
+    val q2000 = synth.filter(col("id") < 2000)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+    q2000.count()
+    val tIvf100k2k = time {
+      IvfFlat.search(idx100k, q2000, "L2", 10, nprobe = 10).count()
+    }
+    results("brute_100k_dim128_100q_sec") = tBrute100k
+    results("ivf_100k_dim128_100q_sec") = tIvf100k
+    results("ivf_100k_dim128_2000q_sec") = tIvf100k2k
+    results("load_100k_sec") = tLoad
+
     // throughput metrics (not wall-seconds — excluded from "total")
     val rates = Map(
       "brute_qps" -> nVec / tBatch,
-      "ivf_qps" -> nVec / tIvfSearch)
+      "ivf_qps" -> nVec / tIvfSearch,
+      "brute_100k_qps" -> 100.0 / tBrute100k,
+      "ivf_100k_qps" -> 100.0 / tIvf100k,
+      "ivf_100k_2000q_qps" -> 2000.0 / tIvf100k2k,
+      "load_vecs_per_sec" -> 100000.0 / tLoad)
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }

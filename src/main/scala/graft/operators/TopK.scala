@@ -63,8 +63,16 @@ class TopKAggregator(k: Int)
 
 object TopK {
 
-  /** Aggregate column producing the top-k (id, score) hits. */
+  /** Aggregate column producing the top-k (id, score) hits — the native
+    * [[TopKHits]] imperative aggregate (primitive buffers, no encoder /
+    * kryo per-row cost). */
   def topkCol(k: Int, id: Column, score: Column): Column =
+    graft.functions.mkCol(
+      TopKHits(graft.functions.mkExpr(id), graft.functions.mkExpr(score), k)
+        .toAggregateExpression())
+
+  /** The typed-Aggregator form — kept as a cross-check for tests. */
+  def topkColUdaf(k: Int, id: Column, score: Column): Column =
     udaf(new TopKAggregator(k)).apply(id, score)
 
   /** From scored candidates `(groupCols..., id, score)` to ranked hits

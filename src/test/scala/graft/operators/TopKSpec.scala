@@ -43,6 +43,20 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("native TopKHits agrees with the typed-Aggregator cross-check") {
+    val rng = new Random(7)
+    val rows = for { q <- 0 until 4; i <- 0 until 500 }
+      yield (q.toLong, i.toLong, math.floor(rng.nextDouble() * 50) / 50)
+    val df = rows.toDF("query_id", "id", "score").repartition(9)
+    val native = df.groupBy("query_id")
+      .agg(TopK.topkCol(7, col("id"), col("score")).as("hits"))
+      .orderBy("query_id").collect().map(_.toString)
+    val udafR = df.groupBy("query_id")
+      .agg(TopK.topkColUdaf(7, col("id"), col("score")).as("hits"))
+      .orderBy("query_id").collect().map(_.toString)
+    assert(native.sameElements(udafR))
+  }
+
   test("k larger than group size returns whole group ranked") {
     val df = Seq((1L, 10L, 1.0), (1L, 11L, 3.0)).toDF("query_id", "id", "score")
     val got = TopK.perGroup(df, Seq("query_id"), 10)
