@@ -285,4 +285,19 @@ class GraftEngine(spark: SparkSession, root: String) {
     assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cluster_id")
   }
+
+  // -------------------------------------------------------------------
+  // audit log (S12 — reference: Services/AuditLogger.cs, append-only)
+  // -------------------------------------------------------------------
+
+  /** Append one audit event. `ts` is caller-supplied epoch-millis so
+    * replays stay deterministic. */
+  def audit(actor: String, action: String, resource: String, ts: Long): Unit = {
+    import spark.implicits._
+    Seq((ts, actor, action, resource))
+      .toDF("ts", "actor", "action", "resource")
+      .write.mode("append").parquet(s"$root/audit")
+  }
+
+  def auditLog(): DataFrame = spark.read.parquet(s"$root/audit")
 }

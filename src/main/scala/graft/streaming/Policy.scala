@@ -45,6 +45,12 @@ object Policy {
           .otherwise(col("ttl_seconds")))
   }
 
+  /** Query-decision log (S14 — reference:
+    * src/Pyrope.AISidecar/logger.py + server.py:186-201): append the
+    * policy decisions with their input features for offline training. */
+  def writeDecisions(policies: DataFrame, path: String): Unit =
+    policies.write.mode("append").json(path)
+
   /** Write-hot TTL shortening on L2 entries: hot clusters get 10% TTL,
     * floor 1 s (reference: VectorCommandSet.cs:500-537 +
     * SemanticClusterRegistry.cs:95-121). */

@@ -78,6 +78,13 @@ class EngineSpec extends SparkSpec {
     val total = eng.stats("t1", "idx").agg(sum("n_vectors")).head.getLong(0)
     assert(total == 32)
 
+    // audit log: append + read back (S12)
+    eng.audit("admin", "index.build", "t1/idx", ts = 1000L)
+    eng.audit("admin", "vector.delete", "t1/idx/doc2", ts = 2000L)
+    val log = eng.auditLog().orderBy("ts").collect()
+    assert(log.map(_.getAs[String]("action")).toSeq ==
+      Seq("index.build", "vector.delete"))
+
     // rebuild compacts head into tail; doc2 stays gone, doc1 at new spot
     eng.build("t1", "idx", nlist = 4)
     val afterRebuild = eng.search("t1", "idx", q(6L, Seq(0f, 0f, 1f)), k = 1,
