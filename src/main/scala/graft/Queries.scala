@@ -108,6 +108,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-Flat under the cosine metric: codebook trained with MLlib's
+    * cosine distance measure (reference metric-aware assignment,
+    * KMeansUtils.cs:70-93). Rows-only; recall in AnnRecallSpec. */
+  val ivfCosineSearch: QueryFn = (s, dir) => {
+    val idx = IvfFlat.build(vectorsOf(s, dir), nlist = 10, metric = "COSINE", seed = 42L)
+    IvfFlat.search(idx, queriesOf(s, dir), "COSINE", K, nprobe = 3)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ with residual codes + exact rerank (M=8 subspaces, K=16). */
   val ivfPqSearch: QueryFn = (s, dir) => {
     val vs = vectorsOf(s, dir).cache()
@@ -806,6 +816,7 @@ object Queries {
     "knn_cosine" -> knnCosine,
     "knn_l2" -> knnL2,
     "ivf_flat_search" -> ivfFlatSearch,
+    "ivf_cosine_search" -> ivfCosineSearch,
     "ivf_pq_search" -> ivfPqSearch,
     "sq8_search" -> sq8Search,
     "hnsw_search" -> hnswSearch,

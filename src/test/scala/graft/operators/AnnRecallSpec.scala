@@ -61,6 +61,13 @@ class AnnRecallSpec extends SparkSpec {
     assert(recalls(2) > 0.8, s"nprobe=4 recall too low: ${recalls(2)}")
   }
 
+  test("IVF-Flat cosine metric: recall@10 == 1.0 at nprobe == nlist") {
+    val exactCos = hitSets(BruteForceKnn.knn(vectors, queries, "COSINE", K))
+    val idx = IvfFlat.build(vectors, nlist = 8, metric = "COSINE")
+    val got = hitSets(IvfFlat.search(idx, queries, "COSINE", K, nprobe = 8))
+    assert(recallVs(exactCos, got) == 1.0)
+  }
+
   test("IVF-Flat save/load roundtrip preserves search results") {
     val idx = IvfFlat.build(vectors, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
