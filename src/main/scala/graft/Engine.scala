@@ -83,12 +83,18 @@ class GraftEngine(spark: SparkSession, root: String) {
       .partitionBy("tenant_id", "index_name")
       .parquet(recordsPath)
 
+  private def recordsLogExists: Boolean =
+    Files.exists(Paths.get(recordsPath))
+
   /** VEC.ADD: reject ids that already exist live (`ERR Vector already
-    * exists`, VectorCommandSet.cs:605-615). Returns the number added. */
+    * exists`, VectorCommandSet.cs:605-615). Returns the number added.
+    * Only the genuinely-missing-log case skips the duplicate check — any
+    * other read failure must propagate, not silently disable the
+    * invariant. */
   def add(records: DataFrame): Long = {
-    val existing = try {
-      currentStateAll().select("tenant_id", "index_name", "id")
-    } catch { case _: Throwable => null }
+    val existing =
+      if (!recordsLogExists) null
+      else currentStateAll().select("tenant_id", "index_name", "id")
     val fresh = if (existing == null) records
       else records.join(existing, Seq("tenant_id", "index_name", "id"), "left_anti")
     val n = fresh.count()
@@ -152,7 +158,10 @@ class GraftEngine(spark: SparkSession, root: String) {
             seed: Long = 42L): Unit = {
     val state = currentState(tenant, index)
     val vecs = state.select(col("id"), col("vector").as("vec"))
-    val watermark = state.agg(max("updated_at")).head.getLong(0)
+    val wmRow = state.agg(max("updated_at")).head
+    require(!wmRow.isNullAt(0),
+      s"cannot build $tenant/$index: current state is empty (all records tombstoned?)")
+    val watermark = wmRow.getLong(0)
     val idx = IvfFlat.build(vecs.withColumn("id_str", col("id"))
       .select(xxhash64(col("id")).as("id"), col("vec"), col("id_str")), nlist, metric, seed)
     // keep the string id alongside the numeric surrogate used by the plans
@@ -260,12 +269,17 @@ class GraftEngine(spark: SparkSession, root: String) {
           .select("query_id", "id_str", "score")
       }
 
-    // bounded top-k on a numeric surrogate, then map back to string ids
+    // bounded top-k on a numeric surrogate, then map back to string ids.
+    // The tiny side is always the hit list (≤ k·nq rows): restrict the
+    // corpus-sized maps with a broadcast semi-join on it FIRST, then
+    // broadcast the now-tiny slice — never broadcast the full id universe.
     val hits = TopK.perGroup(
       filtered.select(col("query_id"), xxhash64(col("id_str")).as("id"), col("score")),
       Seq("query_id"), k)
+    val hitIds = hits.select("id").distinct()
     val idMap = snapshot.select("id_str").unionByName(headLive.select("id_str"))
       .distinct().withColumn("id", xxhash64(col("id_str")))
+      .join(broadcast(hitIds), Seq("id"), "left_semi")
     val withIds = hits.join(broadcast(idMap), Seq("id"))
       .select(col("query_id"), col("rank"), col("id_str").as("id"), col("score"))
     if (!withMeta) withIds.orderBy("query_id", "rank")
@@ -274,6 +288,7 @@ class GraftEngine(spark: SparkSession, root: String) {
       val metaOf = headLive.select(col("id_str"), col("meta"))
         .unionByName(snapshot.select(col("id_str"), col("meta"))
           .join(headIds, Seq("id_str"), "left_anti"))
+        .join(broadcast(idMap.select("id_str")), Seq("id_str"), "left_semi")
       withIds.join(broadcast(metaOf), withIds("id") === metaOf("id_str"), "left")
         .drop("id_str").orderBy("query_id", "rank")
     }

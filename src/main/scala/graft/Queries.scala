@@ -232,7 +232,10 @@ object Queries {
     val hits = BruteForceKnn.knn(vectorsOf(s, dir), queriesOf(s, dir), "COSINE", K)
     val docs = t(s, dir, "documents")
       .select(col("doc_id").as("id"), col("lang"), col("source"))
-    broadcast(hits).join(docs, Seq("id"), "left")
+      // restrict the record table to the <= k*nq hit ids, then broadcast
+      // the tiny slice (a LEFT join can only broadcast its right side)
+      .join(broadcast(hits.select("id").distinct()), Seq("id"), "left_semi")
+    hits.join(broadcast(docs), Seq("id"), "left")
       .select(col("query_id"), col("rank"), col("id"),
         round(col("score"), 6).as("score"), col("lang"), col("source"))
       .orderBy("query_id", "rank")
@@ -301,16 +304,7 @@ object Queries {
   /** Latency histogram buckets (reference MetricsCollector 6-bucket
     * histogram, Services/MetricsCollector.cs:39-53), over events.value. */
   val latencyHistogram: QueryFn = (s, dir) =>
-    t(s, dir, "events")
-      .withColumn("bucket",
-        when(col("value") < 1, "b0_lt1")
-          .when(col("value") < 5, "b1_lt5")
-          .when(col("value") < 10, "b2_lt10")
-          .when(col("value") < 50, "b3_lt50")
-          .when(col("value") < 100, "b4_lt100")
-          .otherwise("b5_ge100"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-      .orderBy("bucket")
+    Governance.latencyHistogram(t(s, dir, "events"), "value").orderBy("bucket")
 
   val latencyHistogramSql: String =
     """SELECT CASE WHEN value < 1 THEN 'b0_lt1' WHEN value < 5 THEN 'b1_lt5'
@@ -603,10 +597,7 @@ object Queries {
   /** Exact deduplication by content hash: keep lowest doc_id per distinct
     * text (hash-groupBy dedup). */
   val dedupExact: QueryFn = (s, dir) =>
-    t(s, dir, "documents")
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
-      .orderBy("keep_id")
+    TextDedup.exact(t(s, dir, "documents")).orderBy("keep_id")
 
   val dedupExactSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -779,7 +770,7 @@ object Queries {
     """SELECT doc_id AS id, 'text' AS modality,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       CAST(ascii(text[1]) AS INTEGER) AS head_byte,
-      |       CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS frame_count,
+      |       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS frame_count,
       |       CAST(list_sum(list_transform(range(1, length(text) + 1),
       |            i -> ascii(text[i]))) AS BIGINT) AS checksum
       |FROM documents ORDER BY id""".stripMargin

@@ -49,7 +49,9 @@ object BruteForceKnn {
     val scored = vectors
       .crossJoin(broadcast(queries))
       .filter(
-        size(col("filter_tags")) === 0 ||
+        // NULL filter_tags means "no filter" (pass everything), like an
+        // absent FILTER clause in the reference — not "match nothing"
+        coalesce(size(col("filter_tags")), lit(0)) === 0 ||
           forall(col("filter_tags"), t => array_contains(col("tags"), t)))
       .select(
         col("query_id"),

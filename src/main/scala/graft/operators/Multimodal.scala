@@ -37,7 +37,8 @@ object Multimodal {
         modality = r.modality,
         n_bytes = r.bytes.length.toLong,
         head_byte = if (r.bytes.nonEmpty) r.bytes(0) & 0xff else -1,
-        frame_count = r.bytes.length.toLong / 256 + 1,
+        // must agree with sampleFrames' ceil-division frame count
+        frame_count = (r.bytes.length.toLong + 255) / 256,
         checksum = sum)
     }
   }

@@ -72,6 +72,14 @@ case class TopKHits(
 
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (idExpr.dataType == LongType && scoreExpr.dataType == DoubleType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName requires (BIGINT id, DOUBLE score), got " +
+        s"(${idExpr.dataType.simpleString}, ${scoreExpr.dataType.simpleString})")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("score", DoubleType))))
 

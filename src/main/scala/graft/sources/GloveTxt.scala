@@ -23,10 +23,13 @@ object GloveTxt {
     val shaped = lines
       .select(
         col("parts").getItem(0).as("token"),
+        size(col("parts")).as("n_parts"),
         slice(col("parts"), 2, dim).as("raw"))
       .withColumn("vec", transform(col("raw"), x => x.try_cast("float")))
+      // exact arity required: an over-long line would otherwise pass with
+      // a silently truncated vector (the reference drops it)
       .withColumn("valid",
-        size(col("raw")) === dim && !exists(col("vec"), _.isNull))
+        col("n_parts") === dim + 1 && !exists(col("vec"), _.isNull))
     if (skipInvalid) shaped.filter(col("valid")).select("token", "vec")
     else {
       // strict mode: surface the first bad line as an error at action time

@@ -18,10 +18,11 @@ class MultimodalSpec extends SparkSpec {
     val r1 = got(0)
     assert(r1.getAs[Long]("n_bytes") == 600)
     assert(r1.getAs[Int]("head_byte") == 0)
-    assert(r1.getAs[Long]("frame_count") == 600 / 256 + 1)
+    assert(r1.getAs[Long]("frame_count") == 3) // ceil(600/256)
     assert(r1.getAs[Long]("checksum") ==
       Array.tabulate(600)(i => (i % 251).toLong).sum)
     assert(got(2).getAs[Int]("head_byte") == -1) // empty payload
+    assert(got(2).getAs[Long]("frame_count") == 0) // empty -> no frames
   }
 
   test("featurize twice gives identical output (stub codec is deterministic)") {

@@ -30,7 +30,7 @@ class SourcesSpec extends SparkSpec {
   test("glove txt reader parses and skips invalid lines (GloveTxtReader.cs:13-50)") {
     val dir = Files.createTempDirectory("glove")
     Files.writeString(dir.resolve("emb.txt"),
-      "hello 0.1 0.2 0.3\nshort 0.1\nbad a b c\nworld -1.0 2.0 0.5\n")
+      "hello 0.1 0.2 0.3\nshort 0.1\nbad a b c\ntoolong 1 2 3 4 5\nworld -1.0 2.0 0.5\n")
     val got = GloveTxt.read(spark, dir.toString + "/emb.txt", dim = 3)
       .orderBy("token").as[(String, Seq[Float])].collect()
     assert(got.map(_._1).toSeq == Seq("hello", "world"))
