@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{StableHash, VectorSimHash}
+import graft.operators.TopKBuf
+
+/** ScalaCheck property tier (SURVEY §5: parser/quantizer/hash roundtrips). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f)).map(_.toSeq))
+
+  test("fvecs encode/decode roundtrips any vector list") {
+    check(Prop.forAll(Gen.listOfN(5, vecGen)) { vs =>
+      val dims = vs.map(_.length)
+      val back = graft.sources.Fvecs.decode(graft.sources.Fvecs.encode(vs)).toSeq
+      back.map(_._2) == vs && back.map(_._1) == vs.indices.map(_.toLong) &&
+        back.map(_._2.length) == dims
+    })
+  }
+
+  test("StableHash: deterministic, seed-sensitive, avalanche-ish") {
+    check(Prop.forAll(Gen.alphaNumStr, Gen.long) { (s, seed) =>
+      StableHash.hashString(s, seed) == StableHash.hashString(s, seed)
+    })
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      s.isEmpty || StableHash.hashString(s, 1L) != StableHash.hashString(s, 2L)
+    })
+  }
+
+  test("VectorSimHash: scale invariance for any positive scale") {
+    check(Prop.forAll(vecGen, Gen.chooseNum(0.01f, 50f)) { (v, c) =>
+      VectorSimHash.simhash64(v, 42L) == VectorSimHash.simhash64(v.map(_ * c), 42L)
+    })
+  }
+
+  test("TopKBuf matches a sort-based oracle for any input stream") {
+    val entries = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-5.0, 5.0)))
+    check(Prop.forAll(entries, Gen.chooseNum(1, 12)) { (xs, k) =>
+      val buf = new TopKBuf(k)
+      xs.foreach { case (id, s) => buf.add(id, s) }
+      buf.compact()
+      val got = (0 until buf.n).map(i => (buf.ids(i), buf.scores(i)))
+      val want = xs.sortBy { case (id, s) => (-s, id) }.take(k)
+      got == want
+    })
+  }
+
+  test("TopKBuf merge order does not change the result") {
+    val entries = Gen.listOfN(300, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0.0, 1.0)))
+    check(Prop.forAll(entries, Gen.chooseNum(1, 150)) { (xs, split) =>
+      val cut = split % (xs.size + 1)
+      val (a, b) = xs.splitAt(cut)
+      def fill(ys: Seq[(Long, Double)]) = {
+        val t = new TopKBuf(5); ys.foreach { case (i, s) => t.add(i, s) }; t
+      }
+      val m1 = fill(a); m1.mergeFrom(fill(b)); m1.compact()
+      val m2 = fill(b); m2.mergeFrom(fill(a)); m2.compact()
+      (0 until m1.n).map(i => (m1.ids(i), m1.scores(i))) ==
+        (0 until m2.n).map(i => (m2.ids(i), m2.scores(i)))
+    })
+  }
+
+  test("RoundK is monotone and idempotent over its buckets") {
+    val buckets = Set(5, 10, 20, 50, 100)
+    def roundK(k: Int): Int =
+      if (k <= 5) 5 else if (k <= 10) 10 else if (k <= 20) 20
+      else if (k <= 50) 50 else if (k <= 100) 100 else k
+    check(Prop.forAll(Gen.chooseNum(1, 500)) { k =>
+      val r = roundK(k)
+      r >= k && (buckets.contains(r) || r == k) && roundK(r) == r
+    })
+  }
+}
