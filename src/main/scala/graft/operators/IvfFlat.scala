@@ -84,11 +84,63 @@ object IvfFlat {
       .select("query_id", "qvec", "cluster_id")
   }
 
+  /** Driver-side probe selection: centroids (nlist rows) and the query
+    * batch are both driver-sized by construction — exactly the data the
+    * reference holds in memory — so the coarse ranking can skip two Spark
+    * jobs and feed the probe set straight into the inverted-list join.
+    * Semantically identical to [[probes]] (same scores, same id
+    * tie-break). */
+  private def probesLocal(index: Index, queries: DataFrame, metric: String,
+                          nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = index.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val qs = queries.select("query_id", "qvec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val rows = qs.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) =>
+        val score = metric.toUpperCase match {
+          case "L2" =>
+            var s = 0.0; var i = 0
+            while (i < cv.length) { val d = qv(i).toDouble - cv(i); s += d * d; i += 1 }
+            -s
+          case "IP" | "INNERPRODUCT" =>
+            var s = 0.0; var i = 0
+            while (i < cv.length) { s += qv(i).toDouble * cv(i); i += 1 }
+            s
+          case "COSINE" =>
+            var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < cv.length) {
+              val x = qv(i).toDouble; val y = cv(i).toDouble
+              dp += x * y; na += x * x; nb += y * y; i += 1
+            }
+            val den = math.sqrt(na) * math.sqrt(nb)
+            if (den < 1e-6) 0.0 else dp / den
+          case m => throw new IllegalArgumentException(s"unknown metric: $m")
+        }
+        (qid, cid, score)
+      }.sortBy { case (_, cid, s) => (-s, cid.toLong) }
+        .take(nprobe)
+        .map { case (q, cid, _) => (q, cid, qv) }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("query_id", "cluster_id", "qvec")
+      .select("query_id", "qvec", "cluster_id")
+  }
+
   /** Full IVF search: probe top-nprobe inverted lists, exact-score their
-    * members, return global top-k per query. */
+    * members, return global top-k per query. Probe selection runs
+    * driver-side when the (queries × centroids) product is small (the
+    * common case), as a distributed plan otherwise. */
   def search(index: Index, queries: DataFrame, metric: String,
-             k: Int, nprobe: Int): DataFrame = {
-    val probeSet = probes(index, queries, metric, nprobe)
+             k: Int, nprobe: Int, maxLocalQueries: Int = 10000): DataFrame = {
+    val probeSet = {
+      // bounded probe of the query batch size: one cheap job either way,
+      // and the local path reuses the collected rows
+      val sample = queries.limit(maxLocalQueries + 1).count()
+      if (sample <= maxLocalQueries) probesLocal(index, queries, metric, nprobe)
+      else probes(index, queries, metric, nprobe)
+    }
     val scored = index.assigned
       .join(broadcast(probeSet), Seq("cluster_id"))
       .select(col("query_id"), col("id"),

@@ -96,36 +96,50 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, n: Int, tau: Double,
                       numHashes: Int = 128, bands: Int = 64,
                       maxDocFreq: Int = 0): DataFrame = {
+    val candidates = candidatePairs(docs, n, numHashes, bands)
+    verifyPairs(docs, candidates, n, maxDocFreq).filter(col("jaccard") >= tau)
+  }
+
+  /** LSH candidate generation: pairs agreeing on >= 1 signature band.
+    * Band hashes are emitted by ONE pass over the signature (no
+    * per-band explode of the full signature array). */
+  def candidatePairs(docs: DataFrame, n: Int, numHashes: Int,
+                     bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, n, numHashes)
-    val bandHash = udf { (sig: Seq[Long], band: Int) =>
-      var h = 0L
-      var i = band * rows
-      while (i < (band + 1) * rows) { h = StableHash.mix64(h ^ sig(i)); i += 1 }
-      h
+    val bandHashes = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { band =>
+        var h = 0L
+        var i = band * rows
+        while (i < (band + 1) * rows) { h = StableHash.mix64(h ^ sig(i)); i += 1 }
+        h
+      }
     }
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
+    // persisted: the self-join would otherwise recompute the signature
+    // UDF once per branch
+    val banded = minhashSignatures(docs, n, numHashes)
+      .select(col("doc_id"), posexplode(bandHashes(col("sig"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      .persist()
     val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // verify candidates with exact Jaccard (semi-join keeps it tiny)
-    val verified = jaccardPairsOf(docs, candidates, n, maxDocFreq)
-    verified.filter(col("jaccard") >= tau)
   }
+
+  /** Exact-Jaccard verification of a candidate pair set. */
+  def verifyPairs(docs: DataFrame, pairs: DataFrame, n: Int,
+                  maxDocFreq: Int): DataFrame =
+    jaccardPairsOf(docs, pairs, n, maxDocFreq)
 
   /** Exact Jaccard for an explicit candidate-pair set. */
   private def jaccardPairsOf(docs: DataFrame, pairs: DataFrame, n: Int,
                              maxDocFreq: Int): DataFrame = {
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2"))).distinct()
-    val sh = shingleTable(docs.join(ids, "doc_id"), n, maxDocFreq)
+    val sh = shingleTable(docs.join(ids, "doc_id"), n, maxDocFreq).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
