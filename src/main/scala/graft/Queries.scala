@@ -137,7 +137,9 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** SQ8 quantized brute-force search (uint8 fast path). */
+  /** SQ8 quantized brute-force search (uint8 fast path). Oracle-checked:
+    * half-up quantization + integer-space L2 rescaled by delta² are exact
+    * arithmetic both engines reproduce bit-identically. */
   val sq8Search: QueryFn = (s, dir) => {
     val vs = vectorsOf(s, dir)
     val p = ScalarQuant.train(vs)
@@ -147,6 +149,36 @@ object Queries {
       .withColumn("score", round(col("score"), 6))
       .orderBy("query_id", "rank")
   }
+
+  // float-precision choreography mirrors ScalarQuant exactly: min/max and
+  // (x - mn) / (mx - mn) are FLOAT subtractions (then widened), scale and
+  // delta are DOUBLE — any deviation flips codes at rounding boundaries.
+  val sq8SearchSql: String =
+    s"""WITH bounds AS (
+       |  SELECT min(list_min(embedding)) AS mn, max(list_max(embedding)) AS mx
+       |  FROM embeddings
+       |), enc AS (
+       |  SELECT e.vec_id,
+       |         CAST(b.mx - b.mn AS DOUBLE) / 255.0 AS delta,
+       |         list_transform(e.embedding, x ->
+       |           CAST(greatest(0.0, least(255.0,
+       |             floor(CAST(x - b.mn AS DOUBLE) * (255.0 / CAST(b.mx - b.mn AS DOUBLE)) + 0.5))) AS BIGINT)) AS q8
+       |  FROM embeddings e CROSS JOIN bounds b
+       |), q AS (
+       |  SELECT vec_id AS query_id, q8 AS qq8 FROM enc WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |         -(CAST(list_sum(list_transform(range(1, len(e.q8) + 1),
+       |             i -> (e.q8[i] - q.qq8[i]) * (e.q8[i] - q.qq8[i]))) AS DOUBLE)
+       |           * e.delta * e.delta) AS score
+       |  FROM enc e CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id, round(score, 6) AS score FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Delta head/tail semantics end-to-end: a "fresh" head (re-written
     * vectors, scaled by 0.9) overrides the stale tail copy of the same id,
@@ -543,6 +575,40 @@ object Queries {
     s"""SELECT vec_id AS query_id, vec_id % 2 = 1 AS hit, CAST($K AS BIGINT) AS n_entries
        |FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id""".stripMargin
 
+  /** Canonical-alias cache resolution (J6 / L0.5): odd query keys alias to
+    * their even predecessor when confidence ≥ 0.8; resolved requests hit
+    * the canonical cache entry (reference: DataModel/CanonicalKeyMap.cs:18-44,
+    * VectorCommandSet.cs:239-272). Keys are engine-internal xxhash64 and
+    * never appear in the output. */
+  val aliasLookup: QueryFn = (s, dir) => {
+    def keyOf(c: org.apache.spark.sql.Column) =
+      xxhash64(lit("tenant0"), c.cast("string"))
+    val qids = t(s, dir, "embeddings").filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"))
+    val requests = qids.withColumn("cache_key", keyOf(col("query_id")))
+    val aliases = qids.filter(col("query_id") % 2 === 1)
+      .select(keyOf(col("query_id")).as("source_key"),
+        keyOf(col("query_id") - 1).as("canonical_key"),
+        when(col("query_id") % 3 === 0, 0.5).otherwise(0.9).as("confidence"))
+    val cache = qids.filter(col("query_id") % 2 === 0)
+      .select(keyOf(col("query_id")).as("cache_key"),
+        lit("cached").as("result"), lit(1L).as("epoch"),
+        lit(null).cast("timestamp").as("expires_at"))
+    val resolved = Caching.resolveAlias(requests, aliases)
+      .withColumn("resolved", col("lookup_key") =!= col("cache_key"))
+      .drop("cache_key")
+      .withColumnRenamed("lookup_key", "cache_key")
+    Caching.lookup(resolved, cache, lit(1L), current_timestamp())
+      .select("query_id", "resolved", "hit")
+      .orderBy("query_id")
+  }
+
+  val aliasLookupSql: String =
+    s"""SELECT vec_id AS query_id,
+       |       vec_id % 2 = 1 AND vec_id % 3 != 0 AS resolved,
+       |       (vec_id % 2 = 0) OR (vec_id % 2 = 1 AND vec_id % 3 != 0) AS hit
+       |FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id""".stripMargin
+
   /** L2 semantic-cluster admission (E11): nearest label-representative
     * vector per query, admitted when within the cost-relaxed closeness
     * threshold. */
@@ -826,6 +892,7 @@ object Queries {
     "namespace_validation" -> namespaceValidation,
     "top_orders_by_nation" -> topOrdersByNation,
     "cache_epoch_lookup" -> cacheEpochLookup,
+    "alias_lookup" -> aliasLookup,
     "semantic_admission" -> semanticAdmission,
     "latency_histogram" -> latencyHistogram,
     "qps_window" -> qpsWindow,
@@ -850,6 +917,7 @@ object Queries {
     "knn_dot" -> knnDotSql,
     "knn_cosine" -> knnCosineSql,
     "knn_l2" -> knnL2Sql,
+    "sq8_search" -> sq8SearchSql,
     "delta_merge_knn" -> deltaMergeKnnSql,
     "knn_tag_filtered" -> knnTagFilteredSql,
     "hydration_knn" -> hydrationKnnSql,
@@ -865,6 +933,7 @@ object Queries {
     "namespace_validation" -> namespaceValidationSql,
     "top_orders_by_nation" -> topOrdersByNationSql,
     "cache_epoch_lookup" -> cacheEpochLookupSql,
+    "alias_lookup" -> aliasLookupSql,
     "semantic_admission" -> semanticAdmissionSql,
     "latency_histogram" -> latencyHistogramSql,
     "qps_window" -> qpsWindowSql,

@@ -199,6 +199,28 @@ object Hnsw {
       }
   }
 
+  /** Persist the per-partition graphs: (part_id, java-serialized blob)
+    * parquet — the HNSW analog of the reference's index snapshot (S11). */
+  def save(graphs: Dataset[(Int, Graph)], path: String): Unit = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    graphs.map { case (p, g) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(g); oos.close()
+      (p, bos.toByteArray)
+    }.toDF("part_id", "blob").write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Dataset[(Int, Graph)] = {
+    import spark.implicits._
+    implicit val enc = Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Graph])
+    spark.read.parquet(path).as[(Int, Array[Byte])].map { case (p, bytes) =>
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+      (p, ois.readObject().asInstanceOf[Graph])
+    }
+  }
+
   /** Fan the query batch out to every per-partition graph and merge with a
     * bounded global top-k. */
   def search(graphs: Dataset[(Int, Graph)], queries: DataFrame, k: Int,

@@ -31,7 +31,10 @@ object ScalarQuant {
     val out = new Array[Byte](v.length)
     var i = 0
     while (i < v.length) {
-      val q = math.rint((v(i) - mn) * scale)
+      // half-up rounding (floor(x+0.5)): engine-independent, so a SQL
+      // oracle can reproduce codes bit-exactly (rint's half-even cannot
+      // be expressed portably)
+      val q = math.floor((v(i) - mn) * scale + 0.5)
       out(i) = math.max(0.0, math.min(255.0, q)).toInt.toByte
       i += 1
     }

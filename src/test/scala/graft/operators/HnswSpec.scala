@@ -48,6 +48,16 @@ class HnswSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("save/load roundtrip preserves search results") {
+    val graphs = Hnsw.build(vectors, "L2", numPartitions = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString + "/g"
+    Hnsw.save(graphs, dir)
+    val loaded = Hnsw.load(spark, dir)
+    val a = Hnsw.search(graphs, queries, 5).collect().map(_.toString).sorted
+    val b = Hnsw.search(loaded, queries, 5).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("cosine metric: query finds its own vector first") {
     val graphs = Hnsw.build(vectors, "COSINE", numPartitions = 2)
     val self = queries.limit(1)
