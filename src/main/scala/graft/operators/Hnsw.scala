@@ -199,26 +199,38 @@ object Hnsw {
       }
   }
 
-  /** Persist the per-partition graphs: (part_id, java-serialized blob)
-    * parquet — the HNSW analog of the reference's index snapshot (S11). */
+  private val ChunkBytes = 64 * 1024 * 1024
+
+  /** Persist the per-partition graphs: java-serialized blobs CHUNKED into
+    * 64 MiB parquet rows (one giant cell would hit JVM/parquet limits) —
+    * the HNSW analog of the reference's index snapshot (S11). */
   def save(graphs: Dataset[(Int, Graph)], path: String): Unit = {
     val spark = graphs.sparkSession
     import spark.implicits._
-    graphs.map { case (p, g) =>
+    graphs.flatMap { case (p, g) =>
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(g); oos.close()
-      (p, bos.toByteArray)
-    }.toDF("part_id", "blob").write.mode("overwrite").parquet(path)
+      val bytes = bos.toByteArray
+      (0 until bytes.length by ChunkBytes).zipWithIndex.map { case (from, chunkNo) =>
+        (p, chunkNo, java.util.Arrays.copyOfRange(
+          bytes, from, math.min(from + ChunkBytes, bytes.length)))
+      }
+    }.toDF("part_id", "chunk_no", "blob").write.mode("overwrite").parquet(path)
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Dataset[(Int, Graph)] = {
     import spark.implicits._
     implicit val enc = Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Graph])
-    spark.read.parquet(path).as[(Int, Array[Byte])].map { case (p, bytes) =>
-      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-      (p, ois.readObject().asInstanceOf[Graph])
-    }
+    spark.read.parquet(path).as[(Int, Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (p, it) =>
+        val bytes = it.toArray.sortBy(_._2).map(_._3)
+          .foldLeft(new java.io.ByteArrayOutputStream()) { (acc, b) => acc.write(b); acc }
+          .toByteArray
+        val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+        (p, ois.readObject().asInstanceOf[Graph])
+      }
   }
 
   /** Fan the query batch out to every per-partition graph and merge with a

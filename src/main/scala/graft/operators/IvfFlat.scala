@@ -90,14 +90,16 @@ object IvfFlat {
     * jobs and feed the probe set straight into the inverted-list join.
     * Semantically identical to [[probes]] (same scores, same id
     * tie-break). */
-  private def probesLocal(index: Index, queries: DataFrame, metric: String,
-                          nprobe: Int): DataFrame = {
-    val spark = queries.sparkSession
+  private def probesLocal(index: Index, qs: Array[(Long, Seq[Float])],
+                          metric: String, nprobe: Int,
+                          spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val cents = index.centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    val qs = queries.select("query_id", "qvec").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val rows = qs.flatMap { case (qid, qv) =>
+      cents.headOption.foreach { case (_, cv) =>
+        require(qv.length == cv.length,
+          s"vector dimension mismatch: ${qv.length} vs ${cv.length}")
+      }
       cents.map { case (cid, cv) =>
         val score = metric.toUpperCase match {
           case "L2" =>
@@ -130,16 +132,18 @@ object IvfFlat {
 
   /** Full IVF search: probe top-nprobe inverted lists, exact-score their
     * members, return global top-k per query. Probe selection runs
-    * driver-side when the (queries × centroids) product is small (the
-    * common case), as a distributed plan otherwise. */
+    * driver-side when the query batch is driver-sized (one bounded collect
+    * decides the path AND supplies the rows), as a distributed plan
+    * otherwise. Note the local path materializes probes at call time —
+    * the returned DataFrame snapshots them, like the built index itself. */
   def search(index: Index, queries: DataFrame, metric: String,
              k: Int, nprobe: Int, maxLocalQueries: Int = 10000): DataFrame = {
     val probeSet = {
-      // bounded probe of the query batch size: one cheap job either way,
-      // and the local path reuses the collected rows
-      val sample = queries.limit(maxLocalQueries + 1).count()
-      if (sample <= maxLocalQueries) probesLocal(index, queries, metric, nprobe)
-      else probes(index, queries, metric, nprobe)
+      val sample = queries.select("query_id", "qvec").limit(maxLocalQueries + 1).collect()
+      if (sample.length <= maxLocalQueries) {
+        val qs = sample.map(r => (r.getLong(0), r.getSeq[Float](1)))
+        probesLocal(index, qs, metric, nprobe, queries.sparkSession)
+      } else probes(index, queries, metric, nprobe)
     }
     val scored = index.assigned
       .join(broadcast(probeSet), Seq("cluster_id"))

@@ -122,11 +122,17 @@ object TextDedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
       .persist()
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    // candidates are tiny — materialize them (localCheckpoint) so the
+    // banded cache can be released immediately instead of pinning the
+    // session's storage pool for the lifetime of the returned plan
+    val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+      .localCheckpoint()
+    banded.unpersist()
+    cands
   }
 
   /** Exact-Jaccard verification of a candidate pair set. */
@@ -146,11 +152,14 @@ object TextDedup {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
       .join(pairs, Seq("id1", "id2"), "left_semi")
-    common
+    val verified = common
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
       .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
       .withColumn("jaccard", col("c") / (col("n1") + col("n2") - col("c")))
       .select("id1", "id2", "jaccard")
+      .localCheckpoint() // small result; lets the shingle cache go
+    sh.unpersist()
+    verified
   }
 
   /** 64-bit SimHash of the token multiset: per-token hash votes ±1 on each

@@ -1,13 +1,12 @@
 package graft
 
 import org.scalacheck.{Gen, Prop}
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{StableHash, VectorSimHash}
 import graft.operators.TopKBuf
 
 /** ScalaCheck property tier (SURVEY §5: parser/quantizer/hash roundtrips). */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends SparkSpec {
 
   private def check(p: Prop): Unit = {
     val r = org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, p)
@@ -69,14 +68,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("RoundK is monotone and idempotent over its buckets") {
+  test("production Caching.roundK: correct bucket, monotone, idempotent on 1..500 (exhaustive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val buckets = Set(5, 10, 20, 50, 100)
-    def roundK(k: Int): Int =
+    def model(k: Int): Int =
       if (k <= 5) 5 else if (k <= 10) 10 else if (k <= 20) 20
       else if (k <= 50) 50 else if (k <= 100) 100 else k
-    check(Prop.forAll(Gen.chooseNum(1, 500)) { k =>
-      val r = roundK(k)
-      r >= k && (buckets.contains(r) || r == k) && roundK(r) == r
-    })
+    val got = (1 to 500).toDF("k")
+      .select(col("k"), graft.operators.Caching.roundK(col("k")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    got.foreach { case (k, r) =>
+      assert(r == model(k), s"roundK($k)")
+      assert(r >= k && (buckets.contains(r) || r == k))
+      assert(model(r) == r) // idempotent
+    }
   }
 }

@@ -95,6 +95,14 @@ class StreamsSpec extends SparkSpec {
     val b2 = Policy.banditAdjust(w, "w").select("tenant", "ttl_seconds").collect()
     assert(b1.map(_.toString).sorted.sameElements(b2.map(_.toString).sorted)) // reproducible
 
+    // decision log (S14): appended JSON is readable back with the fields
+    val decDir = Files.createTempDirectory("dec").toString + "/log"
+    Policy.writeDecisions(pol, decDir)
+    Policy.writeDecisions(pol, decDir) // append mode
+    val logged = spark.read.json(decDir)
+    assert(logged.count() == 4) // 2 tenants x 2 appends
+    assert(logged.columns.toSet.contains("miss_rate"))
+
     val heat = Seq(("t1", 9, true)).toDF("tenant", "cluster", "hot")
     val shortened = Policy.shortenHotTtl(pol, heat)
       .filter(col("tenant") === "t1").select("ttl_seconds").head.getInt(0)
