@@ -52,19 +52,31 @@ object TextDedup {
     * common-count divided by union size is the exact Jaccard. */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
                    maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingleTable(docs, n, maxDocFreq)
+    // persisted: referenced three times (self-join branches + sizes);
+    // released once the (small) thresholded pair set is materialized
+    val (result, sh) = jaccardPairsPlan(docs, n, tau, maxDocFreq)
+    val out = result.localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  /** The un-checkpointed plan (exposed for plan-shape assertions). */
+  private[operators] def jaccardPairsPlan(docs: DataFrame, n: Int, tau: Double,
+                                          maxDocFreq: Int): (DataFrame, DataFrame) = {
+    val sh = shingleTable(docs, n, maxDocFreq).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
-    common
+    val result = common
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
       .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
       .withColumn("jaccard", col("c") / (col("n1") + col("n2") - col("c")))
       .filter(col("jaccard") >= tau)
       .select("id1", "id2", "jaccard")
+    (result, sh)
   }
 
   /** MinHash signature of the shingle set: k independent hash functions,

@@ -97,8 +97,10 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("jaccard pair generation shuffles shingles, not a cross product") {
-    val plan = TextDedup.jaccardPairs(docs, 3, 0.5)
-      .queryExecution.executedPlan.toString
+    // inspect the pre-checkpoint plan (jaccardPairs materializes eagerly)
+    val (planDf, sh) = TextDedup.jaccardPairsPlan(docs, 3, 0.5, 0)
+    val plan = planDf.queryExecution.executedPlan.toString
+    sh.unpersist()
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
