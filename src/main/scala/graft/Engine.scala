@@ -37,7 +37,7 @@ class GraftEngine(spark: SparkSession, root: String) {
   // manifest (epoch + build watermark) — tiny JSON, driver-side
   // -------------------------------------------------------------------
 
-  case class Manifest(epoch: Long, buildWatermark: Long)
+  case class Manifest(epoch: Long, buildWatermark: Long, algo: String = "IVF_FLAT")
 
   private def manifestFile(tenant: String, index: String) =
     Paths.get(s"${indexPath(tenant, index)}/manifest.json")
@@ -48,15 +48,17 @@ class GraftEngine(spark: SparkSession, root: String) {
       val s = Files.readString(f)
       def field(k: String): Long =
         raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      Manifest(field("epoch"), field("buildWatermark"))
-    } else Manifest(0L, Long.MinValue)
+      val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("IVF_FLAT")
+      Manifest(field("epoch"), field("buildWatermark"), algo)
+    } else Manifest(0L, Long.MinValue, "IVF_FLAT")
   }
 
   private def writeManifest(tenant: String, index: String, m: Manifest): Unit = {
     val f = manifestFile(tenant, index)
     Files.createDirectories(f.getParent)
     Files.writeString(f,
-      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}}""",
+      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}"}""",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
   }
@@ -154,26 +156,42 @@ class GraftEngine(spark: SparkSession, root: String) {
   // build (SURVEY §3.3) — compaction into a cluster-partitioned tail
   // -------------------------------------------------------------------
 
+  /** `algo` mirrors IndexConfig.algo (reference: Model/IndexConfig.cs:7-33;
+    * defaults VectorIndexRegistry.cs:87): IVF_FLAT (default), FLAT (exact —
+    * a single inverted list, i.e. nlist=1), HNSW (per-partition graphs). */
   def build(tenant: String, index: String, nlist: Int, metric: String = "L2",
-            seed: Long = 42L): Unit = {
+            seed: Long = 42L, algo: String = "IVF_FLAT"): Unit = {
     val state = currentState(tenant, index)
     val vecs = state.select(col("id"), col("vector").as("vec"))
     val wmRow = state.agg(max("updated_at")).head
     require(!wmRow.isNullAt(0),
       s"cannot build $tenant/$index: current state is empty (all records tombstoned?)")
     val watermark = wmRow.getLong(0)
-    val idx = IvfFlat.build(vecs.withColumn("id_str", col("id"))
-      .select(xxhash64(col("id")).as("id"), col("vec"), col("id_str")), nlist, metric, seed)
-    // keep the string id alongside the numeric surrogate used by the plans
-    idx.assigned.write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"${indexPath(tenant, index)}/vectors")
-    idx.centroids.write.mode("overwrite")
-      .parquet(s"${indexPath(tenant, index)}/centroids")
+    val keyed = vecs.withColumn("id_str", col("id"))
+      .select(xxhash64(col("id")).as("id"), col("vec"), col("id_str"))
+    val algoU = algo.toUpperCase
+    algoU match {
+      case "IVF_FLAT" | "FLAT" =>
+        val idx = IvfFlat.build(keyed, if (algoU == "FLAT") 1 else nlist, metric, seed)
+        // keep the string id alongside the numeric surrogate used by the plans
+        idx.assigned.write.mode("overwrite").partitionBy("cluster_id")
+          .parquet(s"${indexPath(tenant, index)}/vectors")
+        idx.centroids.write.mode("overwrite")
+          .parquet(s"${indexPath(tenant, index)}/centroids")
+      case "HNSW" =>
+        val graphs = graft.operators.Hnsw.build(keyed.select("id", "vec"), metric,
+          numPartitions = math.max(1, nlist))
+        graft.operators.Hnsw.save(graphs, s"${indexPath(tenant, index)}/hnsw")
+        // surrogate→string map for hit resolution
+        keyed.select("id", "id_str").write.mode("overwrite")
+          .parquet(s"${indexPath(tenant, index)}/idmap")
+      case other => throw new IllegalArgumentException(s"unknown algo: $other")
+    }
     // meta/tags snapshot for hydration without re-reading the whole log
     state.select(col("id").as("id_str"), col("meta"), col("tags"))
       .write.mode("overwrite").parquet(s"${indexPath(tenant, index)}/records")
     val m = manifest(tenant, index)
-    writeManifest(tenant, index, Manifest(m.epoch + 1, watermark))
+    writeManifest(tenant, index, Manifest(m.epoch + 1, watermark, algoU))
   }
 
   // -------------------------------------------------------------------
@@ -203,9 +221,6 @@ class GraftEngine(spark: SparkSession, root: String) {
              metric: String = "L2", nprobe: Int = 4,
              withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
     val m = manifest(tenant, index)
-    val tailIdx = IvfFlat.Index(
-      spark.read.parquet(s"${indexPath(tenant, index)}/vectors"),
-      spark.read.parquet(s"${indexPath(tenant, index)}/centroids"))
     val snapshot = spark.read.parquet(s"${indexPath(tenant, index)}/records")
 
     // head: anything written after the build watermark (fresh adds,
@@ -224,23 +239,43 @@ class GraftEngine(spark: SparkSession, root: String) {
 
     val baseQueries = queries.select("query_id", "qvec")
 
-    // tail candidates: probed clusters, minus ids re-written in head
-    val probeSet = IvfFlat.probes(tailIdx, baseQueries, metric, nprobe)
-    val tailCandidates = tailIdx.assigned
-      .join(broadcast(probeSet), Seq("cluster_id"))
-      .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
-      .filter(col("masked").isNull)
-    val tailCapped =
-      if (maxScans <= 0) tailCandidates
-      else {
-        val wScan = Window.partitionBy("query_id")
-          .orderBy(xxhash64(col("id_str")))
-        tailCandidates.withColumn("scan_rn", row_number().over(wScan))
-          .filter(col("scan_rn") <= maxScans).drop("scan_rn")
-      }
-    val tailScored = tailCapped
-      .select(col("query_id"), col("id_str"),
-        graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
+    val tagFilter = queries.columns.contains("filter_tags")
+
+    // tail candidates per the built algo, minus ids re-written in head
+    val tailScored = m.algo match {
+      case "HNSW" =>
+        // graphs return ranked hits already; over-fetch when a tag filter
+        // will prune afterwards, the final top-k re-trims
+        val graphs = graft.operators.Hnsw.load(spark, s"${indexPath(tenant, index)}/hnsw")
+        val idmap = spark.read.parquet(s"${indexPath(tenant, index)}/idmap")
+        val kFetch = if (tagFilter) k * 10 else k
+        val hnswHits = graft.operators.Hnsw.search(graphs, baseQueries, kFetch)
+          .select(col("query_id"), col("id"), col("score"))
+        idmap.join(broadcast(hnswHits), Seq("id"))
+          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
+          .filter(col("masked").isNull)
+          .select("query_id", "id_str", "score")
+      case _ => // IVF_FLAT / FLAT share the inverted-list layout
+        val tailIdx = IvfFlat.Index(
+          spark.read.parquet(s"${indexPath(tenant, index)}/vectors"),
+          spark.read.parquet(s"${indexPath(tenant, index)}/centroids"))
+        val probeSet = IvfFlat.probes(tailIdx, baseQueries, metric, nprobe)
+        val tailCandidates = tailIdx.assigned
+          .join(broadcast(probeSet), Seq("cluster_id"))
+          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
+          .filter(col("masked").isNull)
+        val tailCapped =
+          if (maxScans <= 0) tailCandidates
+          else {
+            val wScan = Window.partitionBy("query_id")
+              .orderBy(xxhash64(col("id_str")))
+            tailCandidates.withColumn("scan_rn", row_number().over(wScan))
+              .filter(col("scan_rn") <= maxScans).drop("scan_rn")
+          }
+        tailCapped
+          .select(col("query_id"), col("id_str"),
+            graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
+    }
 
     // head candidates: exact brute-force scan of the fresh records
     val headScored = headLive

@@ -35,6 +35,16 @@ object IvfFlat {
     * vectors: (id BIGINT, vec ARRAY<FLOAT>). */
   def build(vectors: DataFrame, nlist: Int, metric: String = "L2",
             seed: Long = 42L, maxIter: Int = 10): Index = {
+    if (nlist <= 1) {
+      // degenerate FLAT index: one inverted list = exact full scan
+      // (MLlib KMeans requires k >= 2)
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      val dim = vectors.select(size(col("vec"))).head.getInt(0)
+      return Index(
+        vectors.withColumn("cluster_id", lit(0)),
+        Seq((0, Seq.fill(dim)(0.0f))).toDF("cluster_id", "centroid"))
+    }
     val feat = vectors.withColumn("features", array_to_vector(col("vec")))
     val km = new KMeans()
       .setK(nlist)

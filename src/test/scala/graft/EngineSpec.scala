@@ -92,4 +92,29 @@ class EngineSpec extends SparkSpec {
     assert(afterRebuild.head.getAs[String]("id") == "doc1")
     assert(eng.currentState("t1", "idx").count() == 31) // 32 - doc2
   }
+
+  test("algo parity: FLAT and HNSW tails answer like IVF, head still wins") {
+    val root = Files.createTempDirectory("engine_algo").toString
+    val eng = new GraftEngine(spark, root)
+    val recs = (0 until 60).map { i =>
+      (s"v$i", Seq(i.toFloat, (60 - i).toFloat, 1f), null: String,
+        Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    val query = q(1L, Seq(30f, 30f, 1f))
+
+    for (algo <- Seq("FLAT", "IVF_FLAT", "HNSW")) {
+      eng.build("t1", "idx", nlist = 4, algo = algo)
+      assert(eng.manifest("t1", "idx").algo == algo)
+      val hits = eng.search("t1", "idx", query, k = 3, nprobe = 4).collect()
+      assert(hits.head.getAs[String]("id") == "v30", s"algo=$algo")
+    }
+
+    // fresh head write after an HNSW build must still override the graph
+    eng.upsert(mkRecords(Seq(
+      ("v30", Seq(-50f, -50f, -50f), null, Seq.empty[String], 200L))))
+    val afterUpsert = eng.search("t1", "idx", query, k = 3, nprobe = 4).collect()
+    assert(afterUpsert.head.getAs[String]("id") != "v30")
+    assert(afterUpsert.map(_.getAs[String]("id")).distinct.length == afterUpsert.length)
+  }
 }
