@@ -217,6 +217,17 @@ class GraftEngine(spark: SparkSession, root: String) {
     * insertion-order scan; a distributed table has no insertion order, so
     * the deterministic analog keeps the `maxScans` hash-smallest candidate
     * ids per query (documented divergence, COVERAGE.md). */
+  /** Deterministic scan cap: keep the `maxScans` hash-smallest candidate
+    * ids per query (see maxScans doc above). Applied uniformly to tail AND
+    * head candidate streams. */
+  private def capScans(candidates: DataFrame, maxScans: Int): DataFrame =
+    if (maxScans <= 0) candidates
+    else {
+      val wScan = Window.partitionBy("query_id").orderBy(xxhash64(col("id_str")))
+      candidates.withColumn("scan_rn", row_number().over(wScan))
+        .filter(col("scan_rn") <= maxScans).drop("scan_rn")
+    }
+
   def search(tenant: String, index: String, queries: DataFrame, k: Int,
              metric: String = "L2", nprobe: Int = 4,
              withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
@@ -264,22 +275,17 @@ class GraftEngine(spark: SparkSession, root: String) {
           .join(broadcast(probeSet), Seq("cluster_id"))
           .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
           .filter(col("masked").isNull)
-        val tailCapped =
-          if (maxScans <= 0) tailCandidates
-          else {
-            val wScan = Window.partitionBy("query_id")
-              .orderBy(xxhash64(col("id_str")))
-            tailCandidates.withColumn("scan_rn", row_number().over(wScan))
-              .filter(col("scan_rn") <= maxScans).drop("scan_rn")
-          }
-        tailCapped
+        capScans(tailCandidates, maxScans)
           .select(col("query_id"), col("id_str"),
             graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
     }
 
-    // head candidates: exact brute-force scan of the fresh records
-    val headScored = headLive
-      .crossJoin(broadcast(baseQueries))
+    // head candidates: exact brute-force scan of the fresh records — capped
+    // by the same deterministic maxScans budget as the tail (the reference
+    // caps EVERY scan, BruteForceVectorIndex.cs:288-344, including the
+    // delta head; uncapped heads would let budget degradation leak)
+    val headScored = capScans(
+      headLive.crossJoin(broadcast(baseQueries)), maxScans)
       .select(col("query_id"), col("id_str"),
         graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
 

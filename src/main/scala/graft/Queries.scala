@@ -138,28 +138,28 @@ object Queries {
   }
 
   /** SQ8 quantized brute-force search (uint8 fast path). Oracle-checked:
-    * half-up quantization + integer-space L2 rescaled by delta² are exact
-    * arithmetic both engines reproduce bit-identically. */
+    * half-up quantization codes are bit-exact across engines and the score
+    * is the raw integer Σd² (negated) — pure integer arithmetic end to end,
+    * no float-rounding boundary anywhere in the hashed cells. */
   val sq8Search: QueryFn = (s, dir) => {
     val vs = vectorsOf(s, dir)
     val p = ScalarQuant.train(vs)
     val enc = ScalarQuant.encode(vs, p)
     val qEnc = ScalarQuant.encode(queriesOf(s, dir), p, vecCol = "qvec")
-    ScalarQuant.knn(enc, qEnc, p, K)
-      .withColumn("score", round(col("score"), 6))
+    ScalarQuant.knn(enc, qEnc, p, K, integerScore = true)
       .orderBy("query_id", "rank")
   }
 
   // float-precision choreography mirrors ScalarQuant exactly: min/max and
-  // (x - mn) / (mx - mn) are FLOAT subtractions (then widened), scale and
-  // delta are DOUBLE — any deviation flips codes at rounding boundaries.
+  // (x - mn) / (mx - mn) are FLOAT subtractions (then widened), scale is
+  // DOUBLE — any deviation flips codes at rounding boundaries. The score
+  // itself is integer Σd², exact in both engines.
   val sq8SearchSql: String =
     s"""WITH bounds AS (
        |  SELECT min(list_min(embedding)) AS mn, max(list_max(embedding)) AS mx
        |  FROM embeddings
        |), enc AS (
        |  SELECT e.vec_id,
-       |         CAST(b.mx - b.mn AS DOUBLE) / 255.0 AS delta,
        |         list_transform(e.embedding, x ->
        |           CAST(greatest(0.0, least(255.0,
        |             floor(CAST(x - b.mn AS DOUBLE) * (255.0 / CAST(b.mx - b.mn AS DOUBLE)) + 0.5))) AS BIGINT)) AS q8
@@ -168,16 +168,15 @@ object Queries {
        |  SELECT vec_id AS query_id, q8 AS qq8 FROM enc WHERE vec_id < $NQueries
        |), s AS (
        |  SELECT q.query_id, e.vec_id AS id,
-       |         -(CAST(list_sum(list_transform(range(1, len(e.q8) + 1),
-       |             i -> (e.q8[i] - q.qq8[i]) * (e.q8[i] - q.qq8[i]))) AS DOUBLE)
-       |           * e.delta * e.delta) AS score
+       |         -CAST(list_sum(list_transform(range(1, len(e.q8) + 1),
+       |             i -> (e.q8[i] - q.qq8[i]) * (e.q8[i] - q.qq8[i]))) AS BIGINT) AS score
        |  FROM enc e CROSS JOIN q
        |), r AS (
        |  SELECT query_id, id, score,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
        |  FROM s
        |)
-       |SELECT query_id, rank, id, round(score, 6) AS score FROM r WHERE rank <= $K
+       |SELECT query_id, rank, id, score FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
   /** Delta head/tail semantics end-to-end: a "fresh" head (re-written
@@ -722,11 +721,41 @@ object Queries {
     TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 12)
       .orderBy("id1", "id2")
 
-  /** Top-50 most-similar embedding pairs by exact cosine (the brute
-    * baseline of embedding near-dup detection). */
+  /** Top-50 most-similar embedding pairs by exact cosine. DuckDB-oracled
+    * baseline — the O(n²) plan is the *oracle*, not the scale path; the
+    * production-scale path is `embedding_lsh_pairs` below. */
   val embeddingTopPairs: QueryFn = (s, dir) =>
     EmbeddingDedup.topPairs(t(s, dir, "embeddings"), 50)
       .withColumn("cosine", round(col("cosine"), 6))
+
+  /** Embedding near-dup pairs via SimHash-banded LSH + exact cosine verify —
+    * the 100-TB path (bucketed equi-join, no all-pairs). The raw testdata
+    * has no pairs above τ (top pair ≈ 0.51), so the query plants exact
+    * duplicates of every 8th vector (id + 10⁷): duplicates hash to
+    * identical SimHash fingerprints, every band collides, and LSH recall
+    * is structural — which makes the output exactly "all pairs with cosine
+    * ≥ τ", a full DuckDB-oracle-able set. True *near*-dup recall (perturbed
+    * vectors) is covered by EmbeddingDedupSpec. */
+  val embeddingLshPairs: QueryFn = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 8 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    EmbeddingDedup.lshPairs(emb.unionByName(planted), tau = 0.95)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id1", "id2")
+  }
+
+  val embeddingLshPairsSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 8 = 0
+      |)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+      |ORDER BY id1, id2""".stripMargin
 
   val embeddingTopPairsSql: String =
     """SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -904,6 +933,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "embedding_top_pairs" -> embeddingTopPairs,
+    "embedding_lsh_pairs" -> embeddingLshPairs,
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -943,6 +973,7 @@ object Queries {
     "token_count" -> tokenCountSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,
+    "embedding_lsh_pairs" -> embeddingLshPairsSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -25,9 +25,27 @@ object BruteForceKnn {
     * can't be split (a local-bench artifact); at cluster scale the file
     * count itself provides parallelism and the knob should stay 0 (no
     * shuffle of the big side). */
+  /** `maxScans` (> 0) caps scored candidates per query — the reference's
+    * scan-budget ceiling (F6, BruteForceVectorIndex.cs:288-344). The
+    * reference truncates its insertion-order scan; the deterministic
+    * distributed analog keeps the maxScans hash-smallest ids per query
+    * (documented divergence, COVERAGE.md). The cap is a pre-scoring filter
+    * on the id hash — no window/shuffle of the big side. */
   def knn(vectors: DataFrame, queries: DataFrame, metric: String, k: Int,
-          repartitionTo: Int = 0): DataFrame = {
-    val vs = if (repartitionTo > 0) vectors.repartition(repartitionTo) else vectors
+          repartitionTo: Int = 0, maxScans: Int = 0): DataFrame = {
+    val vs0 = if (repartitionTo > 0) vectors.repartition(repartitionTo) else vectors
+    val vs =
+      if (maxScans <= 0) vs0
+      else {
+        // candidate set is query-independent here (no per-query filter), so
+        // the hash-smallest-N cap can be applied ONCE to the vector side
+        // before the join instead of per (query, id) pair — same semantics,
+        // one bounded top-k instead of a giant window
+        val capped = vs0
+          .select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+          .orderBy("h").limit(maxScans)
+        capped.select("id", "vec")
+      }
     val scored = vs
       .crossJoin(broadcast(queries))
       .select(

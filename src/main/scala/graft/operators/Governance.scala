@@ -84,6 +84,45 @@ object Governance {
           .otherwise("b5_ge100"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
+  /** VEC.STATS metrics-text dump (S5): Prometheus exposition format over
+    * the counter aggregates + 6-bucket latency histogram — the reference's
+    * GetStats text (reference: Services/MetricsCollector.cs:55-103).
+    * Counters render in the reference's order; histogram buckets are
+    * CUMULATIVE (le= upper bounds 1/5/10/50/100/+Inf) like the reference's
+    * running `count`. `histogram` is [[latencyHistogram]] output. */
+  def metricsText(counters: Seq[(String, String, Long)],
+                  histogram: DataFrame): String = {
+    val sb = new StringBuilder
+    counters.foreach { case (name, help, v) =>
+      sb.append(s"# HELP $name $help\n")
+      sb.append(s"# TYPE $name counter\n")
+      sb.append(s"$name $v\n")
+    }
+    val byBucket = histogram.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = Seq("b0_lt1" -> "1", "b1_lt5" -> "5", "b2_lt10" -> "10",
+      "b3_lt50" -> "50", "b4_lt100" -> "100", "b5_ge100" -> "+Inf")
+    sb.append("# HELP vector_search_latency_ms Latency buckets\n")
+    sb.append("# TYPE vector_search_latency_ms histogram\n")
+    var cum = 0L
+    order.foreach { case (bucket, le) =>
+      cum += byBucket.getOrElse(bucket, 0L)
+      sb.append(s"""vector_search_latency_ms_bucket{le="$le"} $cum""").append('\n')
+    }
+    sb.append(s"vector_search_latency_ms_count $cum\n")
+    sb.append("vector_search_latency_ms_sum 0\n")
+    sb.toString
+  }
+
+  /** The reference's counter names/help strings, for callers assembling a
+    * full VEC.STATS dump (MetricsCollector.cs:55-75). */
+  def standardCounters(hits: Long, misses: Long, evictions: Long,
+                       fallbacks: Long): Seq[(String, String, Long)] = Seq(
+    ("cache_hit_total", "Total number of cache hits", hits),
+    ("cache_miss_total", "Total number of cache misses", misses),
+    ("cache_eviction_total", "Total number of cache evictions", evictions),
+    ("ai_fallback_total", "Total number of AI fallback events", fallbacks))
+
   /** SLO check per window: nearest-rank p99 vs target → degraded flag
     * (reference batch form of SloGuardrailsMonitor.cs:80-113; the
     * hysteresis variant lives in the streaming module). */

@@ -234,19 +234,41 @@ object Hnsw {
   }
 
   /** Fan the query batch out to every per-partition graph and merge with a
-    * bounded global top-k. */
+    * bounded global top-k.
+    *
+    * The query batch reaches the graphs as broadcast CHUNKS of at most
+    * `maxLocalQueries` rows: `toLocalIterator` streams one queries
+    * partition at a time through the driver, so driver memory is bounded
+    * by max(partition size, chunk size) instead of the whole batch — the
+    * same no-unbounded-collect rule as the IVF/PQ paths. Each chunk is an
+    * independent graph pass; one global bounded top-k merges them. */
   def search(graphs: Dataset[(Int, Graph)], queries: DataFrame, k: Int,
-             efSearch: Int = 50): DataFrame = {
+             efSearch: Int = 50, maxLocalQueries: Int = 10000): DataFrame = {
     val spark = graphs.sparkSession
     import spark.implicits._
-    val qs = queries.select("query_id", "qvec").as[(Long, Seq[Float])]
-      .collect().map { case (qid, v) => (qid, v.toArray) }
-    val bq = spark.sparkContext.broadcast(qs)
-    val partial = graphs.flatMap { case (_, g) =>
-      bq.value.iterator.flatMap { case (qid, qv) =>
-        g.search(qv, k, efSearch).map { case (id, score) => (qid, id, score) }
-      }
-    }.toDF("query_id", "id", "score")
+    val localIt = queries.select("query_id", "qvec").as[(Long, Seq[Float])]
+      .toLocalIterator()
+    val partials = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val chunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    def flush(): Unit = if (chunk.nonEmpty) {
+      val bq = spark.sparkContext.broadcast(chunk.toArray)
+      partials += graphs.flatMap { case (_, g) =>
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, efSearch).map { case (id, score) => (qid, id, score) }
+        }
+      }.toDF("query_id", "id", "score")
+      chunk.clear()
+    }
+    while (localIt.hasNext) {
+      val (qid, v) = localIt.next()
+      chunk += ((qid, v.toArray))
+      if (chunk.length >= maxLocalQueries) flush()
+    }
+    flush()
+    val partial =
+      if (partials.isEmpty) spark.emptyDataset[(Long, Long, Double)]
+        .toDF("query_id", "id", "score")
+      else partials.reduce(_ unionByName _)
     TopK.perGroup(partial, Seq("query_id"), k)
   }
 }

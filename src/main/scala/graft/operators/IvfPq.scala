@@ -31,7 +31,14 @@ object IvfPq {
     Index(assigned, coarse.centroids, cb)
   }
 
-  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** Probe top-nprobe clusters and ADC-score their codes. Driver-sized
+    * probe sets (nq·nprobe ≤ `maxLocalQueries` — one bounded collect
+    * decides AND supplies the rows) build the residual ADC tables on the
+    * driver and broadcast a lookup map. Larger batches compute the table
+    * as an executor-side column on the (small-per-row) probe set and
+    * equi-join it into the inverted lists — no unbounded driver collect. */
+  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
+             maxLocalQueries: Int = 10000): DataFrame = {
     val spark = queries.sparkSession
     val coarse = IvfFlat.Index(index.assigned, index.centroids)
     val probeSet = IvfFlat.probes(coarse, queries, "L2", nprobe)
@@ -39,26 +46,44 @@ object IvfPq {
       .withColumn("rq", zip_with(col("qvec"), col("centroid"), (x, y) => x - y))
       .select("query_id", "cluster_id", "rq")
 
-    // One residual ADC table per (query, probed cluster): nq × nprobe × M × K
-    // doubles — small by construction, so broadcast as a lookup map.
-    val tables = probeSet.collect().map { r =>
-      (r.getLong(0), r.getInt(1)) -> Pq.adcTableFor(r.getSeq[Float](2), index.cb)
-    }.toMap
-    val bTables = spark.sparkContext.broadcast(tables)
-
-    val score = udf { (queryId: Long, clusterId: Int, codes: Array[Byte]) =>
-      val t = bTables.value((queryId, clusterId))
-      var s = 0.0; var mi = 0
-      while (mi < codes.length) { s += t(mi)(codes(mi) & 0xff); mi += 1 }
-      -s
-    }
-    import spark.implicits._
-    val probePairs = broadcast(
-      tables.keys.toSeq.toDF("query_id", "cluster_id"))
-    val scored = index.assigned
-      .join(probePairs, Seq("cluster_id"))
-      .select(col("query_id"), col("id"),
-        score(col("query_id"), col("cluster_id"), col("codes")).as("score"))
+    val sample = probeSet.limit(maxLocalQueries + 1).collect()
+    val scored =
+      if (sample.length <= maxLocalQueries) {
+        // One residual ADC table per (query, probed cluster):
+        // nq × nprobe × M × K doubles — small here by construction.
+        val tables = sample.map { r =>
+          (r.getLong(0), r.getInt(1)) -> Pq.adcTableFor(r.getSeq[Float](2), index.cb)
+        }.toMap
+        val bTables = spark.sparkContext.broadcast(tables)
+        val score = udf { (queryId: Long, clusterId: Int, codes: Array[Byte]) =>
+          val t = bTables.value((queryId, clusterId))
+          var s = 0.0; var mi = 0
+          while (mi < codes.length) { s += t(mi)(codes(mi) & 0xff); mi += 1 }
+          -s
+        }
+        import spark.implicits._
+        val probePairs = broadcast(
+          tables.keys.toSeq.toDF("query_id", "cluster_id"))
+        index.assigned
+          .join(probePairs, Seq("cluster_id"))
+          .select(col("query_id"), col("id"),
+            score(col("query_id"), col("cluster_id"), col("codes")).as("score"))
+      } else {
+        val kk = index.cb.k
+        val bcb = spark.sparkContext.broadcast(index.cb)
+        val tableCol = udf { (rq: Seq[Float]) => Pq.adcTableFor(rq, bcb.value).flatten }
+        val withTables = probeSet
+          .select(col("query_id"), col("cluster_id"), tableCol(col("rq")).as("adc"))
+        val score = udf { (adc: Seq[Double], codes: Array[Byte]) =>
+          var s = 0.0; var mi = 0
+          while (mi < codes.length) { s += adc(mi * kk + (codes(mi) & 0xff)); mi += 1 }
+          -s
+        }
+        index.assigned
+          .join(withTables, Seq("cluster_id"))
+          .select(col("query_id"), col("id"),
+            score(col("adc"), col("codes")).as("score"))
+      }
     TopK.perGroup(scored, Seq("query_id"), k)
   }
 

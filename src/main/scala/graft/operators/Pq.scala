@@ -27,72 +27,82 @@ object Pq {
 
   /** Train per-subspace codebooks on (id, vec).
     *
-    * All M subspaces train TOGETHER in one batched Lloyd's loop over an
-    * exploded (m, subvec) table — one assignment job + one centroid-update
-    * job per iteration for every subspace at once, instead of M sequential
-    * MLlib fits (whose per-fit driver overhead dominates; the reference
-    * instead parallelizes across subspaces with threads,
-    * ProductQuantizer.cs:35-58). Deterministic: init picks the k
-    * hash-smallest subvectors per subspace; empty clusters keep their
+    * PQ codebooks are trained on a BOUNDED DETERMINISTIC SAMPLE
+    * (`sampleCap` hash-smallest rows — one `TakeOrdered` job, no global
+    * sort) and the Lloyd's loop runs driver-local, parallel across
+    * subspaces — matching the reference, which trains in-process and on a
+    * sample too (ProductQuantizer.cs:35-58; TrainingConfig,
+    * Model/IndexConfig.cs:38-40). A distributed Lloyd's over the full
+    * corpus costs ~2 Spark jobs per iteration for codebooks whose quality
+    * is statistically identical on a 20k-row sample; train cost must not
+    * scale with corpus size when only `encode` has to. Deterministic:
+    * content-hash sampling/init ordering, empty clusters keep their
     * previous centroid. */
   def train(vectors: DataFrame, m: Int, k: Int, seed: Long = 42L,
-            maxIter: Int = 10, vecCol: String = "vec"): Codebook = {
-    val spark = vectors.sparkSession
+            maxIter: Int = 10, vecCol: String = "vec",
+            sampleCap: Int = 20000): Codebook = {
     val dim = vectors.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val dsub = dim / m
 
-    // (m, subvec) exploded table — cached, it drives every iteration
-    val sub = vectors.select(posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          mi => slice(col(vecCol), mi * dsub + 1, lit(dsub)))))
-      .select(col("pos").as("m"), col("col").as("subvec"))
-      .cache()
+    // bounded deterministic sample: sampleCap hash-smallest vectors
+    val rows = vectors
+      .select(col(vecCol).as("v"), xxhash64(col(vecCol), lit(seed)).as("h"))
+      .orderBy("h").limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "PQ train: empty input")
+    val n = rows.length
 
-    // deterministic init: k hash-smallest subvectors per subspace
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("m")
-      .orderBy(xxhash64(col("m"), col("subvec"), lit(seed)))
-    val init = sub.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("m", "rn", "subvec").collect()
     val cbs = Array.fill(m, k)(new Array[Float](dsub))
-    init.foreach { r =>
-      cbs(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Float](2).toArray
-    }
+    java.util.stream.IntStream.range(0, m).parallel().forEach { mi =>
+      val subs = Array.tabulate(n)(i =>
+        java.util.Arrays.copyOfRange(rows(i), mi * dsub, (mi + 1) * dsub))
+      // deterministic init: k hash-smallest subvectors of this subspace
+      val order = Array.range(0, n).sortBy { i =>
+        (scala.util.hashing.MurmurHash3.arrayHash(subs(i), seed.toInt ^ mi), i)
+      }
+      var ki = 0
+      while (ki < k) { cbs(mi)(ki) = subs(order(ki % n)).clone(); ki += 1 }
 
-    var iter = 0
-    while (iter < maxIter) {
-      val bc = spark.sparkContext.broadcast(cbs)
-      val assign = udf { (mi: Int, v: Seq[Float]) =>
-        val cb = bc.value(mi)
-        var best = 0; var bestD = Double.MaxValue
-        var ki = 0
-        while (ki < cb.length) {
-          var d = 0.0; var i = 0
-          while (i < v.length) {
-            val diff = v(i).toDouble - cb(ki)(i); d += diff * diff; i += 1
+      val counts = new Array[Int](k)
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      var iter = 0
+      while (iter < maxIter) {
+        java.util.Arrays.fill(counts, 0)
+        sums.foreach(java.util.Arrays.fill(_, 0.0))
+        var i = 0
+        while (i < n) {
+          val v = subs(i)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val cb = cbs(mi)(c)
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              val diff = v(j).toDouble - cb(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
           }
-          if (d < bestD) { bestD = d; best = ki }
-          ki += 1
+          counts(best) += 1
+          val s = sums(best)
+          var j = 0
+          while (j < dsub) { s(j) += v(j); j += 1 }
+          i += 1
         }
-        best
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) {
+              cbs(mi)(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1
+            }
+          } // empty cluster: keep previous centroid
+          c += 1
+        }
+        iter += 1
       }
-      // centroid update: per-dimension means via one aggregation over
-      // (m, code, dim) — all subspaces in a single job
-      val updated = sub
-        .withColumn("code", assign(col("m"), col("subvec")))
-        .select(col("m"), col("code"), posexplode(col("subvec")))
-        .groupBy("m", "code", "pos")
-        .agg(avg("col").as("mean"))
-        .collect()
-      updated.foreach { r =>
-        cbs(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
-      }
-      bc.destroy()
-      iter += 1
     }
-    sub.unpersist()
     Codebook(m, dsub, k, cbs)
   }
 
@@ -162,24 +172,50 @@ object Pq {
   }
 
   /** Brute-force PQ search over encoded vectors: score = -Σ table lookups
-    * (reference scoring: IvfPqVectorIndex.cs:159-198). The per-query ADC
-    * tables (nq × M × K doubles — tiny) are broadcast to executors. */
-  def knn(encoded: DataFrame, queries: DataFrame, cb: Codebook, k: Int): DataFrame = {
+    * (reference scoring: IvfPqVectorIndex.cs:159-198).
+    *
+    * Driver-sized query batches (≤ `maxLocalQueries` — one bounded collect
+    * decides the path AND supplies the rows) precompute the nq × M × K ADC
+    * tables on the driver and broadcast them. Larger batches never touch
+    * the driver: the ADC table becomes a column computed on the executors
+    * and the scoring join streams both sides — no unbounded collect on any
+    * query path. */
+  def knn(encoded: DataFrame, queries: DataFrame, cb: Codebook, k: Int,
+          maxLocalQueries: Int = 10000): DataFrame = {
     val spark = encoded.sparkSession
-    val qRows = queries.select("query_id", "qvec").collect()
-      .map(r => r.getLong(0) -> adcTable(r.getSeq[Float](1), cb)).toMap
-    val tables = spark.sparkContext.broadcast(qRows)
-    val score = udf { (queryId: Long, codes: Array[Byte]) =>
-      val t = tables.value(queryId)
-      var s = 0.0; var mi = 0
-      while (mi < codes.length) { s += t(mi)(codes(mi) & 0xff); mi += 1 }
-      -s
-    }
-    import spark.implicits._
-    val qIds = qRows.keys.toSeq.toDF("query_id")
-    val scored = encoded
-      .crossJoin(broadcast(qIds))
-      .select(col("query_id"), col("id"), score(col("query_id"), col("codes")).as("score"))
+    val sample = queries.select("query_id", "qvec").limit(maxLocalQueries + 1).collect()
+    val scored =
+      if (sample.length <= maxLocalQueries) {
+        val qRows = sample
+          .map(r => r.getLong(0) -> adcTable(r.getSeq[Float](1), cb)).toMap
+        val tables = spark.sparkContext.broadcast(qRows)
+        val score = udf { (queryId: Long, codes: Array[Byte]) =>
+          val t = tables.value(queryId)
+          var s = 0.0; var mi = 0
+          while (mi < codes.length) { s += t(mi)(codes(mi) & 0xff); mi += 1 }
+          -s
+        }
+        import spark.implicits._
+        val qIds = qRows.keys.toSeq.toDF("query_id")
+        encoded
+          .crossJoin(broadcast(qIds))
+          .select(col("query_id"), col("id"),
+            score(col("query_id"), col("codes")).as("score"))
+      } else {
+        val kk = cb.k
+        val bcb = spark.sparkContext.broadcast(cb)
+        val tableCol = udf { (q: Seq[Float]) => adcTable(q, bcb.value).flatten }
+        val qT = queries.select(col("query_id"), tableCol(col("qvec")).as("adc"))
+        val score = udf { (adc: Seq[Double], codes: Array[Byte]) =>
+          var s = 0.0; var mi = 0
+          while (mi < codes.length) { s += adc(mi * kk + (codes(mi) & 0xff)); mi += 1 }
+          -s
+        }
+        encoded
+          .crossJoin(qT)
+          .select(col("query_id"), col("id"),
+            score(col("adc"), col("codes")).as("score"))
+      }
     TopK.perGroup(scored, Seq("query_id"), k)
   }
 

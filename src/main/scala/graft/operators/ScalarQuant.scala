@@ -47,7 +47,10 @@ object ScalarQuant {
   }
 
   /** uint8 squared-L2 in quantized space, rescaled to original units. */
-  private def l2sq8(a: Array[Byte], b: Array[Byte], delta: Double): Double = {
+  private def l2sq8(a: Array[Byte], b: Array[Byte], delta: Double): Double =
+    l2sq8Int(a, b) * delta * delta
+
+  private def l2sq8Int(a: Array[Byte], b: Array[Byte]): Long = {
     require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
     var s = 0L
     var i = 0
@@ -56,7 +59,7 @@ object ScalarQuant {
       s += d.toLong * d
       i += 1
     }
-    s * delta * delta
+    s
   }
 
   def encodeCol(p: Params)(v: Column): Column =
@@ -71,15 +74,27 @@ object ScalarQuant {
 
   /** Brute-force top-k over quantized codes (L2 only — the reference's
     * SQ8 fast path). queries must carry `qvec8` produced with the same
-    * Params. Score = -scaled-distance², higher is better. */
-  def knn(vectors: DataFrame, queries: DataFrame, p: Params, k: Int): DataFrame = {
+    * Params. Score = -scaled-distance², higher is better.
+    *
+    * `integerScore = true` emits the raw integer Σd² (negated, BIGINT)
+    * instead of the delta²-rescaled double: ranking is identical (the
+    * rescale is a positive constant), and integer scores hash identically
+    * across engines — no float-rounding boundary can flip a digit. The
+    * integer distance fits a Long exactly (≤ 255²·dim), and the Double
+    * aggregate buffer is exact below 2^53, so the final cast is lossless. */
+  def knn(vectors: DataFrame, queries: DataFrame, p: Params, k: Int,
+          integerScore: Boolean = false): DataFrame = {
     val delta = p.delta
-    val dist = udf((a: Array[Byte], b: Array[Byte]) => -l2sq8(a, b, delta))
+    val dist =
+      if (integerScore) udf((a: Array[Byte], b: Array[Byte]) => -l2sq8Int(a, b).toDouble)
+      else udf((a: Array[Byte], b: Array[Byte]) => -l2sq8(a, b, delta))
     val q = broadcast(queries.select(col("query_id"), col("qvec8").as("q8")))
     val scored = vectors
       .crossJoin(q)
       .select(col("query_id"), col("id"),
         dist(col("qvec8"), col("q8")).as("score"))
-    TopK.perGroup(scored, Seq("query_id"), k)
+    val ranked = TopK.perGroup(scored, Seq("query_id"), k)
+    if (integerScore) ranked.withColumn("score", col("score").cast("long"))
+    else ranked
   }
 }

@@ -45,6 +45,39 @@ object Policy {
           .otherwise(col("ttl_seconds")))
   }
 
+  /** Deterministic half of the LLM policy engine (reference:
+    * src/Pyrope.AISidecar/llm_policy_engine.py:50-122): extract the first
+    * `{...}` JSON object from the raw model response, require the three
+    * policy fields, clamp ttl to [30, 3600], admission to [0, 1], eviction
+    * priority to [0, 2]; any parse/validation failure falls back to the
+    * heuristic defaults (fallback = true). The model call itself is out of
+    * scope — this consumes a column of already-produced response text.
+    * raw: (..., `responseCol` STRING) → adds (ttl_seconds, admission_threshold,
+    * eviction_priority, fallback). */
+  def validateClamp(raw: DataFrame, responseCol: String = "response",
+                    fallbackTtl: Int = 60, fallbackAdmission: Double = 0.2,
+                    fallbackEviction: Int = 1): DataFrame = {
+    val jsonStr = regexp_extract(col(responseCol), "\\{[^}]+\\}", 0)
+    val parsed = from_json(when(jsonStr === "", null).otherwise(jsonStr),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "ttl_seconds INT, admission_threshold DOUBLE, eviction_priority INT"))
+    raw
+      .withColumn("_p", parsed)
+      .withColumn("fallback",
+        col("_p").isNull || col("_p.ttl_seconds").isNull ||
+          col("_p.admission_threshold").isNull || col("_p.eviction_priority").isNull)
+      .withColumn("ttl_seconds",
+        when(col("fallback"), fallbackTtl)
+          .otherwise(greatest(lit(30), least(lit(3600), col("_p.ttl_seconds")))))
+      .withColumn("admission_threshold",
+        when(col("fallback"), fallbackAdmission)
+          .otherwise(greatest(lit(0.0), least(lit(1.0), col("_p.admission_threshold")))))
+      .withColumn("eviction_priority",
+        when(col("fallback"), fallbackEviction)
+          .otherwise(greatest(lit(0), least(lit(2), col("_p.eviction_priority")))))
+      .drop("_p")
+  }
+
   /** Query-decision log (S14 — reference:
     * src/Pyrope.AISidecar/logger.py + server.py:186-201): append the
     * policy decisions with their input features for offline training. */

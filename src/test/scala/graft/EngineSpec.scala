@@ -93,6 +93,35 @@ class EngineSpec extends SparkSpec {
     assert(eng.currentState("t1", "idx").count() == 31) // 32 - doc2
   }
 
+  test("maxScans caps BOTH tail and head candidate scans (budget degradation)") {
+    val root = Files.createTempDirectory("engine_scans").toString
+    val eng = new GraftEngine(spark, root)
+    // 20 tail records, build, then 20 fresh head records
+    val tail = (0 until 20).map(i =>
+      (s"t$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(tail))
+    eng.build("t1", "idx", nlist = 2)
+    val head = (0 until 20).map(i =>
+      (s"h$i", Seq(i.toFloat, 2f, 0f), null: String, Seq.empty[String], 200L))
+    eng.add(mkRecords(head))
+
+    val query = q(1L, Seq(10f, 1f, 0f))
+    // uncapped: k=40 returns all 40 candidates
+    assert(eng.search("t1", "idx", query, k = 40, nprobe = 2).count() == 40)
+    // capped at 3: ≤ 3 tail + ≤ 3 head candidates ever get scored
+    val capped = eng.search("t1", "idx", query, k = 40, nprobe = 2, maxScans = 3)
+      .collect()
+    assert(capped.length <= 6, s"maxScans leak: ${capped.length} candidates")
+    assert(capped.length > 0)
+    val heads = capped.map(_.getAs[String]("id")).count(_.startsWith("h"))
+    assert(heads <= 3, s"head scan uncapped: $heads head hits")
+    // deterministic: same cap → same result set
+    val again = eng.search("t1", "idx", query, k = 40, nprobe = 2, maxScans = 3)
+      .collect()
+    assert(capped.map(_.getAs[String]("id")).toSet ==
+      again.map(_.getAs[String]("id")).toSet)
+  }
+
   test("algo parity: FLAT and HNSW tails answer like IVF, head still wins") {
     val root = Files.createTempDirectory("engine_algo").toString
     val eng = new GraftEngine(spark, root)

@@ -52,6 +52,16 @@ class BruteForceKnnSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("maxScans caps the standalone brute path deterministically (F6)") {
+    val vs = (0 until 50).map(i => (i.toLong, Seq(i.toFloat, 0f))).toDF("id", "vec")
+    val q = Seq((1L, Seq(25f, 0f))).toDF("query_id", "qvec")
+    val capped = BruteForceKnn.knn(vs, q, "L2", 50, maxScans = 5).collect()
+    assert(capped.length == 5, s"expected exactly maxScans hits, got ${capped.length}")
+    // deterministic: the capped candidate set is stable across runs
+    val again = BruteForceKnn.knn(vs, q, "L2", 50, maxScans = 5).collect()
+    assert(capped.map(_.getAs[Long]("id")).toSet == again.map(_.getAs[Long]("id")).toSet)
+  }
+
   test("no shuffle of the vectors side: plan broadcasts the query batch") {
     val q = Seq((1L, Seq(1f, 0f, 0f))).toDF("query_id", "qvec")
     val plan = BruteForceKnn.knn(vectors.select("id", "vec"), q, "COSINE", 5)
