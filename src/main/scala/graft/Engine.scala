@@ -37,7 +37,8 @@ class GraftEngine(spark: SparkSession, root: String) {
   // manifest (epoch + build watermark) — tiny JSON, driver-side
   // -------------------------------------------------------------------
 
-  case class Manifest(epoch: Long, buildWatermark: Long, algo: String = "IVF_FLAT")
+  case class Manifest(epoch: Long, buildWatermark: Long, algo: String = "IVF_FLAT",
+                      nVectors: Long = 0L)
 
   private def manifestFile(tenant: String, index: String) =
     Paths.get(s"${indexPath(tenant, index)}/manifest.json")
@@ -50,7 +51,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
       val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse("IVF_FLAT")
-      Manifest(field("epoch"), field("buildWatermark"), algo)
+      Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"))
     } else Manifest(0L, Long.MinValue, "IVF_FLAT")
   }
 
@@ -58,7 +59,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     val f = manifestFile(tenant, index)
     Files.createDirectories(f.getParent)
     Files.writeString(f,
-      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}"}""",
+      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}}""",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
   }
@@ -157,16 +158,20 @@ class GraftEngine(spark: SparkSession, root: String) {
   // -------------------------------------------------------------------
 
   /** `algo` mirrors IndexConfig.algo (reference: Model/IndexConfig.cs:7-33;
-    * defaults VectorIndexRegistry.cs:87): IVF_FLAT (default), FLAT (exact —
-    * a single inverted list, i.e. nlist=1), HNSW (per-partition graphs). */
+    * registry dispatch incl. IVF_PQ VectorIndexRegistry.cs:96; defaults
+    * :87): IVF_FLAT (default), FLAT (exact — a single inverted list, i.e.
+    * nlist=1), HNSW (per-partition graphs), IVF_PQ (coarse lists +
+    * product-quantized residual codes). */
   def build(tenant: String, index: String, nlist: Int, metric: String = "L2",
-            seed: Long = 42L, algo: String = "IVF_FLAT"): Unit = {
+            seed: Long = 42L, algo: String = "IVF_FLAT",
+            pqM: Int = 8, pqK: Int = 256): Unit = {
     val state = currentState(tenant, index)
     val vecs = state.select(col("id"), col("vector").as("vec"))
-    val wmRow = state.agg(max("updated_at")).head
+    val wmRow = state.agg(max("updated_at"), count(lit(1))).head
     require(!wmRow.isNullAt(0),
       s"cannot build $tenant/$index: current state is empty (all records tombstoned?)")
     val watermark = wmRow.getLong(0)
+    val nVectors = wmRow.getLong(1)
     val keyed = vecs.withColumn("id_str", col("id"))
       .select(xxhash64(col("id")).as("id"), col("vec"), col("id_str"))
     val algoU = algo.toUpperCase
@@ -185,13 +190,31 @@ class GraftEngine(spark: SparkSession, root: String) {
         // surrogate→string map for hit resolution
         keyed.select("id", "id_str").write.mode("overwrite")
           .parquet(s"${indexPath(tenant, index)}/idmap")
+      case "IVF_PQ" =>
+        // PQ is L2-trained like the reference (IvfPqVectorIndex.cs:55-116)
+        val cached = keyed.cache()
+        val idx = graft.operators.IvfPq.build(
+          cached.select("id", "vec"),
+          nlist, m = pqM, k = math.min(pqK, 256), seed = seed)
+        val withStr = idx.assigned.join(cached.select("id", "id_str"), Seq("id"))
+        withStr.write.mode("overwrite").partitionBy("cluster_id")
+          .parquet(s"${indexPath(tenant, index)}/ivfpq/codes")
+        idx.centroids.write.mode("overwrite")
+          .parquet(s"${indexPath(tenant, index)}/ivfpq/centroids")
+        graft.operators.Pq.saveCodebook(idx.cb, spark,
+          s"${indexPath(tenant, index)}/ivfpq/codebooks")
+        // centroids also at the IVF location so the cache's L2 layer can
+        // probe them without knowing the algo
+        idx.centroids.write.mode("overwrite")
+          .parquet(s"${indexPath(tenant, index)}/centroids")
+        cached.unpersist()
       case other => throw new IllegalArgumentException(s"unknown algo: $other")
     }
     // meta/tags snapshot for hydration without re-reading the whole log
     state.select(col("id").as("id_str"), col("meta"), col("tags"))
       .write.mode("overwrite").parquet(s"${indexPath(tenant, index)}/records")
     val m = manifest(tenant, index)
-    writeManifest(tenant, index, Manifest(m.epoch + 1, watermark, algoU))
+    writeManifest(tenant, index, Manifest(m.epoch + 1, watermark, algoU, nVectors))
   }
 
   // -------------------------------------------------------------------
@@ -266,6 +289,25 @@ class GraftEngine(spark: SparkSession, root: String) {
           .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
           .filter(col("masked").isNull)
           .select("query_id", "id_str", "score")
+      case "IVF_PQ" =>
+        // ADC-scored candidates from the probed inverted lists (approximate
+        // scores vs the head's exact ones — the reference's delta merge has
+        // the same asymmetry, DeltaVectorIndex.cs:76-122). IVF_PQ is
+        // L2-scored by construction.
+        val pqIdx = graft.operators.IvfPq.load(
+          spark, s"${indexPath(tenant, index)}/ivfpq")
+        val strMap = pqIdx.assigned.select("id", "id_str")
+        val candidates = graft.operators.IvfPq
+          .scoredCandidates(
+            graft.operators.IvfPq.Index(
+              pqIdx.assigned.select("id", "cluster_id", "codes"),
+              pqIdx.centroids, pqIdx.cb),
+            baseQueries, nprobe)
+          .join(strMap, Seq("id"))
+          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
+          .filter(col("masked").isNull)
+          .select("query_id", "id_str", "score")
+        capScans(candidates, maxScans)
       case _ => // IVF_FLAT / FLAT share the inverted-list layout
         val tailIdx = IvfFlat.Index(
           spark.read.parquet(s"${indexPath(tenant, index)}/vectors"),
@@ -333,6 +375,193 @@ class GraftEngine(spark: SparkSession, root: String) {
       withIds.join(broadcast(metaOf), withIds("id") === metaOf("id_str"), "left")
         .drop("id_str").orderBy("query_id", "rank")
     }
+  }
+
+  // -------------------------------------------------------------------
+  // cached search (SURVEY §3.1 steps 6-13 assembled)
+  // -------------------------------------------------------------------
+
+  private def cacheEntriesPath(tenant: String, index: String) =
+    s"$root/cache/$tenant/$index/entries"
+  private def cacheAliasPath(tenant: String, index: String) =
+    s"$root/cache/$tenant/$index/aliases"
+
+  /** Register canonical-alias mappings for the L0.5 layer
+    * (reference: DataModel/CanonicalKeyMap.cs:18-44). aliases:
+    * (source_key LONG, canonical_key LONG, confidence DOUBLE). */
+  def putAliases(tenant: String, index: String, aliases: DataFrame): Unit =
+    aliases.select("source_key", "canonical_key", "confidence")
+      .write.mode("append").parquet(cacheAliasPath(tenant, index))
+
+  /** Raw cache-entry table (for tests / stats): one row per populated
+    * (cache_key, layer). */
+  def cacheEntries(tenant: String, index: String): DataFrame =
+    spark.read.parquet(cacheEntriesPath(tenant, index))
+
+  /** The assembled cached-search pipeline — the reference's VEC.SEARCH
+    * steps 6-13 as ONE call (VectorCommandSet.cs:206-537): derive the
+    * layered cache keys, probe L0 exact → L0.5 canonical alias → L1
+    * SimHash → L2 semantic cluster (epoch- and TTL-checked), run the real
+    * [[search]] only for the misses, then populate L0/L1/L2 entries with
+    * the policy TTL — the L2 entry's TTL shortened to 10% (floor 1 s) when
+    * its cluster is write-hot (SemanticClusterRegistry.cs:95-121).
+    *
+    * `now` is caller-supplied epoch-seconds so runs are deterministic and
+    * replayable (same reason every write takes an `updated_at`).
+    * `hotClusters`: optional (cluster_id INT, hot BOOLEAN).
+    *
+    * Returns (query_id, rank, id, score, cache_hit, layer) — layer is
+    * "L0" | "L0.5" | "L1" | "L2" on hits, null on misses. Requires a built
+    * index (centroids drive the L2 layer).
+    *
+    * Scale shape: keys are column expressions; the probe is an equi-join
+    * of the (small) request batch against the keyed entry table; only
+    * misses reach the index scan. No driver-side per-query loop. */
+  def searchCached(tenant: String, index: String, queries: DataFrame, k: Int,
+                   metric: String = "L2", nprobe: Int = 4, now: Long = 0L,
+                   ttlSeconds: Int = 60,
+                   hotClusters: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.Caching
+    val m = manifest(tenant, index)
+    val centroids = spark.read.parquet(s"${indexPath(tenant, index)}/centroids")
+
+    val tagsNorm =
+      if (queries.columns.contains("filter_tags"))
+        sort_array(coalesce(col("filter_tags"), array().cast("array<string>")))
+      else array().cast("array<string>")
+
+    // E10 cost proxy over the indexed collection; relaxes L2 admission
+    val cost = lit(m.nVectors / 10000.0) * (size(col("qvec")) / 128.0)
+
+    // nearest centroid + admission (L2 layer key)
+    val scoredCent = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("cscore",
+        graft.functions.vector_score(metric, col("qvec"), col("centroid")))
+    val wBest = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cluster_id"))
+    val admitted =
+      if (metric.equalsIgnoreCase("COSINE"))
+        col("cscore") >= Caching.closenessThreshold(metric, cost)
+      else // L2/IP: admission on euclidean distance (score = -d²)
+        sqrt(-col("cscore")) <= Caching.closenessThreshold("L2", cost)
+    val withCluster = scoredCent
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("l2_cluster", when(admitted, col("cluster_id")))
+      .select(queries.columns.map(col) :+ col("l2_cluster"): _*)
+
+    val keyed = withCluster
+      .withColumn("l0_key", Caching.queryKey(lit(tenant), lit(index), lit(k),
+        lit(metric), tagsNorm, xxhash64(xxhash64(col("qvec")), lit(k))))
+      .withColumn("l1_key", Caching.queryKey(lit(tenant), lit(index), lit(k),
+        lit(metric), tagsNorm,
+        graft.functions.VectorSimHash.simhashCol(col("qvec"))))
+      .withColumn("l2_key", when(col("l2_cluster").isNotNull,
+        Caching.queryKey(lit(tenant), lit(index), lit(k), lit(metric), tagsNorm,
+          col("l2_cluster").cast("long"))))
+      .cache()
+
+    // L0.5: alias resolution of the exact key (confidence ≥ 0.8)
+    val aliasesExist = Files.exists(Paths.get(cacheAliasPath(tenant, index)))
+    val resolved =
+      if (!aliasesExist) keyed.withColumn("alias_key", lit(null).cast("long"))
+      else Caching.resolveAlias(
+          keyed.withColumn("cache_key", col("l0_key")),
+          spark.read.parquet(cacheAliasPath(tenant, index)))
+        .withColumn("alias_key",
+          when(col("lookup_key") =!= col("l0_key"), col("lookup_key")))
+        .drop("cache_key", "lookup_key")
+
+    // layered probe, priority-ordered (reference cascade order)
+    val probes = resolved.select(col("query_id"),
+        explode(filter(array(
+          struct(lit(0).as("pri"), lit("L0").as("layer"), col("l0_key").as("key")),
+          struct(lit(1).as("pri"), lit("L0.5").as("layer"), col("alias_key").as("key")),
+          struct(lit(2).as("pri"), lit("L1").as("layer"), col("l1_key").as("key")),
+          struct(lit(3).as("pri"), lit("L2").as("layer"), col("l2_key").as("key"))),
+          p => p("key").isNotNull)).as("p"))
+      .select(col("query_id"), col("p.pri"), col("p.layer"), col("p.key"))
+
+    val entriesExist = Files.exists(Paths.get(cacheEntriesPath(tenant, index)))
+    val hitRows =
+      if (!entriesExist) null
+      else {
+        // epoch + TTL validity (St7/St8); newest entry wins per key
+        val wNewest = Window.partitionBy("cache_key")
+          .orderBy(col("written_at").desc)
+        val valid = cacheEntries(tenant, index)
+          .filter(col("epoch") === m.epoch && col("expires_at") > now)
+          .withColumn("vrn", row_number().over(wNewest))
+          .filter(col("vrn") === 1)
+          .select(col("cache_key"), col("hits"))
+        val wPri = Window.partitionBy("query_id").orderBy(col("pri"))
+        // materialized (localCheckpoint): the populate step below APPENDS to
+        // the entry table this plan reads — a lazy plan re-collected after
+        // the append could see its own writes and flip misses to hits
+        probes
+          .join(valid, probes("key") === valid("cache_key"))
+          .withColumn("hrn", row_number().over(wPri))
+          .filter(col("hrn") === 1)
+          .select(col("query_id"), col("layer"), col("hits"))
+          .localCheckpoint()
+      }
+
+    val hitDf =
+      if (hitRows == null) null
+      else hitRows.select(col("query_id"), col("layer"),
+          posexplode(col("hits")))
+        .select(col("query_id"), col("col.rank"), col("col.id"),
+          col("col.score"), lit(true).as("cache_hit"), col("layer"))
+
+    val missQueries =
+      if (hitRows == null) keyed
+      else keyed.join(hitRows.select("query_id"), Seq("query_id"), "left_anti")
+
+    // miss path: the real delta search (steps 10-12); materialized so the
+    // populate write below doesn't trigger a second full search and the
+    // returned frame is decoupled from the just-appended cache files
+    val fresh = search(tenant, index,
+      missQueries.select(queries.columns.map(col): _*), k, metric, nprobe)
+      .localCheckpoint()
+
+    // populate (step 13): one hits-array per missed query, written under
+    // every derived key; L2 TTL write-hot-shortened
+    val freshArr = fresh
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(
+        struct(col("rank"), col("id"), col("score")))).as("hits"))
+    val hot = hotClusters.getOrElse {
+      import spark.implicits._
+      Seq.empty[(Int, Boolean)].toDF("cluster_id", "hot")
+    }
+    val newEntries = freshArr
+      .join(keyed.select("query_id", "l0_key", "l1_key", "l2_key", "l2_cluster"),
+        Seq("query_id"))
+      .join(broadcast(hot.withColumnRenamed("cluster_id", "l2_cluster")),
+        Seq("l2_cluster"), "left")
+      .select(col("hits"),
+        explode(filter(array(
+          struct(lit("L0").as("layer"), col("l0_key").as("cache_key"), lit(ttlSeconds).as("ttl")),
+          struct(lit("L1").as("layer"), col("l1_key").as("cache_key"), lit(ttlSeconds).as("ttl")),
+          struct(lit("L2").as("layer"), col("l2_key").as("cache_key"),
+            when(coalesce(col("hot"), lit(false)),
+              greatest(lit(ttlSeconds / 10), lit(1))).otherwise(ttlSeconds).as("ttl"))),
+          e => e("cache_key").isNotNull)).as("e"))
+      .select(col("e.cache_key"), col("e.layer"), col("hits"),
+        lit(m.epoch).as("epoch"),
+        (lit(now) + col("e.ttl")).as("expires_at"),
+        lit(now).as("written_at"))
+    newEntries.write.mode("append").parquet(cacheEntriesPath(tenant, index))
+
+    val freshOut = fresh
+      .withColumn("cache_hit", lit(false))
+      .withColumn("layer", lit(null).cast("string"))
+    val out =
+      if (hitDf == null) freshOut
+      else hitDf.unionByName(freshOut)
+    keyed.unpersist()
+    out.orderBy("query_id", "rank")
   }
 
   /** VEC.STATS analog: per-index record/cluster counts. */

@@ -179,6 +179,53 @@ object Queries {
        |SELECT query_id, rank, id, score FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Stand up a GraftEngine over the embeddings table (temp root): the
+    * full user-facing write→build→search lifecycle inside a graded query. */
+  private def engineOn(s: SparkSession, dir: String, algo: String): GraftEngine = {
+    val root = java.nio.file.Files.createTempDirectory("graft_engine").toString
+    val eng = new GraftEngine(s, root)
+    val recs = t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"))
+      .withColumn("tenant_id", lit("t0"))
+      .withColumn("index_name", lit("emb"))
+      .withColumn("meta", lit(null).cast("string"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .withColumn("updated_at", lit(100L))
+    eng.add(recs)
+    eng.build("t0", "emb", nlist = 10, algo = algo, pqM = 8, pqK = 32)
+    eng
+  }
+
+  /** Engine-built IVF_PQ end to end: registry algo dispatch + persisted
+    * codes/codebooks + ADC tail search (reference:
+    * VectorIndexRegistry.cs:96, IvfPqVectorIndex.cs:55-198). Rows-only:
+    * ADC ranks are approximate by design; AnnRecallSpec owns recall. */
+  val enginePqSearch: QueryFn = (s, dir) =>
+    engineOn(s, dir, "IVF_PQ")
+      .search("t0", "emb", queriesOf(s, dir), K, nprobe = 3)
+      .select("query_id", "rank", "id")
+
+  /** The assembled cache cascade as observables: cold call misses and
+    * populates, warm call hits at L0 — deterministic, so fully oracled
+    * (reference behaviorally: VectorCommandSet.cs:206-537). */
+  val engineCachedSearch: QueryFn = (s, dir) => {
+    val eng = engineOn(s, dir, "IVF_FLAT")
+    val qs = queriesOf(s, dir)
+    val first = eng.searchCached("t0", "emb", qs, K, nprobe = 10, now = 1000L)
+    val f = first.groupBy("query_id")
+      .agg(max(col("cache_hit")).as("first_hit"))
+    val second = eng.searchCached("t0", "emb", qs, K, nprobe = 10, now = 1010L)
+    val sec = second.groupBy("query_id")
+      .agg(max(col("cache_hit")).as("second_hit"), max("layer").as("second_layer"))
+    f.join(sec, "query_id").orderBy("query_id")
+  }
+
+  val engineCachedSearchSql: String =
+    s"""SELECT vec_id AS query_id, false AS first_hit, true AS second_hit,
+       |       'L0' AS second_layer
+       |FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id""".stripMargin
+
   /** Delta head/tail semantics end-to-end: a "fresh" head (re-written
     * vectors, scaled by 0.9) overrides the stale tail copy of the same id,
     * then brute-force KNN runs over the merged current state
@@ -906,6 +953,8 @@ object Queries {
     "ivf_pq_search" -> ivfPqSearch,
     "sq8_search" -> sq8Search,
     "hnsw_search" -> hnswSearch,
+    "engine_pq_search" -> enginePqSearch,
+    "engine_cached_search" -> engineCachedSearch,
     "delta_merge_knn" -> deltaMergeKnn,
     "knn_tag_filtered" -> knnTagFiltered,
     "hydration_knn" -> hydrationKnn,
@@ -948,6 +997,7 @@ object Queries {
     "knn_cosine" -> knnCosineSql,
     "knn_l2" -> knnL2Sql,
     "sq8_search" -> sq8SearchSql,
+    "engine_cached_search" -> engineCachedSearchSql,
     "delta_merge_knn" -> deltaMergeKnnSql,
     "knn_tag_filtered" -> knnTagFilteredSql,
     "hydration_knn" -> hydrationKnnSql,

@@ -31,14 +31,26 @@ object IvfPq {
     Index(assigned, coarse.centroids, cb)
   }
 
-  /** Probe top-nprobe clusters and ADC-score their codes. Driver-sized
-    * probe sets (nq·nprobe ≤ `maxLocalQueries` — one bounded collect
-    * decides AND supplies the rows) build the residual ADC tables on the
-    * driver and broadcast a lookup map. Larger batches compute the table
-    * as an executor-side column on the (small-per-row) probe set and
-    * equi-join it into the inverted lists — no unbounded driver collect. */
-  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
-             maxLocalQueries: Int = 10000): DataFrame = {
+  /** Persist the IVF-PQ index: cluster-partitioned codes + centroids +
+    * PQ codebook (reference snapshot parity: IvfPqVectorIndex.cs:233-298). */
+  def save(index: Index, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/codes")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    Pq.saveCodebook(index.cb, index.centroids.sparkSession, s"$path/codebooks")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"),
+      Pq.loadCodebook(spark, s"$path/codebooks"))
+
+  /** Candidate generation without the final top-k: (query_id, id, score)
+    * for every (query, probed-cluster member) pair — lets callers (the
+    * engine's delta merge) union other candidate streams before ranking. */
+  def scoredCandidates(index: Index, queries: DataFrame, nprobe: Int,
+                       maxLocalQueries: Int = 10000): DataFrame = {
     val spark = queries.sparkSession
     val coarse = IvfFlat.Index(index.assigned, index.centroids)
     val probeSet = IvfFlat.probes(coarse, queries, "L2", nprobe)
@@ -84,8 +96,14 @@ object IvfPq {
           .select(col("query_id"), col("id"),
             score(col("adc"), col("codes")).as("score"))
       }
-    TopK.perGroup(scored, Seq("query_id"), k)
+    scored
   }
+
+  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
+             maxLocalQueries: Int = 10000): DataFrame =
+    TopK.perGroup(
+      scoredCandidates(index, queries, nprobe, maxLocalQueries),
+      Seq("query_id"), k)
 
   /** ADC candidate generation + exact rerank against the true vectors
     * (see Pq.knnRefined — same rationale). */

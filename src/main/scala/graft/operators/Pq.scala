@@ -25,6 +25,29 @@ object Pq {
   case class Codebook(m: Int, dsub: Int, k: Int,
                       codebooks: Array[Array[Array[Float]]]) extends Serializable
 
+  /** Persist a codebook as a (m, k, centroid) parquet table — the PQ half
+    * of the reference's index snapshot (IvfPqVectorIndex.cs:233-298). */
+  def saveCodebook(cb: Codebook, spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      mi <- 0 until cb.m
+      ki <- 0 until cb.codebooks(mi).length
+    } yield (mi, ki, cb.codebooks(mi)(ki).toSeq)
+    rows.toDF("m", "k", "centroid").write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val dsub = rows.head._3.length
+    val cbs = Array.fill(m, k)(new Array[Float](dsub))
+    rows.foreach { case (mi, ki, c) => cbs(mi)(ki) = c }
+    Codebook(m, dsub, k, cbs)
+  }
+
   /** Train per-subspace codebooks on (id, vec).
     *
     * PQ codebooks are trained on a BOUNDED DETERMINISTIC SAMPLE

@@ -18,6 +18,25 @@ object ScalarQuant {
     def delta: Double = if (max > min) (max - min) / 255.0 else 1.0
   }
 
+  /** Persist quantization params (the reference snapshots its quantizer
+    * state alongside the codes — ScalarQuantizer.cs:8-85 + S11). Tiny
+    * fixed-size state → single JSON file. */
+  def saveParams(p: Params, path: String): Unit = {
+    val f = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.writeString(f,
+      s"""{"min": ${p.min}, "max": ${p.max}}""")
+  }
+
+  def loadParams(path: String): Params = {
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def field(k: String): Float =
+      raw""""$k"\s*:\s*(-?[0-9.eE+-]+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toFloat)
+        .getOrElse(throw new IllegalArgumentException(s"bad params file: $s"))
+    Params(field("min"), field("max"))
+  }
+
   /** Train = global min/max over every vector element. */
   def train(vectors: DataFrame, vecCol: String = "vec"): Params = {
     val r = vectors.agg(

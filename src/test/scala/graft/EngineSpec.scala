@@ -132,18 +132,133 @@ class EngineSpec extends SparkSpec {
     eng.add(mkRecords(recs))
     val query = q(1L, Seq(30f, 30f, 1f))
 
-    for (algo <- Seq("FLAT", "IVF_FLAT", "HNSW")) {
-      eng.build("t1", "idx", nlist = 4, algo = algo)
+    for (algo <- Seq("FLAT", "IVF_FLAT", "HNSW", "IVF_PQ")) {
+      eng.build("t1", "idx", nlist = 4, algo = algo, pqM = 3, pqK = 16)
       assert(eng.manifest("t1", "idx").algo == algo)
       val hits = eng.search("t1", "idx", query, k = 3, nprobe = 4).collect()
       assert(hits.head.getAs[String]("id") == "v30", s"algo=$algo")
     }
 
-    // fresh head write after an HNSW build must still override the graph
+    // fresh head write after an IVF_PQ build must still override the codes
     eng.upsert(mkRecords(Seq(
       ("v30", Seq(-50f, -50f, -50f), null, Seq.empty[String], 200L))))
     val afterUpsert = eng.search("t1", "idx", query, k = 3, nprobe = 4).collect()
     assert(afterUpsert.head.getAs[String]("id") != "v30")
     assert(afterUpsert.map(_.getAs[String]("id")).distinct.length == afterUpsert.length)
+  }
+
+  test("IvfPq save/load roundtrip preserves search results") {
+    import scala.util.Random
+    val rng = new Random(5)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(8)(rng.nextFloat())))
+      .toDF("id", "vec")
+    val qs = (0 until 4).map(i => (i.toLong, Seq.fill(8)(rng.nextFloat())))
+      .toDF("query_id", "qvec")
+    val idx = graft.operators.IvfPq.build(vecs, nlist = 4, m = 4, k = 8)
+    val dir = Files.createTempDirectory("ivfpq").toString
+    graft.operators.IvfPq.save(idx, dir)
+    val loaded = graft.operators.IvfPq.load(spark, dir)
+    def hits(ix: graft.operators.IvfPq.Index) =
+      graft.operators.IvfPq.search(ix, qs, 5, nprobe = 4)
+        .select("query_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hits(idx) == hits(loaded))
+  }
+
+  test("ScalarQuant params save/load roundtrip") {
+    val p = graft.operators.ScalarQuant.Params(-1.25f, 3.5f)
+    val f = Files.createTempDirectory("sq8").toString + "/params.json"
+    graft.operators.ScalarQuant.saveParams(p, f)
+    assert(graft.operators.ScalarQuant.loadParams(f) == p)
+  }
+
+  test("searchCached: cold miss → populate; warm hit at L0; epoch bump invalidates") {
+    val root = Files.createTempDirectory("engine_cache").toString
+    val eng = new GraftEngine(spark, root)
+    val recs = (0 until 40).map { i =>
+      (s"v$i", Seq(i.toFloat, (40 - i).toFloat, 1f), null: String, Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4)
+
+    val query = q(1L, Seq(20f, 20f, 1f))
+    val cold = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4, now = 1000L)
+      .collect()
+    assert(cold.nonEmpty && cold.forall(!_.getAs[Boolean]("cache_hit")))
+
+    // cache table now has L0 + L1 (+ maybe L2) entries for the query
+    val layers = eng.cacheEntries("t1", "idx")
+      .select("layer").collect().map(_.getString(0)).toSet
+    assert(layers.contains("L0") && layers.contains("L1"), s"layers=$layers")
+
+    // warm second call: identical query → L0 hit, identical hits
+    val warm = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4, now = 1010L)
+      .collect()
+    assert(warm.forall(_.getAs[Boolean]("cache_hit")))
+    assert(warm.forall(_.getAs[String]("layer") == "L0"))
+    assert(warm.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq ==
+      cold.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq)
+
+    // L1: positively-scaled vector (identical SimHash signs, different L0 key)
+    val scaled = q(2L, Seq(40f, 40f, 2f))
+    val l1 = eng.searchCached("t1", "idx", scaled, k = 3, nprobe = 4, now = 1020L)
+      .collect()
+    assert(l1.forall(_.getAs[Boolean]("cache_hit")))
+    assert(l1.forall(_.getAs[String]("layer") == "L1"), s"layer=${l1.head.getAs[String]("layer")}")
+
+    // TTL expiry: same query far in the future → miss again
+    val expired = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4, now = 99999L)
+      .collect()
+    assert(expired.forall(!_.getAs[Boolean]("cache_hit")))
+
+    // epoch bump (a write) invalidates even fresh entries
+    eng.upsert(mkRecords(Seq(("v0", Seq(0f, 40f, 1f), null, Seq.empty[String], 200L))))
+    val postWrite = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4, now = 1030L)
+      .collect()
+    assert(postWrite.forall(!_.getAs[Boolean]("cache_hit")))
+  }
+
+  test("searchCached: L0.5 canonical alias resolves to the canonical entry") {
+    val recs = (0 until 20).map { i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L)
+    }
+    val canonical = q(1L, Seq(5f, 1f, 0f))
+    // opposite-direction source: its SimHash cannot collide with the
+    // canonical's, so without the alias it would be a clean miss
+    val src = q(2L, Seq(-17f, 3f, -9f))
+
+    // first engine: learn both L0 keys (keys are content-derived —
+    // tenant/index/k/metric/qvec — so they're identical across roots)
+    val eng1 = new GraftEngine(spark, Files.createTempDirectory("alias1").toString)
+    eng1.add(mkRecords(recs))
+    eng1.build("t1", "idx", nlist = 2)
+    eng1.searchCached("t1", "idx", canonical, k = 3, nprobe = 2, now = 1000L).collect()
+    val canonKey = eng1.cacheEntries("t1", "idx")
+      .filter(col("layer") === "L0").select("cache_key").head.getLong(0)
+    val srcMiss = eng1.searchCached("t1", "idx", src, k = 3, nprobe = 2, now = 1001L)
+      .collect()
+    assert(srcMiss.forall(!_.getAs[Boolean]("cache_hit")),
+      "fixture broken: src must not collide with canonical on L1/L2")
+    val srcKey = eng1.cacheEntries("t1", "idx")
+      .filter(col("layer") === "L0" && col("cache_key") =!= canonKey)
+      .select("cache_key").head.getLong(0)
+
+    // second engine: ONLY the canonical entry cached + the alias mapping
+    val eng2 = new GraftEngine(spark, Files.createTempDirectory("alias2").toString)
+    eng2.add(mkRecords(recs))
+    eng2.build("t1", "idx", nlist = 2)
+    eng2.searchCached("t1", "idx", canonical, k = 3, nprobe = 2, now = 1000L).collect()
+    eng2.putAliases("t1", "idx",
+      Seq((srcKey, canonKey, 0.9)).toDF("source_key", "canonical_key", "confidence"))
+    val aliased = eng2.searchCached("t1", "idx", src, k = 3, nprobe = 2, now = 1010L)
+      .collect()
+    assert(aliased.forall(_.getAs[Boolean]("cache_hit")))
+    assert(aliased.forall(_.getAs[String]("layer") == "L0.5"),
+      s"layer=${aliased.head.getAs[String]("layer")}")
+    // and the aliased result IS the canonical entry's hit list
+    val canonHits = eng2.searchCached("t1", "idx", canonical, k = 3, nprobe = 2,
+      now = 1010L).collect()
+    assert(aliased.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq ==
+      canonHits.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq)
   }
 }
