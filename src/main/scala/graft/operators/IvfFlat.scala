@@ -26,7 +26,66 @@ import graft.functions._
   */
 object IvfFlat {
 
-  case class Index(assigned: DataFrame, centroids: DataFrame)
+  /** One partition's inverted lists in flat storage: ids + contiguous
+    * float vectors, rows grouped by cluster with (start, len) ranges — the
+    * reference's flat vector layout (BruteForceVectorIndex.cs:11-25,
+    * HnswVectorIndex "Flat Vector Storage") per Spark partition. */
+  final class PackedLists(val dim: Int, val ids: Array[Long],
+                          val vecs: Array[Float],
+                          val ranges: java.util.HashMap[Int, Array[Int]])
+    extends Serializable
+
+  case class Index(assigned: DataFrame, centroids: DataFrame) {
+    /** Driver-side centroid snapshot (nlist rows — driver-sized by
+      * construction), fetched once per Index instance: repeated
+      * small-batch searches against the same index skip the per-call
+      * centroid job entirely. */
+    @transient lazy val centroidsLocal: Array[(Int, Array[Float])] =
+      centroids.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+
+    /** Serving snapshot: per-partition packed inverted lists, cached as an
+      * RDD of LIVE objects (RDD cache stores deserialized objects — no
+      * columnar decode, no row materialization on the per-call hot path).
+      * Built lazily by one job on first use; repeated small-batch searches
+      * then score straight off contiguous float arrays. */
+    @transient lazy val packed: org.apache.spark.rdd.RDD[PackedLists] = {
+      val rdd = assigned.select("id", "vec", "cluster_id")
+        .queryExecution.toRdd.mapPartitions { it =>
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val cls = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val vecBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          while (it.hasNext) {
+            val row = it.next()
+            ids += row.getLong(0)
+            vecBuf += row.getArray(1).toFloatArray()
+            cls += row.getInt(2)
+          }
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val n = ids.length
+            val dim = vecBuf(0).length
+            // group rows by cluster: stable order by (cluster, arrival)
+            val order = Array.range(0, n).sortBy(i => (cls(i), i))
+            val pIds = new Array[Long](n)
+            val pVecs = new Array[Float](n * dim)
+            val ranges = new java.util.HashMap[Int, Array[Int]]()
+            var i = 0
+            while (i < n) {
+              val src = order(i)
+              pIds(i) = ids(src)
+              System.arraycopy(vecBuf(src), 0, pVecs, i * dim, dim)
+              val c = cls(src)
+              val r = ranges.get(c)
+              if (r == null) ranges.put(c, Array(i, 1)) else r(1) += 1
+              i += 1
+            }
+            Iterator(new PackedLists(dim, pIds, pVecs, ranges))
+          }
+        }
+      rdd.cache()
+      rdd
+    }
+  }
 
   /** Train the coarse codebook and assign every vector to its inverted list.
     * Cosine metric uses MLlib's cosine distance measure; L2/IP use
@@ -103,8 +162,7 @@ object IvfFlat {
   private def probesLocal(index: Index, qs: Array[(Long, Seq[Float])],
                           metric: String, nprobe: Int,
                           spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val cents = index.centroids.collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val cents = index.centroidsLocal
     val rows = qs.flatMap { case (qid, qv) =>
       cents.headOption.foreach { case (_, cv) =>
         require(qv.length == cv.length,
@@ -155,6 +213,162 @@ object IvfFlat {
         probesLocal(index, qs, metric, nprobe, queries.sparkSession)
       } else probes(index, queries, metric, nprobe)
     }
+    searchProbed(index, probeSet, metric, k)
+  }
+
+  /** Small-batch fast path: the caller already holds the query batch as a
+    * local array (the reference's serving regime — queries arrive in
+    * memory, one RESP command at a time). ONE fused Spark job: probe
+    * ranking runs on the driver against the cached centroid snapshot, the
+    * inverted probe map (cluster → probing queries) broadcasts, and each
+    * task streams its partition's InternalRows once — membership check,
+    * score, bounded per-query top-k — emitting ≤ nq·k rows. No join
+    * materialization, no aggregate boundary: this is the reference's
+    * serving inner loop (IvfFlatVectorIndex.cs:156-218) with partitions in
+    * place of threads. Executes EAGERLY; returns a local result frame. */
+  def searchLocal(index: Index, queries: Array[(Long, Array[Float])],
+                  metric: String, k: Int, nprobe: Int,
+                  spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val cents = index.centroidsLocal
+    queries.headOption.foreach { case (_, qv) =>
+      cents.headOption.foreach { case (_, cv) =>
+        require(qv.length == cv.length,
+          s"vector dimension mismatch: ${qv.length} vs ${cv.length}")
+      }
+    }
+    val nq = queries.length
+    val qvecs = queries.map(_._2)
+    val metricU = metric.toUpperCase
+    // per-query probe ranking (same scores/tie-break as probesLocal),
+    // inverted into cluster → probing query indexes
+    val byCluster = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < nq) {
+      val qv = qvecs(qi)
+      cents.map { case (cid, cv) => (cid, centroidScore(metricU, qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid.toLong) }
+        .take(nprobe)
+        .foreach { case (cid, _) =>
+          byCluster.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += qi
+        }
+      qi += 1
+    }
+    val probeMap = byCluster.map { case (c, qs) => (c, qs.toArray) }.toMap
+    val bq = spark.sparkContext.broadcast((qvecs, probeMap))
+    val kLoc = k
+    val partials = index.packed.mapPartitions { pit =>
+      val (qv, probes) = bq.value
+      val bufs = Array.fill(qv.length)(new TopKBuf(kLoc))
+      while (pit.hasNext) {
+        val p = pit.next()
+        val dim = p.dim
+        probes.foreach { case (cid, probing) =>
+          val range = p.ranges.get(cid)
+          if (range != null) {
+            val isL2 = metricU == "L2"
+            var r = range(0); val end = range(0) + range(1)
+            while (r < end) {
+              val off = r * dim
+              var i = 0
+              while (i < probing.length) {
+                val q = probing(i)
+                val score =
+                  if (isL2)
+                    // early-abandon: stop accumulating d² once it exceeds
+                    // the query's current k-th-best (the reference's scan
+                    // budget idea applied per candidate)
+                    l2ScoreBounded(qv(q), p.vecs, off,
+                      -bufs(q).admissionThreshold)
+                  else candidateScoreFlat(metricU, qv(q), p.vecs, off)
+                bufs(q).add(p.ids(r), score)
+                i += 1
+              }
+              r += 1
+            }
+          }
+        }
+      }
+      bufs.iterator.zipWithIndex.flatMap { case (b, i) =>
+        b.compact()
+        (0 until b.n).iterator.map(j => (i, b.ids(j), b.scores(j)))
+      }
+    }.collect()
+    // final merge: ≤ partitions·nq·k rows, driver-local
+    val out = partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
+      rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
+    }.toSeq
+    out.toDF("query_id", "rank", "id", "score")
+  }
+
+  private def centroidScore(metricU: String, a: Array[Float], b: Array[Float]): Double =
+    candidateScore(metricU, a, b)
+
+  /** -L2² with early abandonment: once the partial sum exceeds `bound`
+    * (the max admissible distance²), the exact value no longer matters —
+    * any score ≤ -partial is rejected by the top-k buffer. Checked every
+    * 16 dims so the hot loop stays branch-light and vectorizable. */
+  private def l2ScoreBounded(a: Array[Float], flat: Array[Float], off: Int,
+                             bound: Double): Double = {
+    var s = 0.0; var i = 0
+    val n = a.length
+    while (i < n) {
+      val blockEnd = math.min(i + 16, n)
+      while (i < blockEnd) {
+        val d = a(i).toDouble - flat(off + i); s += d * d; i += 1
+      }
+      if (s > bound) return -s // already inadmissible; partial is enough
+    }
+    -s
+  }
+
+  /** Score against a row inside a flat packed buffer (no per-row array). */
+  private def candidateScoreFlat(metricU: String, a: Array[Float],
+                                 flat: Array[Float], off: Int): Double =
+    metricU match {
+      case "L2" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - flat(off + i); s += d * d; i += 1 }
+        -s
+      case "IP" | "INNERPRODUCT" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * flat(off + i); i += 1 }
+        s
+      case "COSINE" =>
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = flat(off + i).toDouble
+          dp += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den < 1e-6) 0.0 else dp / den
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
+  private def candidateScore(metricU: String, a: Array[Float], b: Array[Float]): Double =
+    metricU match {
+      case "L2" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+        -s
+      case "IP" | "INNERPRODUCT" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+        s
+      case "COSINE" =>
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dp += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den < 1e-6) 0.0 else dp / den
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
+  private def searchProbed(index: Index, probeSet: DataFrame,
+                           metric: String, k: Int): DataFrame = {
     val scored = index.assigned
       .join(broadcast(probeSet), Seq("cluster_id"))
       .select(col("query_id"), col("id"),

@@ -22,6 +22,12 @@ final class TopKBuf(val k: Int) {
   private var threshold = Double.NegativeInfinity
   private var compacted = false
 
+  /** Current admission floor: scores strictly below it can never enter the
+    * top k (NegativeInfinity until k entries are known). Lets scorers
+    * early-abandon work on monotone distances (e.g. partial L2 sums). */
+  def admissionThreshold: Double =
+    if (compacted) threshold else Double.NegativeInfinity
+
   def add(id: Long, score: Double): Unit = {
     // strict-below-threshold rows can never enter the top k; ties at the
     // threshold are kept and resolved by the next compaction

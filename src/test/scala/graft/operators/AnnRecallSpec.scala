@@ -68,6 +68,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(recallVs(exactCos, got) == 1.0)
   }
 
+  test("IVF-Flat searchLocal (array fast path) == search (DataFrame path)") {
+    val idx = IvfFlat.build(vectors, nlist = 16)
+    val qsLocal = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (metric <- Seq("L2", "COSINE")) {
+      val a = hitSets(IvfFlat.search(idx, queries, metric, K, 4))
+      val b = hitSets(IvfFlat.searchLocal(idx, qsLocal, metric, K, 4, spark))
+      assert(a == b, s"metric=$metric")
+    }
+  }
+
   test("IVF-Flat save/load roundtrip preserves search results") {
     val idx = IvfFlat.build(vectors, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
