@@ -13,10 +13,12 @@ import graft.operators.{BruteForceKnn, DeltaIndex, IvfFlat, TopK}
   * re-expressed as batch table operations over an append-only record log.
   *
   * Storage layout under `root`:
-  *   records/tenant_id=?/index_name=?/...   append-only write log
-  *   indexes/<tenant>/<index>/vectors/      built tail, partitioned by cluster_id
-  *   indexes/<tenant>/<index>/centroids/
-  *   indexes/<tenant>/<index>/manifest.json epoch + build watermark
+  *   records/tenant_id=?/index_name=?/...    append-only write log
+  *   indexes/<tenant>/<index>/manifest.json  epoch + watermark + version (commit point)
+  *   indexes/<tenant>/<index>/v<N>/...       immutable build snapshot N:
+  *     vectors/ (cluster-partitioned tail) + centroids/ + records/
+  *     [hnsw/ + idmap/ | ivfpq/{codes,centroids,codebooks}] per algo
+  *   cache/<tenant>/<index>/entries|aliases  result-cache tables
   *
   * Write semantics mirror the reference: ADD rejects duplicate live ids
   * (VectorCommandSet.cs:605-615), UPSERT is last-write-wins preserving
@@ -37,11 +39,23 @@ class GraftEngine(spark: SparkSession, root: String) {
   // manifest (epoch + build watermark) — tiny JSON, driver-side
   // -------------------------------------------------------------------
 
+  /** `version` points at the snapshot directory (`v<version>/`) holding
+    * this build's artifacts: readers resolve paths THROUGH the manifest, so
+    * a build writes its whole snapshot into a fresh versioned dir and the
+    * single manifest write is the atomic commit point — the snapshot-
+    * isolation form of the reference's temp-dir-rename atomic snapshot
+    * (DeltaVectorIndex.cs:160-212). version 0 = never built. */
   case class Manifest(epoch: Long, buildWatermark: Long, algo: String = "IVF_FLAT",
-                      nVectors: Long = 0L)
+                      nVectors: Long = 0L, version: Long = 0L)
 
   private def manifestFile(tenant: String, index: String) =
     Paths.get(s"${indexPath(tenant, index)}/manifest.json")
+
+  /** Current snapshot dir for reads (requires a completed build). */
+  private def snapDir(tenant: String, index: String, m: Manifest): String = {
+    require(m.version > 0, s"$tenant/$index has no built snapshot")
+    s"${indexPath(tenant, index)}/v${m.version}"
+  }
 
   def manifest(tenant: String, index: String): Manifest = {
     val f = manifestFile(tenant, index)
@@ -51,17 +65,39 @@ class GraftEngine(spark: SparkSession, root: String) {
         raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
       val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse("IVF_FLAT")
-      Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"))
+      Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"),
+        field("version"))
     } else Manifest(0L, Long.MinValue, "IVF_FLAT")
   }
 
   private def writeManifest(tenant: String, index: String, m: Manifest): Unit = {
     val f = manifestFile(tenant, index)
     Files.createDirectories(f.getParent)
-    Files.writeString(f,
-      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}}""",
+    // write-then-atomic-rename: the manifest swap IS the commit
+    val tmp = Paths.get(f.toString + ".tmp")
+    Files.writeString(tmp,
+      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}, "version": ${m.version}}""",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Best-effort GC of superseded snapshot dirs (single-writer model). */
+  private def gcOldSnapshots(tenant: String, index: String, keep: Long): Unit = {
+    val base = Paths.get(indexPath(tenant, index))
+    if (Files.isDirectory(base)) {
+      Files.list(base).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+            name.drop(1).toLong < keep) {
+          try {
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(q => Files.deleteIfExists(q))
+          } catch { case _: java.io.IOException => () }
+        }
+      }
+    }
   }
 
   def epoch(tenant: String, index: String): Long = manifest(tenant, index).epoch
@@ -95,15 +131,23 @@ class GraftEngine(spark: SparkSession, root: String) {
     * other read failure must propagate, not silently disable the
     * invariant. */
   def add(records: DataFrame): Long = {
-    val existing =
-      if (!recordsLogExists) null
-      else currentStateAll().select("tenant_id", "index_name", "id")
-    val fresh = if (existing == null) records
-      else records.join(existing, Seq("tenant_id", "index_name", "id"), "left_anti")
-    val n = fresh.count()
-    val total = records.count()
-    require(n == total, s"Vector already exists: ${total - n} duplicate id(s)")
-    appendLog(fresh.withColumn("deleted", lit(false)))
+    // one aggregation decides both the dup check and the count (no second
+    // full pass); on success the whole batch is fresh, so the append can
+    // write `records` directly without re-running the anti-join
+    val n =
+      if (!recordsLogExists) records.count()
+      else {
+        val existing = currentStateAll()
+          .select("tenant_id", "index_name", "id")
+          .withColumn("dup", lit(true))
+        val r = records
+          .join(existing, Seq("tenant_id", "index_name", "id"), "left")
+          .agg(count(lit(1)).as("total"), count(col("dup")).as("dups")).head
+        require(r.getLong(1) == 0L,
+          s"Vector already exists: ${r.getLong(1)} duplicate id(s)")
+        r.getLong(0)
+      }
+    appendLog(records.withColumn("deleted", lit(false)))
     touched(records).foreach { case (t, i) => bumpEpoch(t, i) }
     n
   }
@@ -175,21 +219,25 @@ class GraftEngine(spark: SparkSession, root: String) {
     val keyed = vecs.withColumn("id_str", col("id"))
       .select(xxhash64(col("id")).as("id"), col("vec"), col("id_str"))
     val algoU = algo.toUpperCase
+    val m0 = manifest(tenant, index)
+    // whole snapshot lands in a fresh versioned dir; nothing below is
+    // visible to readers until the manifest swap at the end
+    val newVersion = m0.version + 1
+    val dir = s"${indexPath(tenant, index)}/v$newVersion"
     algoU match {
       case "IVF_FLAT" | "FLAT" =>
         val idx = IvfFlat.build(keyed, if (algoU == "FLAT") 1 else nlist, metric, seed)
         // keep the string id alongside the numeric surrogate used by the plans
         idx.assigned.write.mode("overwrite").partitionBy("cluster_id")
-          .parquet(s"${indexPath(tenant, index)}/vectors")
-        idx.centroids.write.mode("overwrite")
-          .parquet(s"${indexPath(tenant, index)}/centroids")
+          .parquet(s"$dir/vectors")
+        idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       case "HNSW" =>
         val graphs = graft.operators.Hnsw.build(keyed.select("id", "vec"), metric,
           numPartitions = math.max(1, nlist))
-        graft.operators.Hnsw.save(graphs, s"${indexPath(tenant, index)}/hnsw")
+        graft.operators.Hnsw.save(graphs, s"$dir/hnsw")
         // surrogate→string map for hit resolution
         keyed.select("id", "id_str").write.mode("overwrite")
-          .parquet(s"${indexPath(tenant, index)}/idmap")
+          .parquet(s"$dir/idmap")
       case "IVF_PQ" =>
         // PQ is L2-trained like the reference (IvfPqVectorIndex.cs:55-116)
         val cached = keyed.cache()
@@ -198,23 +246,21 @@ class GraftEngine(spark: SparkSession, root: String) {
           nlist, m = pqM, k = math.min(pqK, 256), seed = seed)
         val withStr = idx.assigned.join(cached.select("id", "id_str"), Seq("id"))
         withStr.write.mode("overwrite").partitionBy("cluster_id")
-          .parquet(s"${indexPath(tenant, index)}/ivfpq/codes")
-        idx.centroids.write.mode("overwrite")
-          .parquet(s"${indexPath(tenant, index)}/ivfpq/centroids")
-        graft.operators.Pq.saveCodebook(idx.cb, spark,
-          s"${indexPath(tenant, index)}/ivfpq/codebooks")
+          .parquet(s"$dir/ivfpq/codes")
+        idx.centroids.write.mode("overwrite").parquet(s"$dir/ivfpq/centroids")
+        graft.operators.Pq.saveCodebook(idx.cb, spark, s"$dir/ivfpq/codebooks")
         // centroids also at the IVF location so the cache's L2 layer can
         // probe them without knowing the algo
-        idx.centroids.write.mode("overwrite")
-          .parquet(s"${indexPath(tenant, index)}/centroids")
+        idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
         cached.unpersist()
       case other => throw new IllegalArgumentException(s"unknown algo: $other")
     }
     // meta/tags snapshot for hydration without re-reading the whole log
     state.select(col("id").as("id_str"), col("meta"), col("tags"))
-      .write.mode("overwrite").parquet(s"${indexPath(tenant, index)}/records")
-    val m = manifest(tenant, index)
-    writeManifest(tenant, index, Manifest(m.epoch + 1, watermark, algoU, nVectors))
+      .write.mode("overwrite").parquet(s"$dir/records")
+    writeManifest(tenant, index,
+      Manifest(m0.epoch + 1, watermark, algoU, nVectors, newVersion))
+    gcOldSnapshots(tenant, index, keep = newVersion)
   }
 
   // -------------------------------------------------------------------
@@ -255,7 +301,8 @@ class GraftEngine(spark: SparkSession, root: String) {
              metric: String = "L2", nprobe: Int = 4,
              withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
     val m = manifest(tenant, index)
-    val snapshot = spark.read.parquet(s"${indexPath(tenant, index)}/records")
+    val snap = snapDir(tenant, index, m)
+    val snapshot = spark.read.parquet(s"$snap/records")
 
     // head: anything written after the build watermark (fresh adds,
     // upserts AND tombstones — the latter must mask tail hits)
@@ -280,8 +327,8 @@ class GraftEngine(spark: SparkSession, root: String) {
       case "HNSW" =>
         // graphs return ranked hits already; over-fetch when a tag filter
         // will prune afterwards, the final top-k re-trims
-        val graphs = graft.operators.Hnsw.load(spark, s"${indexPath(tenant, index)}/hnsw")
-        val idmap = spark.read.parquet(s"${indexPath(tenant, index)}/idmap")
+        val graphs = graft.operators.Hnsw.load(spark, s"$snap/hnsw")
+        val idmap = spark.read.parquet(s"$snap/idmap")
         val kFetch = if (tagFilter) k * 10 else k
         val hnswHits = graft.operators.Hnsw.search(graphs, baseQueries, kFetch)
           .select(col("query_id"), col("id"), col("score"))
@@ -295,7 +342,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         // the same asymmetry, DeltaVectorIndex.cs:76-122). IVF_PQ is
         // L2-scored by construction.
         val pqIdx = graft.operators.IvfPq.load(
-          spark, s"${indexPath(tenant, index)}/ivfpq")
+          spark, s"$snap/ivfpq")
         val strMap = pqIdx.assigned.select("id", "id_str")
         val candidates = graft.operators.IvfPq
           .scoredCandidates(
@@ -310,8 +357,8 @@ class GraftEngine(spark: SparkSession, root: String) {
         capScans(candidates, maxScans)
       case _ => // IVF_FLAT / FLAT share the inverted-list layout
         val tailIdx = IvfFlat.Index(
-          spark.read.parquet(s"${indexPath(tenant, index)}/vectors"),
-          spark.read.parquet(s"${indexPath(tenant, index)}/centroids"))
+          spark.read.parquet(s"$snap/vectors"),
+          spark.read.parquet(s"$snap/centroids"))
         val probeSet = IvfFlat.probes(tailIdx, baseQueries, metric, nprobe)
         val tailCandidates = tailIdx.assigned
           .join(broadcast(probeSet), Seq("cluster_id"))
@@ -386,6 +433,17 @@ class GraftEngine(spark: SparkSession, root: String) {
   private def cacheAliasPath(tenant: String, index: String) =
     s"$root/cache/$tenant/$index/aliases"
 
+  /** Cache flush (reference: CacheController flush endpoint) — removes all
+    * entries and aliases for the index. */
+  def flushCache(tenant: String, index: String): Unit =
+    Seq(cacheEntriesPath(tenant, index), cacheAliasPath(tenant, index)).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => Files.deleteIfExists(q))
+      }
+    }
+
   /** Register canonical-alias mappings for the L0.5 layer
     * (reference: DataModel/CanonicalKeyMap.cs:18-44). aliases:
     * (source_key LONG, canonical_key LONG, confidence DOUBLE). */
@@ -423,7 +481,8 @@ class GraftEngine(spark: SparkSession, root: String) {
                    hotClusters: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Caching
     val m = manifest(tenant, index)
-    val centroids = spark.read.parquet(s"${indexPath(tenant, index)}/centroids")
+    val centroids = spark.read.parquet(
+      s"${snapDir(tenant, index, m)}/centroids")
 
     val tagsNorm =
       if (queries.columns.contains("filter_tags"))
@@ -566,7 +625,8 @@ class GraftEngine(spark: SparkSession, root: String) {
 
   /** VEC.STATS analog: per-index record/cluster counts. */
   def stats(tenant: String, index: String): DataFrame = {
-    val assigned = spark.read.parquet(s"${indexPath(tenant, index)}/vectors")
+    val assigned = spark.read.parquet(
+      s"${snapDir(tenant, index, manifest(tenant, index))}/vectors")
     assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cluster_id")
   }
