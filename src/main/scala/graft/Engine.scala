@@ -623,6 +623,57 @@ class GraftEngine(spark: SparkSession, root: String) {
     out.orderBy("query_id", "rank")
   }
 
+  /** Current snapshot's centroid table (cluster_id, centroid). */
+  def centroids(tenant: String, index: String): DataFrame =
+    spark.read.parquet(
+      s"${snapDir(tenant, index, manifest(tenant, index))}/centroids")
+
+  /** Predictive prefetch into the result cache (St4 assembled): for each
+    * predicted cluster, search its own inverted list with its centroid as
+    * the query and write the hits as an L2 cache entry under the SAME key
+    * [[searchCached]] derives — so the next query admitted to that cluster
+    * hits the warmed entry (reference: VectorCommandSet.cs:318-379 +
+    * PrefetchBackgroundQueue.cs:15-77; 5-min TTL default).
+    * predicted: (cluster_id INT). Returns the number of entries written. */
+  def prefetchIntoCache(tenant: String, index: String, predicted: DataFrame,
+                        k: Int, metric: String = "L2", now: Long = 0L,
+                        ttlSeconds: Int = 300): Long = {
+    import graft.operators.{Caching, TopK}
+    val m = manifest(tenant, index)
+    val snap = snapDir(tenant, index, m)
+    val assigned = spark.read.parquet(s"$snap/vectors")
+    val cents = spark.read.parquet(s"$snap/centroids")
+    val queries = predicted.select("cluster_id").distinct()
+      .join(broadcast(cents), Seq("cluster_id"))
+      .select(col("cluster_id"), col("centroid").as("qvec"))
+    // the reference's prefetch probes exactly the predicted cluster
+    val scored = assigned
+      .join(broadcast(queries), Seq("cluster_id"))
+      .select(col("cluster_id").cast("long").as("qcluster"), col("id_str"),
+        graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
+    val ranked = TopK.perGroup(
+        scored.select(col("qcluster"), xxhash64(col("id_str")).as("id"), col("score")),
+        Seq("qcluster"), k)
+    val hitIds = ranked.select("id").distinct()
+    val idMap = assigned.select("id_str").distinct()
+      .withColumn("id", xxhash64(col("id_str")))
+      .join(broadcast(hitIds), Seq("id"), "left_semi")
+    val entries = ranked.join(broadcast(idMap), Seq("id"))
+      .groupBy("qcluster")
+      .agg(array_sort(collect_list(
+        struct(col("rank"), col("id_str").as("id"), col("score")))).as("hits"))
+      .select(
+        Caching.queryKey(lit(tenant), lit(index), lit(k), lit(metric),
+          array().cast("array<string>"), col("qcluster")).as("cache_key"),
+        lit("L2").as("layer"), col("hits"),
+        lit(m.epoch).as("epoch"),
+        lit(now + ttlSeconds).as("expires_at"),
+        lit(now).as("written_at"))
+      .localCheckpoint()
+    entries.write.mode("append").parquet(cacheEntriesPath(tenant, index))
+    entries.count()
+  }
+
   /** VEC.STATS analog: per-index record/cluster counts. */
   def stats(tenant: String, index: String): DataFrame = {
     val assigned = spark.read.parquet(

@@ -42,6 +42,9 @@ object Plans {
     TextDedup.jaccardPairs(
       spark.read.parquet(s"$dir/documents.parquet"), 3, 0.5).explain("formatted")
 
+    println("==== PLAN: embedding LSH near-dup pairs (banded equi-join) ====")
+    graft.operators.EmbeddingDedup.lshPairs(emb, tau = 0.9).explain("formatted")
+
     spark.stop()
   }
 }

@@ -238,6 +238,28 @@ object Queries {
        |       'L0' AS second_layer
        |FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id""".stripMargin
 
+  /** Prefetch→L2-hit loop as observables: warm every cluster's entry from
+    * the prefetch materializer, then probe with the centroids themselves —
+    * each must hit at L2 without any prior search (reference loop:
+    * VectorCommandSet.cs:318-379 → cache probe 311-414). */
+  val enginePrefetchHit: QueryFn = (s, dir) => {
+    val eng = engineOn(s, dir, "IVF_FLAT")
+    eng.flushCache("t0", "emb")
+    val preds = eng.centroids("t0", "emb").select("cluster_id")
+    eng.prefetchIntoCache("t0", "emb", preds, K, "L2", now = 1000L)
+    val qs = eng.centroids("t0", "emb")
+      .select(col("cluster_id").cast("long").as("query_id"),
+        col("centroid").as("qvec"))
+    eng.searchCached("t0", "emb", qs, K, "L2", nprobe = 10, now = 1010L)
+      .groupBy("query_id")
+      .agg(max(col("cache_hit")).as("hit"), max("layer").as("layer"))
+      .orderBy("query_id")
+  }
+
+  val enginePrefetchHitSql: String =
+    """SELECT i AS query_id, true AS hit, 'L2' AS layer
+      |FROM range(10) t(i) ORDER BY query_id""".stripMargin
+
   /** Delta head/tail semantics end-to-end: a "fresh" head (re-written
     * vectors, scaled by 0.9) overrides the stale tail copy of the same id,
     * then brute-force KNN runs over the merged current state
@@ -968,6 +990,7 @@ object Queries {
     "hnsw_search" -> hnswSearch,
     "engine_pq_search" -> enginePqSearch,
     "engine_cached_search" -> engineCachedSearch,
+    "engine_prefetch_hit" -> enginePrefetchHit,
     "delta_merge_knn" -> deltaMergeKnn,
     "knn_tag_filtered" -> knnTagFiltered,
     "hydration_knn" -> hydrationKnn,
@@ -1011,6 +1034,7 @@ object Queries {
     "knn_l2" -> knnL2Sql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
+    "engine_prefetch_hit" -> enginePrefetchHitSql,
     "delta_merge_knn" -> deltaMergeKnnSql,
     "knn_tag_filtered" -> knnTagFilteredSql,
     "hydration_knn" -> hydrationKnnSql,

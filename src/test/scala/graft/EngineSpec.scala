@@ -218,6 +218,37 @@ class EngineSpec extends SparkSpec {
     assert(postWrite.forall(!_.getAs[Boolean]("cache_hit")))
   }
 
+  test("prefetchIntoCache warms L2 entries that searchCached then hits") {
+    val root = Files.createTempDirectory("engine_prefetch").toString
+    val eng = new GraftEngine(spark, root)
+    val recs = (0 until 40).map { i =>
+      (s"v$i", Seq(i.toFloat, (40 - i).toFloat, 1f), null: String, Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4)
+
+    val preds = eng.centroids("t1", "idx").select("cluster_id")
+    val n = eng.prefetchIntoCache("t1", "idx", preds, k = 3, now = 1000L)
+    assert(n == 4L)
+    assert(eng.cacheEntries("t1", "idx")
+      .filter(col("layer") === "L2").count() == 4)
+
+    // probing with a centroid itself → admitted to its own cluster → L2 hit
+    val qs = eng.centroids("t1", "idx")
+      .select(col("cluster_id").cast("long").as("query_id"),
+        col("centroid").as("qvec"))
+    val hits = eng.searchCached("t1", "idx", qs, k = 3, nprobe = 4, now = 1010L)
+      .collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[Boolean]("cache_hit")))
+    assert(hits.forall(_.getAs[String]("layer") == "L2"))
+
+    // prefetch entries expire like any cache entry (5-min default TTL)
+    val later = eng.searchCached("t1", "idx", qs, k = 3, nprobe = 4, now = 99999L)
+      .collect()
+    assert(later.forall(!_.getAs[Boolean]("cache_hit")))
+  }
+
   test("searchCached: L0.5 canonical alias resolves to the canonical entry") {
     val recs = (0 until 20).map { i =>
       (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L)

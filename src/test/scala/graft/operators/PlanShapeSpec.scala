@@ -49,6 +49,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
 
+  test("embedding LSH pairs: banded equi-join, no cartesian/nested-loop product") {
+    val emb = (0 until 50).map(i => (i.toLong, Seq.fill(8)(i * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val plan = EmbeddingDedup.lshPairs(emb, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidates come from an equi-join on (band, band-hash)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("top-k over scored candidates shuffles only aggregated buffers, not raw rows") {
     val df = (0 until 1000).map(i => (i % 7L, i.toLong, i * 0.5))
       .toDF("query_id", "id", "score").repartition(8)
