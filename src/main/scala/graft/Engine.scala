@@ -260,7 +260,9 @@ class GraftEngine(spark: SparkSession, root: String) {
       .write.mode("overwrite").parquet(s"$dir/records")
     writeManifest(tenant, index,
       Manifest(m0.epoch + 1, watermark, algoU, nVectors, newVersion))
-    gcOldSnapshots(tenant, index, keep = newVersion)
+    // keep the previous snapshot too: lazy frames returned by search()
+    // before this build may still resolve into it
+    gcOldSnapshots(tenant, index, keep = newVersion - 1)
   }
 
   // -------------------------------------------------------------------
@@ -619,8 +621,45 @@ class GraftEngine(spark: SparkSession, root: String) {
     val out =
       if (hitDf == null) freshOut
       else hitDf.unionByName(freshOut)
+
+    // step 14: metric counters (hit/miss per call) appended to the
+    // per-index metrics log — feeds [[statsText]] (VEC.STATS parity)
+    val nHit =
+      if (hitRows == null) 0L
+      else hitRows.select("query_id").distinct().count()
+    val nMiss = fresh.select("query_id").distinct().count()
+    import spark.implicits._
+    Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
+      .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+
     keyed.unpersist()
     out.orderBy("query_id", "rank")
+  }
+
+  /** VEC.STATS Prometheus-text dump for an index: cumulative hit/miss
+    * counters from the cached-search metrics log + the latency histogram
+    * of an optional caller-supplied latency table (latencies are wall-
+    * clock and therefore not engine-recorded — determinism rule)
+    * (reference: VectorCommandSet.cs:103-133 → MetricsCollector.GetStats). */
+  def statsText(tenant: String, index: String,
+                latencies: Option[DataFrame] = None): String = {
+    import graft.operators.Governance
+    val p = s"$root/metrics/$tenant/$index"
+    val (h, m) =
+      if (!Files.exists(Paths.get(p))) (0L, 0L)
+      else {
+        val r = spark.read.parquet(p)
+          .agg(sum("hits"), sum("misses")).head
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    val hist = latencies.map(Governance.latencyHistogram(_, "latency_ms"))
+      .getOrElse {
+        import spark.implicits._
+        Governance.latencyHistogram(Seq.empty[Double].toDF("latency_ms"), "latency_ms")
+      }
+    Governance.metricsText(
+      Governance.standardCounters(h, m, evictions = 0L, fallbacks = 0L), hist)
   }
 
   /** Current snapshot's centroid table (cluster_id, centroid). */

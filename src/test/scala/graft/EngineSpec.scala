@@ -216,6 +216,13 @@ class EngineSpec extends SparkSpec {
     val postWrite = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4, now = 1030L)
       .collect()
     assert(postWrite.forall(!_.getAs[Boolean]("cache_hit")))
+
+    // VEC.STATS text: 5 calls above = 2 hits (warm L0 + scaled L1),
+    // 3 misses (cold, expired, post-write)
+    val stats = eng.statsText("t1", "idx")
+    assert(stats.contains("cache_hit_total 2"), stats)
+    assert(stats.contains("cache_miss_total 3"), stats)
+    assert(stats.contains("""vector_search_latency_ms_bucket{le="+Inf"} 0"""), stats)
   }
 
   test("prefetchIntoCache warms L2 entries that searchCached then hits") {
