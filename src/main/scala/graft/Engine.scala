@@ -160,6 +160,20 @@ class GraftEngine(spark: SparkSession, root: String) {
     n
   }
 
+  /** Streaming ingestion (St1 write side): every micro-batch of the
+    * record stream lands through the same [[upsert]] path — last-write-
+    * wins semantics, epoch bumps (cache invalidation) per batch. The
+    * reference's continuous RESP write stream, as Structured Streaming.
+    * Stream schema = the record schema minus `deleted`. */
+  def upsertStream(records: DataFrame,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { upsert(batch); () }
+      }
+      .start()
+
   /** VEC.DEL: append tombstones (soft delete, VectorStore.cs:41-58). */
   def delete(tenant: String, index: String, ids: Seq[String], version: Long): Unit = {
     import spark.implicits._
@@ -458,6 +472,39 @@ class GraftEngine(spark: SparkSession, root: String) {
   def cacheEntries(tenant: String, index: String): DataFrame =
     spark.read.parquet(cacheEntriesPath(tenant, index))
 
+  /** Resolved plan-time search parameters — VEC.SEARCH steps 8-9
+    * (reference: VectorCommandSet.cs:423-456 + SloGuardrails.cs:58-87).
+    * `maxScans` 0 = uncapped; `cacheOnly` sheds cache misses. */
+  case class SearchOptions(maxScans: Int = 0, cacheOnly: Boolean = false,
+                           budgetAdjusted: Boolean = false)
+
+  /** SLO shed + budget degradation, resolved deterministically from the
+    * tenant's state (the serving side evaluates this per request; batch
+    * side resolves it once per plan):
+    *  - cache-only when CACHE_HINT force, or degraded guardrails and a
+    *    low-priority tenant (priority ≥ 2) — misses are shed;
+    *  - degraded guardrails cap scans for priority ≥ 1 tenants
+    *    (high-priority 0 is protected, SloGuardrails.cs:62-66);
+    *  - over-budget tenants get maxScans halved, or the default ceiling
+    *    min(1000, n/2), floor 1 (VectorCommandSet.cs:446-455). */
+  def resolveSearchOptions(tenant: String, index: String,
+                           degraded: Boolean = false, priority: Int = 1,
+                           overBudget: Boolean = false,
+                           cacheHintForce: Boolean = false,
+                           degradedMaxScans: Int = 1000): SearchOptions = {
+    val n = manifest(tenant, index).nVectors
+    val cacheOnly = cacheHintForce || (degraded && priority >= 2)
+    var maxScans = if (degraded && priority >= 1) degradedMaxScans else 0
+    var adjusted = false
+    if (overBudget) {
+      maxScans =
+        if (maxScans > 0) math.max(1, maxScans / 2)
+        else math.max(1, math.min(1000L, n / 2).toInt)
+      adjusted = true
+    }
+    SearchOptions(maxScans, cacheOnly, adjusted)
+  }
+
   /** The assembled cached-search pipeline — the reference's VEC.SEARCH
     * steps 6-13 as ONE call (VectorCommandSet.cs:206-537): derive the
     * layered cache keys, probe L0 exact → L0.5 canonical alias → L1
@@ -477,10 +524,16 @@ class GraftEngine(spark: SparkSession, root: String) {
     * Scale shape: keys are column expressions; the probe is an equi-join
     * of the (small) request batch against the keyed entry table; only
     * misses reach the index scan. No driver-side per-query loop. */
+  /** `options` carries the step-8/9 resolution ([[resolveSearchOptions]]):
+    * `cacheOnly` sheds each missing query as one (rank 0, null id,
+    * layer "SHED") row — the batch analog of the reference's
+    * `VEC_ERR_BUSY "SLO mode: cache-only."` per-request error — and
+    * `maxScans` caps the miss-path scan budget. */
   def searchCached(tenant: String, index: String, queries: DataFrame, k: Int,
                    metric: String = "L2", nprobe: Int = 4, now: Long = 0L,
                    ttlSeconds: Int = 60,
-                   hotClusters: Option[DataFrame] = None): DataFrame = {
+                   hotClusters: Option[DataFrame] = None,
+                   options: SearchOptions = SearchOptions()): DataFrame = {
     import graft.operators.Caching
     val m = manifest(tenant, index)
     val centroids = spark.read.parquet(
@@ -581,10 +634,27 @@ class GraftEngine(spark: SparkSession, root: String) {
 
     // miss path: the real delta search (steps 10-12); materialized so the
     // populate write below doesn't trigger a second full search and the
-    // returned frame is decoupled from the just-appended cache files
-    val fresh = search(tenant, index,
-      missQueries.select(queries.columns.map(col): _*), k, metric, nprobe)
-      .localCheckpoint()
+    // returned frame is decoupled from the just-appended cache files.
+    // Under cache-only shedding the misses never reach the index.
+    val fresh =
+      if (options.cacheOnly)
+        missQueries.select(col("query_id")).limit(0)
+          .select(col("query_id"), lit(0).as("rank"),
+            lit(null).cast("string").as("id"), lit(null).cast("double").as("score"))
+          .localCheckpoint()
+      else search(tenant, index,
+        missQueries.select(queries.columns.map(col): _*), k, metric, nprobe,
+        maxScans = options.maxScans)
+        .localCheckpoint()
+    val shedOut =
+      if (!options.cacheOnly) null
+      else missQueries.select(col("query_id"))
+        .withColumn("rank", lit(0))
+        .withColumn("id", lit(null).cast("string"))
+        .withColumn("score", lit(null).cast("double"))
+        .withColumn("cache_hit", lit(false))
+        .withColumn("layer", lit("SHED"))
+        .localCheckpoint()
 
     // populate (step 13): one hits-array per missed query, written under
     // every derived key; L2 TTL write-hot-shortened
@@ -615,19 +685,24 @@ class GraftEngine(spark: SparkSession, root: String) {
         lit(now).as("written_at"))
     newEntries.write.mode("append").parquet(cacheEntriesPath(tenant, index))
 
-    val freshOut = fresh
+    val freshOut0 = fresh
       .withColumn("cache_hit", lit(false))
       .withColumn("layer", lit(null).cast("string"))
+    val freshOut = if (shedOut == null) freshOut0 else freshOut0.unionByName(shedOut)
     val out =
       if (hitDf == null) freshOut
       else hitDf.unionByName(freshOut)
 
     // step 14: metric counters (hit/miss per call) appended to the
-    // per-index metrics log — feeds [[statsText]] (VEC.STATS parity)
+    // per-index metrics log — feeds [[statsText]] (VEC.STATS parity);
+    // shed queries count as misses (the reference bills the rejected
+    // request too, VectorCommandSet.cs:432-433)
     val nHit =
       if (hitRows == null) 0L
       else hitRows.select("query_id").distinct().count()
-    val nMiss = fresh.select("query_id").distinct().count()
+    val nMiss =
+      if (options.cacheOnly) shedOut.count()
+      else fresh.select("query_id").distinct().count()
     import spark.implicits._
     Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
       .write.mode("append").parquet(s"$root/metrics/$tenant/$index")

@@ -225,6 +225,53 @@ class EngineSpec extends SparkSpec {
     assert(stats.contains("""vector_search_latency_ms_bucket{le="+Inf"} 0"""), stats)
   }
 
+  test("SLO shed + budget degradation (steps 8-9): cache-only misses shed; scans halve") {
+    val root = Files.createTempDirectory("engine_slo").toString
+    val eng = new GraftEngine(spark, root)
+    val recs = (0 until 40).map { i =>
+      (s"v$i", Seq(i.toFloat, (40 - i).toFloat, 1f), null: String, Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4)
+    val query = q(1L, Seq(20f, 20f, 1f))
+
+    // low-priority tenant under degraded guardrails → cache-only
+    val shedOpts = eng.resolveSearchOptions("t1", "idx", degraded = true, priority = 2)
+    assert(shedOpts.cacheOnly)
+    val cold = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4,
+      now = 1000L, options = shedOpts).collect()
+    assert(cold.length == 1 && cold.head.getAs[String]("layer") == "SHED")
+    assert(cold.head.isNullAt(cold.head.fieldIndex("id")))
+
+    // warm the cache WITHOUT shedding, then the shed tenant can still hit
+    eng.searchCached("t1", "idx", query, k = 3, nprobe = 4, now = 1001L).collect()
+    val warmShed = eng.searchCached("t1", "idx", query, k = 3, nprobe = 4,
+      now = 1002L, options = shedOpts).collect()
+    assert(warmShed.forall(_.getAs[Boolean]("cache_hit")))
+    assert(warmShed.forall(_.getAs[String]("layer") == "L0"))
+
+    // normal-priority tenant degrades to capped scans, not shedding
+    val degOpts = eng.resolveSearchOptions("t1", "idx", degraded = true,
+      priority = 1, degradedMaxScans = 3)
+    assert(!degOpts.cacheOnly && degOpts.maxScans == 3)
+    // over-budget halves the degraded cap (floor 1)
+    val budOpts = eng.resolveSearchOptions("t1", "idx", degraded = true,
+      priority = 1, overBudget = true, degradedMaxScans = 3)
+    assert(budOpts.maxScans == 1 && budOpts.budgetAdjusted)
+    // over-budget alone gets the default ceiling min(1000, n/2) = 20
+    val budOnly = eng.resolveSearchOptions("t1", "idx", overBudget = true)
+    assert(budOnly.maxScans == 20 && budOnly.budgetAdjusted)
+    // high-priority tenant is protected from degradation entirely
+    val hiPri = eng.resolveSearchOptions("t1", "idx", degraded = true, priority = 0)
+    assert(hiPri == eng.SearchOptions(0, false, false))
+
+    // the capped options actually bound the miss-path candidates
+    val q2 = q(9L, Seq(5f, 30f, 1f))
+    val capped = eng.searchCached("t1", "idx", q2, k = 40, nprobe = 4,
+      now = 1010L, options = degOpts).collect()
+    assert(capped.nonEmpty && capped.length <= 6, s"got ${capped.length}")
+  }
+
   test("prefetchIntoCache warms L2 entries that searchCached then hits") {
     val root = Files.createTempDirectory("engine_prefetch").toString
     val eng = new GraftEngine(spark, root)
@@ -254,6 +301,44 @@ class EngineSpec extends SparkSpec {
     val later = eng.searchCached("t1", "idx", qs, k = 3, nprobe = 4, now = 99999L)
       .collect()
     assert(later.forall(!_.getAs[Boolean]("cache_hit")))
+  }
+
+  test("upsertStream: micro-batches land as last-write-wins records with epoch bumps") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("engine_stream").toString
+    val eng = new GraftEngine(spark, root)
+    val src = Files.createTempDirectory("stream_src").toString
+
+    val schema = StructType(Seq(
+      StructField("tenant_id", StringType), StructField("index_name", StringType),
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("meta", StringType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("updated_at", LongType)))
+    def mkBatch(rows: Seq[(String, Seq[Float], Long)], sub: String): Unit =
+      rows.map { case (id, v, ts) => ("t1", "idx", id, v, null: String, null: Seq[String], ts) }
+        .toDF("tenant_id", "index_name", "id", "vector", "meta", "tags", "updated_at")
+        .coalesce(1).write.parquet(s"$src/$sub")
+
+    mkBatch((0 until 10).map(i => (s"v$i", Seq(i.toFloat, 1f), 100L)), "b1")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/b*/")
+    val q = eng.upsertStream(stream, Files.createTempDirectory("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(eng.currentState("t1", "idx").count() == 10)
+      val e1 = eng.epoch("t1", "idx")
+
+      // second micro-batch rewrites v3 (LWW) and adds one
+      mkBatch(Seq(("v3", Seq(99f, 99f), 200L), ("v10", Seq(10f, 1f), 200L)), "b2")
+      q.processAllAvailable()
+      assert(eng.currentState("t1", "idx").count() == 11)
+      assert(eng.epoch("t1", "idx") > e1) // stream writes invalidate caches
+      val v3 = eng.currentState("t1", "idx").filter(col("id") === "v3")
+        .select("vector").head.getSeq[Float](0)
+      assert(v3 == Seq(99f, 99f))
+    } finally q.stop()
   }
 
   test("searchCached: L0.5 canonical alias resolves to the canonical entry") {
