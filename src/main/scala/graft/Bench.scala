@@ -96,6 +96,10 @@ object Bench {
     val tBrute100k = time {
       BruteForceKnn.knn(synth.select(col("id"), col("vec")), q100, "L2", 10).count()
     }
+    // fused serving form of the same exact scan: a FLAT index (one
+    // inverted list = the whole corpus) through the packed path
+    val flatIdx = IvfFlat.build(synth.select(col("id"), col("vec")), nlist = 1)
+    flatIdx.packed.count()
     val idx100k = IvfFlat.build(synth.select(col("id"), col("vec")), nlist = 100,
       metric = "L2", seed = 42L)
     idx100k.assigned.cache().count()
@@ -124,7 +128,14 @@ object Bench {
     val tIvf100k2k = time {
       IvfFlat.searchLocal(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).count()
     }
+    (0 until 8).foreach { _ =>
+      IvfFlat.searchLocal(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).count()
+    }
+    val tBrute100kFused = time {
+      IvfFlat.searchLocal(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).count()
+    }
     results("brute_100k_dim128_100q_sec") = tBrute100k
+    results("brute_100k_fused_sec") = tBrute100kFused
     results("ivf_100k_dim128_100q_sec") = tIvf100k
     results("ivf_100k_dim128_2000q_sec") = tIvf100k2k
     results("load_100k_sec") = tLoad
@@ -134,6 +145,7 @@ object Bench {
       "brute_qps" -> nVec / tBatch,
       "ivf_qps" -> nVec / tIvfSearch,
       "brute_100k_qps" -> 100.0 / tBrute100k,
+      "brute_100k_fused_qps" -> 100.0 / tBrute100kFused,
       "ivf_100k_qps" -> 100.0 / tIvf100k,
       "ivf_100k_2000q_qps" -> 2000.0 / tIvf100k2k,
       "load_vecs_per_sec" -> 100000.0 / tLoad)

@@ -49,15 +49,51 @@ object TextDedup {
 
   /** All pairs with n-gram Jaccard ≥ tau, via shared-shingle equi-join
     * (no cross product): candidates are pairs sharing ≥1 shingle; the
-    * common-count divided by union size is the exact Jaccard. */
+    * common-count divided by union size is the exact Jaccard.
+    *
+    * `prefixFilter = true` (default) applies the classic AllPairs/PPJoin
+    * prefix filter, still EXACT: order each doc's shingles by a global
+    * deterministic order (hash) and join only the first
+    * |S| − ⌈τ·|S|⌉ + 1 of them — if J(A,B) ≥ τ then
+    * |A∩B| ≥ τ·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets with that much
+    * overlap must intersect within these prefixes, so no qualifying pair
+    * is lost. Candidates shrink ~(1−τ)² of the naive join; the exact
+    * verify then computes true Jaccard over the full shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
-                   maxDocFreq: Int = 0): DataFrame = {
-    // persisted: referenced three times (self-join branches + sizes);
-    // released once the (small) thresholded pair set is materialized
-    val (result, sh) = jaccardPairsPlan(docs, n, tau, maxDocFreq)
-    val out = result.localCheckpoint()
-    sh.unpersist()
-    out
+                   maxDocFreq: Int = 0, prefixFilter: Boolean = true): DataFrame = {
+    // the df-cap changes which shingle sets Jaccard is computed over;
+    // prefixes derived from UNCAPPED sets wouldn't be sound against
+    // capped verification, so the cap route uses the plain shingle join
+    if (!prefixFilter || maxDocFreq > 0) {
+      // persisted: referenced three times (self-join branches + sizes);
+      // released once the (small) thresholded pair set is materialized
+      val (result, sh) = jaccardPairsPlan(docs, n, tau, maxDocFreq)
+      val out = result.localCheckpoint()
+      sh.unpersist()
+      out
+    } else {
+      val docShingles = docs.filter(size(tokens(col("text"))) >= n)
+        .select(col("doc_id"), shingleCol(col("text"), n).as("shingles"))
+        .persist()
+      // global deterministic shingle order: xxhash64; prefix length
+      // |S| - ceil(tau*|S|) + 1
+      val sorted = docShingles.select(col("doc_id"),
+        array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
+      val prefix = sorted.select(col("doc_id"),
+          explode(slice(col("hs"), lit(1),
+            (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")))
+            .as("g"))
+      val a = prefix.as("a"); val b = prefix.as("b")
+      val cands = a.join(b,
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .localCheckpoint()
+      val out = verifyFromShingles(docShingles, cands, maxDocFreq)
+        .filter(col("jaccard") >= tau)
+      docShingles.unpersist()
+      out
+    }
   }
 
   /** The un-checkpointed plan (exposed for plan-shape assertions). */

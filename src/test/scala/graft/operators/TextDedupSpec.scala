@@ -48,6 +48,25 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccard == unfiltered (the filter is exact, not approximate)") {
+    // wider fixture: 60 docs with a gradient of overlap so pairs sit on
+    // both sides of tau and prefixes actually prune
+    val words = (0 until 80).map(i => s"w$i")
+    val grad = (0 until 60).map { d =>
+      (100L + d, (0 until 40).map(j => words((d / 3 + j) % 80)).mkString(" "))
+    }
+    val all = docs.union(grad.toDF("doc_id", "text"))
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val plain = TextDedup.jaccardPairs(all, 3, tau, prefixFilter = false)
+        .select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      val pref = TextDedup.jaccardPairs(all, 3, tau)
+        .select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(pref == plain, s"tau=$tau: prefix=${pref.size} plain=${plain.size}")
+    }
+  }
+
   test("minhash LSH recovers the same pairs as exact jaccard at tau") {
     val exact = TextDedup.jaccardPairs(docs, 3, 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
