@@ -908,6 +908,76 @@ object Queries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE-style pre-tokenizer counts (contractions / letter runs / digit
+    * runs / punctuation runs) — the model-token proxy next to the
+    * whitespace count. */
+  val bpeTokenCount: QueryFn = (s, dir) =>
+    TextAnalysis.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")
+
+  val bpeTokenCountSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Pipeline composition: exact-dedup keep-list ∩ language==en ∩ length
+    * floor — the "clean corpus" selection a pretraining pipeline runs,
+    * chaining three verified operators in one plan. */
+  val corpusClean: QueryFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val keep = TextDedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val lang = TextAnalysis.langId(docs)
+    val qual = TextAnalysis.quality(docs).select("doc_id", "n_tokens")
+    docs.select("doc_id")
+      .join(keep, "doc_id")
+      .join(lang, "doc_id")
+      .join(qual, "doc_id")
+      .filter(col("lang_pred") === "en" && col("n_tokens") >= 10)
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), f AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.EnStop)}))) AS en,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.DeStop)}))) AS de,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.FrStop)}))) AS fr,
+       |         len(list_filter(string_split(text,' '), t -> t IN (${inList(TextAnalysis.EsStop)}))) AS es
+       |  FROM documents
+       |)
+       |SELECT f.doc_id, f.n_tokens
+       |FROM f JOIN keep ON f.doc_id = keep.doc_id
+       |WHERE f.n_tokens >= 10 AND greatest(en, de, fr, es) > 0
+       |  AND en = greatest(en, de, fr, es)
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** Resize plumbing over binary payloads (nearest-neighbor byte pick —
+    * the codec seam stubbed deterministically, ASCII text ⇒ string slice
+    * equals byte slice for the oracle). */
+  val multimodalResize: QueryFn = (s, dir) => {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("id"), lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"))
+    graft.operators.Multimodal.resize(media, target = 64)
+      .select(col("id"), md5(col("resized")).as("resized_md5"),
+        length(col("resized")).cast("long").as("resized_bytes"))
+      .orderBy("id")
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id AS id,
+      |       md5(CASE WHEN octet_length(encode(text)) <= 64 THEN text
+      |                ELSE array_to_string(list_transform(range(0, 64),
+      |                  i -> text[CAST(i * octet_length(encode(text)) // 64 AS BIGINT) + 1]), '')
+      |           END) AS resized_md5,
+      |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes
+      |FROM documents ORDER BY id""".stripMargin
+
   /** Order-sensitive document fingerprint (rolling hash; rows-only). */
   val docFingerprint: QueryFn = (s, dir) =>
     TextDedup.fingerprints(t(s, dir, "documents")).orderBy("doc_id")
@@ -1032,6 +1102,9 @@ object Queries {
     "markov_rules" -> markovRules,
     "dedup_exact" -> dedupExact,
     "token_count" -> tokenCount,
+    "bpe_token_count" -> bpeTokenCount,
+    "corpus_clean" -> corpusClean,
+    "multimodal_resize" -> multimodalResize,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1076,6 +1149,9 @@ object Queries {
     "markov_rules" -> markovRulesSql,
     "dedup_exact" -> dedupExactSql,
     "token_count" -> tokenCountSql,
+    "bpe_token_count" -> bpeTokenCountSql,
+    "corpus_clean" -> corpusCleanSql,
+    "multimodal_resize" -> multimodalResizeSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,
     "embedding_lsh_pairs" -> embeddingLshPairsSql,

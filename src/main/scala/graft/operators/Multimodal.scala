@@ -55,6 +55,35 @@ object Multimodal {
     ds.mapPartitions { it => it.map(StubCodec.features) }.toDF()
   }
 
+  /** Deterministic "resize": nearest-neighbor down-sample of the payload
+    * byte stream to `target` bytes (out(i) = bytes(⌊i·n/target⌋)) — the
+    * plumbing shape of an image resize with the pixel codec stubbed to
+    * byte picking; payloads shorter than `target` pass through unchanged.
+    * Replace the inner loop with a real resampler at the StubCodec seam. */
+  def resize(media: DataFrame, target: Int): DataFrame = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+      Encoders.BINARY)
+    media.select(col("id"), col("modality"), col("bytes")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val n = r.bytes.length
+          val out =
+            if (n <= target) r.bytes
+            else {
+              val o = new Array[Byte](target)
+              var i = 0
+              while (i < target) {
+                o(i) = r.bytes((i.toLong * n / target).toInt); i += 1
+              }
+              o
+            }
+          (r.id, r.modality, out)
+        }
+      }
+      .toDF("id", "modality", "resized")
+  }
+
   /** Deterministic frame sampling: every `stride`-th 256-byte block of the
     * payload becomes a "frame" row (id, frame_no, frame BINARY) — the
     * shape of video-frame extraction with the codec stubbed to slicing. */

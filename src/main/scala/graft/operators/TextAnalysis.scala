@@ -41,6 +41,20 @@ object TextAnalysis {
       (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
   }
 
+  /** BPE-style pre-tokenizer count: GPT-2-ish segmentation — contraction
+    * suffixes, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, residual spaces. Lookahead-free so
+    * the same pattern runs identically under Java regex (Spark) and RE2
+    * (DuckDB oracle). A far better proxy for model token counts than
+    * whitespace splitting (punctuation and numbers segment separately). */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   /** Deterministic language guess: stopword-profile counts per language,
     * argmax with fixed precedence (en > de > fr > es), 'und' when no
     * profile matches. */

@@ -39,4 +39,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).getAs[Array[Byte]]("frame").length == 256)
     assert(frames(1).getAs[Array[Byte]]("frame").length == 600 - 512)
   }
+
+  test("resize: nearest-neighbor byte pick to target; short payloads pass through") {
+    import spark.implicits._
+    val bytes = Array.tabulate(200)(i => i.toByte)
+    val media = Seq((1L, "image", bytes), (2L, "image", Array[Byte](1, 2, 3)))
+      .toDF("id", "modality", "bytes")
+    val got = Multimodal.resize(media, target = 50).orderBy("id").collect()
+    val r1 = got(0).getAs[Array[Byte]]("resized")
+    assert(r1.length == 50)
+    // out(i) = bytes(i*200/50) = bytes(4i)
+    (0 until 50).foreach(i => assert(r1(i) == (4 * i).toByte))
+    assert(got(1).getAs[Array[Byte]]("resized").toSeq == Seq[Byte](1, 2, 3))
+  }
 }

@@ -34,4 +34,18 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq((1L, "la the")).toDF("doc_id", "text") // en=1 fr=1 es=1
     assert(TextAnalysis.langId(docs).head.getString(1) == "en")
   }
+
+  test("bpeTokenCount segments contractions, digits, and punctuation runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "don't stop 123 now!!"),
+      (2L, "hello world"),
+      (3L, "a1b2")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCount(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // don | 't | " stop" | " 123" | " now" | !! → 6
+    assert(got(1L) == 6L, s"got ${got(1L)}")
+    assert(got(2L) == 2L)   // hello | " world"
+    assert(got(3L) == 4L)   // a | 1 | b | 2
+  }
 }
