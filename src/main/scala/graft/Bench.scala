@@ -38,6 +38,9 @@ object Bench {
     // min of 2 runs — the engine-warm number, like the reference's
     // warmup-then-measure harness (Pyrope.Benchmarks/Program.cs)
     def time(f: => Unit): Double = math.min(timeOnce(f), timeOnce(f))
+    // serving-path measurements are ~0.1-0.5 s where scheduler noise is a
+    // large fraction; best-of-3 on top of explicit warmup
+    def time3(f: => Unit): Double = math.min(time(f), timeOnce(f))
 
     // Warmup: JIT + codegen + parquet footer caches.
     SparkEntry.entry(spark).count()
@@ -115,7 +118,7 @@ object Bench {
     (0 until 8).foreach { _ =>
       IvfFlat.searchLocal(idx100k, q100Local, "L2", 10, nprobe = 10, spark).count()
     }
-    val tIvf100k = time {
+    val tIvf100k = time3 {
       IvfFlat.searchLocal(idx100k, q100Local, "L2", 10, nprobe = 10, spark).count()
     }
     // same 100k corpus, 2000-query batch: fixed job overhead amortizes —
@@ -125,13 +128,16 @@ object Bench {
       .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
     val q2000Local = q2000.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val tIvf100k2k = time {
+    (0 until 3).foreach { _ =>
+      IvfFlat.searchLocal(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).count()
+    }
+    val tIvf100k2k = time3 {
       IvfFlat.searchLocal(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).count()
     }
     (0 until 8).foreach { _ =>
       IvfFlat.searchLocal(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).count()
     }
-    val tBrute100kFused = time {
+    val tBrute100kFused = time3 {
       IvfFlat.searchLocal(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).count()
     }
     results("brute_100k_dim128_100q_sec") = tBrute100k

@@ -356,7 +356,10 @@ class GraftEngine(spark: SparkSession, root: String) {
         // ADC-scored candidates from the probed inverted lists (approximate
         // scores vs the head's exact ones — the reference's delta merge has
         // the same asymmetry, DeltaVectorIndex.cs:76-122). IVF_PQ is
-        // L2-scored by construction.
+        // L2-scored by construction: a different head metric would merge
+        // incomparable score scales, so reject it up front.
+        require(metric.equalsIgnoreCase("L2"),
+          s"IVF_PQ index is L2-scored; cannot search with metric=$metric")
         val pqIdx = graft.operators.IvfPq.load(
           spark, s"$snap/ivfpq")
         val strMap = pqIdx.assigned.select("id", "id_str")
@@ -557,8 +560,13 @@ class GraftEngine(spark: SparkSession, root: String) {
     val admitted =
       if (metric.equalsIgnoreCase("COSINE"))
         col("cscore") >= Caching.closenessThreshold(metric, cost)
-      else // L2/IP: admission on euclidean distance (score = -d²)
+      else if (metric.equalsIgnoreCase("L2"))
+        // L2: admission on euclidean distance (score = -d²)
         sqrt(-col("cscore")) <= Caching.closenessThreshold("L2", cost)
+      else
+        // IP has no bounded closeness notion (reference thresholds exist
+        // only for cosine/L2, VectorCommandSet.cs:913-944): L2 layer off
+        lit(false)
     val withCluster = scoredCent
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
@@ -601,9 +609,11 @@ class GraftEngine(spark: SparkSession, root: String) {
     val hitRows =
       if (!entriesExist) null
       else {
-        // epoch + TTL validity (St7/St8); newest entry wins per key
+        // epoch + TTL validity (St7/St8); newest entry wins per key, with
+        // a content-hash tie-break so same-batch writes to one key (two
+        // queries sharing an L1/L2 key) resolve deterministically
         val wNewest = Window.partitionBy("cache_key")
-          .orderBy(col("written_at").desc)
+          .orderBy(col("written_at").desc, xxhash64(to_json(col("hits"))))
         val valid = cacheEntries(tenant, index)
           .filter(col("epoch") === m.epoch && col("expires_at") > now)
           .withColumn("vrn", row_number().over(wNewest))
@@ -621,12 +631,18 @@ class GraftEngine(spark: SparkSession, root: String) {
           .localCheckpoint()
       }
 
+    // Served entries are trimmed to the REQUESTED k: L1/L2 keys bucket k
+    // via roundK, so an entry may hold more hits than this request asked
+    // for (the reference returns the stored list untrimmed — ours never
+    // over-returns; fewer-than-k on bucket sharing is inherent to RoundK
+    // and matches the reference).
     val hitDf =
       if (hitRows == null) null
       else hitRows.select(col("query_id"), col("layer"),
           posexplode(col("hits")))
         .select(col("query_id"), col("col.rank"), col("col.id"),
           col("col.score"), lit(true).as("cache_hit"), col("layer"))
+        .filter(col("rank") <= k)
 
     val missQueries =
       if (hitRows == null) keyed
@@ -700,9 +716,11 @@ class GraftEngine(spark: SparkSession, root: String) {
     val nHit =
       if (hitRows == null) 0L
       else hitRows.select("query_id").distinct().count()
+    // misses counted from the MISS SET, not the result rows — a miss whose
+    // search returns zero hits (selective tags, empty probes) still bills
     val nMiss =
       if (options.cacheOnly) shedOut.count()
-      else fresh.select("query_id").distinct().count()
+      else missQueries.select("query_id").distinct().count()
     import spark.implicits._
     Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
       .write.mode("append").parquet(s"$root/metrics/$tenant/$index")

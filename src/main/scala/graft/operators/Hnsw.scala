@@ -252,11 +252,18 @@ object Hnsw {
     val chunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     def flush(): Unit = if (chunk.nonEmpty) {
       val bq = spark.sparkContext.broadcast(chunk.toArray)
-      partials += graphs.flatMap { case (_, g) =>
+      // each chunk's graph pass runs EAGERLY (localCheckpoint) so its
+      // broadcast can be destroyed before the next chunk starts — at most
+      // one chunk of query data is alive at a time, which is what makes
+      // the driver/executor memory bound actually hold; the materialized
+      // partials are ≤ k rows per (query, graph partition)
+      val part = graphs.flatMap { case (_, g) =>
         bq.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k, efSearch).map { case (id, score) => (qid, id, score) }
         }
-      }.toDF("query_id", "id", "score")
+      }.toDF("query_id", "id", "score").localCheckpoint()
+      bq.destroy()
+      partials += part
       chunk.clear()
     }
     while (localIt.hasNext) {

@@ -163,33 +163,15 @@ object IvfFlat {
                           metric: String, nprobe: Int,
                           spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val cents = index.centroidsLocal
+    val metricU = metric.toUpperCase
     val rows = qs.flatMap { case (qid, qv) =>
       cents.headOption.foreach { case (_, cv) =>
         require(qv.length == cv.length,
           s"vector dimension mismatch: ${qv.length} vs ${cv.length}")
       }
-      cents.map { case (cid, cv) =>
-        val score = metric.toUpperCase match {
-          case "L2" =>
-            var s = 0.0; var i = 0
-            while (i < cv.length) { val d = qv(i).toDouble - cv(i); s += d * d; i += 1 }
-            -s
-          case "IP" | "INNERPRODUCT" =>
-            var s = 0.0; var i = 0
-            while (i < cv.length) { s += qv(i).toDouble * cv(i); i += 1 }
-            s
-          case "COSINE" =>
-            var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < cv.length) {
-              val x = qv(i).toDouble; val y = cv(i).toDouble
-              dp += x * y; na += x * x; nb += y * y; i += 1
-            }
-            val den = math.sqrt(na) * math.sqrt(nb)
-            if (den < 1e-6) 0.0 else dp / den
-          case m => throw new IllegalArgumentException(s"unknown metric: $m")
-        }
-        (qid, cid, score)
-      }.sortBy { case (_, cid, s) => (-s, cid.toLong) }
+      val qArr = qv.toArray
+      cents.map { case (cid, cv) => (qid, cid, candidateScore(metricU, qArr, cv)) }
+        .sortBy { case (_, cid, s) => (-s, cid.toLong) }
         .take(nprobe)
         .map { case (q, cid, _) => (q, cid, qv) }
     }
@@ -246,7 +228,7 @@ object IvfFlat {
     var qi = 0
     while (qi < nq) {
       val qv = qvecs(qi)
-      cents.map { case (cid, cv) => (cid, centroidScore(metricU, qv, cv)) }
+      cents.map { case (cid, cv) => (cid, candidateScore(metricU, qv, cv)) }
         .sortBy { case (cid, s) => (-s, cid.toLong) }
         .take(nprobe)
         .foreach { case (cid, _) =>
@@ -301,9 +283,6 @@ object IvfFlat {
     }.toSeq
     out.toDF("query_id", "rank", "id", "score")
   }
-
-  private def centroidScore(metricU: String, a: Array[Float], b: Array[Float]): Double =
-    candidateScore(metricU, a, b)
 
   /** -L2² with early abandonment: once the partial sum exceeds `bound`
     * (the max admissible distance²), the exact value no longer matters —

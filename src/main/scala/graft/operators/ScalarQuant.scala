@@ -23,7 +23,7 @@ object ScalarQuant {
     * fixed-size state → single JSON file. */
   def saveParams(p: Params, path: String): Unit = {
     val f = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(f.getParent)
+    if (f.getParent != null) java.nio.file.Files.createDirectories(f.getParent)
     java.nio.file.Files.writeString(f,
       s"""{"min": ${p.min}, "max": ${p.max}}""")
   }
