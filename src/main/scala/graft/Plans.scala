@@ -43,7 +43,10 @@ object Plans {
       spark.read.parquet(s"$dir/documents.parquet"), 3, 0.5).explain("formatted")
 
     println("==== PLAN: embedding LSH near-dup pairs (banded equi-join) ====")
-    graft.operators.EmbeddingDedup.lshPairs(emb, tau = 0.9).explain("formatted")
+    val (lshPlan, lshBanded) =
+      graft.operators.EmbeddingDedup.lshPairsPlan(emb, tau = 0.9, seed = 42L)
+    lshPlan.explain("formatted")
+    lshBanded.unpersist()
 
     spark.stop()
   }

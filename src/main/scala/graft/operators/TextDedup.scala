@@ -68,9 +68,8 @@ object TextDedup {
       // persisted: referenced three times (self-join branches + sizes);
       // released once the (small) thresholded pair set is materialized
       val (result, sh) = jaccardPairsPlan(docs, n, tau, maxDocFreq)
-      val out = result.localCheckpoint()
-      sh.unpersist()
-      out
+      try result.localCheckpoint()
+      finally sh.unpersist()
     } else {
       val docShingles = docs.filter(size(tokens(col("text"))) >= n)
         .select(col("doc_id"), shingleCol(col("text"), n).as("shingles"))
@@ -89,10 +88,9 @@ object TextDedup {
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
         .localCheckpoint()
-      val out = verifyFromShingles(docShingles, cands, maxDocFreq)
+      try verifyFromShingles(docShingles, cands, maxDocFreq)
         .filter(col("jaccard") >= tau)
-      docShingles.unpersist()
-      out
+      finally docShingles.unpersist()
     }
   }
 
@@ -157,9 +155,8 @@ object TextDedup {
         .filter(col("df") > maxDocFreq).select("g")
       shAll.join(broadcast(hubs), Seq("g"), "left_anti")
     } else shAll).persist()
-    val verified = jaccardOfShingleTable(sh, pairs)
-    sh.unpersist()
-    verified
+    try jaccardOfShingleTable(sh, pairs)
+    finally sh.unpersist()
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
@@ -177,11 +174,11 @@ object TextDedup {
     val docShingles = docs.filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"), shingleCol(col("text"), n).as("shingles"))
       .persist()
-    val candidates = candidatePairsFromShingles(docShingles, numHashes, bands)
-    val verified = verifyFromShingles(docShingles, candidates, maxDocFreq)
-      .filter(col("jaccard") >= tau)
-    docShingles.unpersist() // verified is localCheckpoint-materialized
-    verified
+    try {
+      val candidates = candidatePairsFromShingles(docShingles, numHashes, bands)
+      verifyFromShingles(docShingles, candidates, maxDocFreq)
+        .filter(col("jaccard") >= tau)
+    } finally docShingles.unpersist() // verified is localCheckpoint-materialized
   }
 
   /** LSH candidate generation: pairs agreeing on >= 1 signature band.
@@ -214,14 +211,13 @@ object TextDedup {
     // candidates are tiny — materialize them (localCheckpoint) so the
     // banded cache can be released immediately instead of pinning the
     // session's storage pool for the lifetime of the returned plan
-    val cands = a.join(b,
+    try a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
       .localCheckpoint()
-    banded.unpersist()
-    cands
+    finally banded.unpersist()
   }
 
   /** Exact-Jaccard verification of a candidate pair set. */
@@ -235,9 +231,8 @@ object TextDedup {
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2"))).distinct()
     val sh = shingleTable(docs.join(ids, "doc_id"), n, maxDocFreq).persist()
-    val verified = jaccardOfShingleTable(sh, pairs)
-    sh.unpersist()
-    verified
+    try jaccardOfShingleTable(sh, pairs)
+    finally sh.unpersist()
   }
 
   /** Exact Jaccard over an exploded (doc_id, g) shingle table, restricted

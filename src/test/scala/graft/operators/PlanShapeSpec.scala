@@ -52,8 +52,11 @@ class PlanShapeSpec extends SparkSpec {
   test("embedding LSH pairs: banded equi-join, no cartesian/nested-loop product") {
     val emb = (0 until 50).map(i => (i.toLong, Seq.fill(8)(i * 0.1f)))
       .toDF("vec_id", "embedding")
-    val plan = EmbeddingDedup.lshPairs(emb, tau = 0.9)
-      .queryExecution.executedPlan.toString
+    // the pre-checkpoint plan (lshPairs materializes its output)
+    val (planDf, banded) = EmbeddingDedup.lshPairsPlan(emb, tau = 0.9, seed = 42L)
+    val plan =
+      try planDf.queryExecution.executedPlan.toString
+      finally banded.unpersist()
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // candidates come from an equi-join on (band, band-hash)
