@@ -647,23 +647,29 @@ class GraftEngine(spark: SparkSession, root: String) {
     val missQueries =
       if (hitRows == null) keyed
       else keyed.join(hitRows.select("query_id"), Seq("query_id"), "left_anti")
+    // fully-warm calls (every query hit) skip the whole miss machinery —
+    // search plan, populate write, shed frame — for one cheap existence
+    // probe against the cached/checkpointed inputs
+    val anyMiss = hitRows == null || missQueries.limit(1).count() > 0
+
+    def emptyResult() =
+      missQueries.select(col("query_id")).limit(0)
+        .select(col("query_id"), lit(0).as("rank"),
+          lit(null).cast("string").as("id"), lit(null).cast("double").as("score"))
+        .localCheckpoint()
 
     // miss path: the real delta search (steps 10-12); materialized so the
     // populate write below doesn't trigger a second full search and the
     // returned frame is decoupled from the just-appended cache files.
     // Under cache-only shedding the misses never reach the index.
     val fresh =
-      if (options.cacheOnly)
-        missQueries.select(col("query_id")).limit(0)
-          .select(col("query_id"), lit(0).as("rank"),
-            lit(null).cast("string").as("id"), lit(null).cast("double").as("score"))
-          .localCheckpoint()
+      if (options.cacheOnly || !anyMiss) emptyResult()
       else search(tenant, index,
         missQueries.select(queries.columns.map(col): _*), k, metric, nprobe,
         maxScans = options.maxScans)
         .localCheckpoint()
     val shedOut =
-      if (!options.cacheOnly) null
+      if (!options.cacheOnly || !anyMiss) null
       else missQueries.select(col("query_id"))
         .withColumn("rank", lit(0))
         .withColumn("id", lit(null).cast("string"))
@@ -699,7 +705,8 @@ class GraftEngine(spark: SparkSession, root: String) {
         lit(m.epoch).as("epoch"),
         (lit(now) + col("e.ttl")).as("expires_at"),
         lit(now).as("written_at"))
-    newEntries.write.mode("append").parquet(cacheEntriesPath(tenant, index))
+    if (anyMiss && !options.cacheOnly)
+      newEntries.write.mode("append").parquet(cacheEntriesPath(tenant, index))
 
     val freshOut0 = fresh
       .withColumn("cache_hit", lit(false))
@@ -719,7 +726,8 @@ class GraftEngine(spark: SparkSession, root: String) {
     // misses counted from the MISS SET, not the result rows — a miss whose
     // search returns zero hits (selective tags, empty probes) still bills
     val nMiss =
-      if (options.cacheOnly) shedOut.count()
+      if (!anyMiss) 0L
+      else if (options.cacheOnly) shedOut.count()
       else missQueries.select("query_id").distinct().count()
     import spark.implicits._
     Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")

@@ -782,7 +782,12 @@ object Queries {
   /** 3-gram shingle Jaccard near-dup pairs (τ=0.5; the testdata plants 25
     * near-dup pairs with a wide margin below the threshold). */
   val dedupNgramJaccard: QueryFn = (s, dir) =>
-    TextDedup.jaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.5)
+    // plain shingle join at driver SF: the prefix filter's candidate
+    // reduction pays off on large corpora, but its extra phases dominate
+    // a 5k-doc input (measured 2-4 s vs 4-8 s at sf0.1; identical rows —
+    // TextDedupSpec proves the paths equal)
+    TextDedup.jaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.5,
+        prefixFilter = false)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id1", "id2")
 

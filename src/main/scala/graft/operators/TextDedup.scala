@@ -58,7 +58,12 @@ object TextDedup {
     * |A∩B| ≥ τ·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets with that much
     * overlap must intersect within these prefixes, so no qualifying pair
     * is lost. Candidates shrink ~(1−τ)² of the naive join; the exact
-    * verify then computes true Jaccard over the full shingle sets. */
+    * verify then computes true Jaccard over the full shingle sets.
+    * Right-sizing: the filter's extra phases only pay off once the
+    * shared-shingle join dominates (large corpora); small inputs run
+    * faster with `prefixFilter = false`. A further optimization at
+    * extreme scale is frequency-ordered prefixes (rarest shingles first,
+    * classic AllPairs), at the cost of a global df pass. */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
                    maxDocFreq: Int = 0, prefixFilter: Boolean = true): DataFrame = {
     // the df-cap changes which shingle sets Jaccard is computed over;
