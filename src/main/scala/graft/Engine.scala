@@ -443,6 +443,41 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
   }
 
+  /** Incremental compaction: fold the current state into a fresh tail
+    * snapshot WITHOUT retraining the coarse codebook — every live record
+    * is assigned to its nearest EXISTING centroid in one pass
+    * (reference: IVF adds land in inverted lists without retrain,
+    * IvfFlatVectorIndex.cs:39-54; a full [[build]] is the retrain).
+    * At scale this is the routine compaction: KMeans retraining is the
+    * expensive step and cluster geometry drifts slowly, so retrain on a
+    * cadence and fold incrementally in between. IVF_FLAT/FLAT only. */
+  def compactIncremental(tenant: String, index: String): Unit = {
+    val m0 = manifest(tenant, index)
+    require(m0.algo == "IVF_FLAT" || m0.algo == "FLAT",
+      s"incremental compaction needs an inverted-list tail, got ${m0.algo}")
+    val snap0 = snapDir(tenant, index, m0)
+    val centroids = spark.read.parquet(s"$snap0/centroids")
+    val state = currentState(tenant, index)
+    val wmRow = state.agg(max("updated_at"), count(lit(1))).head
+    require(!wmRow.isNullAt(0),
+      s"cannot compact $tenant/$index: current state is empty")
+    val keyed = state.select(col("id").as("id_str"),
+        col("vector").as("vec"), col("meta"), col("tags"))
+      .withColumn("id", xxhash64(col("id_str")))
+    val newVersion = m0.version + 1
+    val dir = s"${indexPath(tenant, index)}/v$newVersion"
+    val idx0 = IvfFlat.Index(spark.emptyDataFrame, centroids)
+    IvfFlat.assign(keyed.select("id", "vec", "id_str"), idx0)
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$dir/vectors")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    keyed.select("id_str", "meta", "tags")
+      .write.mode("overwrite").parquet(s"$dir/records")
+    writeManifest(tenant, index, Manifest(m0.epoch + 1, wmRow.getLong(0),
+      m0.algo, wmRow.getLong(1), newVersion))
+    gcOldSnapshots(tenant, index, keep = newVersion - 1)
+  }
+
   // -------------------------------------------------------------------
   // cached search (SURVEY §3.1 steps 6-13 assembled)
   // -------------------------------------------------------------------

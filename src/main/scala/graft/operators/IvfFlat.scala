@@ -122,6 +122,31 @@ object IvfFlat {
     Index(assigned, centroids)
   }
 
+  /** Assign vectors to their nearest EXISTING centroid (no training):
+    * one pass with a broadcast centroid array and an argmin kernel — the
+    * incremental-add path (the reference adds into inverted lists without
+    * retraining, IvfFlatVectorIndex.cs:39-54). Tie-break: lowest
+    * cluster_id, matching the probe ranking's tie order. */
+  def assign(vectors: DataFrame, index: Index, metric: String = "L2"): DataFrame = {
+    val cents = index.centroidsLocal
+    val metricU = metric.toUpperCase
+    val spark = vectors.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val nearest = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val cs = bc.value
+      var best = Int.MaxValue; var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val s = candidateScore(metricU, arr, cs(i)._2)
+        if (s > bestS || (s == bestS && cs(i)._1 < best)) { bestS = s; best = cs(i)._1 }
+        i += 1
+      }
+      best
+    }
+    vectors.withColumn("cluster_id", nearest(col("vec")))
+  }
+
   /** Persist the index: cluster-partitioned vectors + centroid table
     * (reference snapshot: IvfFlatVectorIndex.cs:233-298). Reading back and
     * filtering on cluster_id gives partition pruning for free. */

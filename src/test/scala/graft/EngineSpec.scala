@@ -303,6 +303,40 @@ class EngineSpec extends SparkSpec {
     assert(later.forall(!_.getAs[Boolean]("cache_hit")))
   }
 
+  test("compactIncremental folds head into tail against the existing codebook") {
+    val root = Files.createTempDirectory("engine_compact").toString
+    val eng = new GraftEngine(spark, root)
+    val recs = (0 until 30).map { i =>
+      (s"v$i", Seq(i.toFloat, (30 - i).toFloat, 1f), null: String, Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 3)
+    val centsBefore = eng.centroids("t1", "idx")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+
+    // fresh writes + a delete after the build
+    eng.upsert(mkRecords(Seq(
+      ("w0", Seq(100f, 1f, 1f), """{"fresh":1}""", Seq.empty[String], 200L))))
+    eng.delete("t1", "idx", Seq("v5"), version = 300L)
+
+    eng.compactIncremental("t1", "idx")
+    // centroids untouched (no retrain)
+    val centsAfter = eng.centroids("t1", "idx")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(centsAfter == centsBefore)
+
+    // folded: w0 served from the tail, v5 gone, head empty (watermark moved)
+    val hit = eng.search("t1", "idx", q(1L, Seq(100f, 1f, 1f)), k = 1,
+      nprobe = 3, withMeta = true).collect()
+    assert(hit.head.getAs[String]("id") == "w0")
+    assert(hit.head.getAs[String]("meta") == """{"fresh":1}""")
+    val all = eng.search("t1", "idx", q(2L, Seq(5f, 25f, 1f)), k = 30,
+      nprobe = 3).collect()
+    assert(!all.map(_.getAs[String]("id")).contains("v5"))
+    assert(all.length == 30) // 30 - v5 + w0
+    assert(eng.stats("t1", "idx").agg(sum("n_vectors")).head.getLong(0) == 30)
+  }
+
   test("upsertStream: micro-batches land as last-write-wins records with epoch bumps") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("engine_stream").toString
