@@ -46,7 +46,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     * isolation form of the reference's temp-dir-rename atomic snapshot
     * (DeltaVectorIndex.cs:160-212). version 0 = never built. */
   case class Manifest(epoch: Long, buildWatermark: Long, algo: String = "IVF_FLAT",
-                      nVectors: Long = 0L, version: Long = 0L)
+                      nVectors: Long = 0L, version: Long = 0L, metric: String = "L2")
 
   private def manifestFile(tenant: String, index: String) =
     Paths.get(s"${indexPath(tenant, index)}/manifest.json")
@@ -65,8 +65,10 @@ class GraftEngine(spark: SparkSession, root: String) {
         raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
       val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse("IVF_FLAT")
+      val metric = raw""""metric"\s*:\s*"([A-Za-z_]+)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("L2")
       Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"),
-        field("version"))
+        field("version"), metric)
     } else Manifest(0L, Long.MinValue, "IVF_FLAT")
   }
 
@@ -76,7 +78,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     // write-then-atomic-rename: the manifest swap IS the commit
     val tmp = Paths.get(f.toString + ".tmp")
     Files.writeString(tmp,
-      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}, "version": ${m.version}}""",
+      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}, "version": ${m.version}, "metric": "${m.metric}"}""",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
     Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -254,6 +256,8 @@ class GraftEngine(spark: SparkSession, root: String) {
           .parquet(s"$dir/idmap")
       case "IVF_PQ" =>
         // PQ is L2-trained like the reference (IvfPqVectorIndex.cs:55-116)
+        require(metric.equalsIgnoreCase("L2"),
+          s"IVF_PQ tails are L2-trained; cannot build with metric=$metric")
         val cached = keyed.cache()
         val idx = graft.operators.IvfPq.build(
           cached.select("id", "vec"),
@@ -273,7 +277,8 @@ class GraftEngine(spark: SparkSession, root: String) {
     state.select(col("id").as("id_str"), col("meta"), col("tags"))
       .write.mode("overwrite").parquet(s"$dir/records")
     writeManifest(tenant, index,
-      Manifest(m0.epoch + 1, watermark, algoU, nVectors, newVersion))
+      Manifest(m0.epoch + 1, watermark, algoU, nVectors, newVersion,
+        metric.toUpperCase))
     // keep the previous snapshot too: lazy frames returned by search()
     // before this build may still resolve into it
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
@@ -317,6 +322,12 @@ class GraftEngine(spark: SparkSession, root: String) {
              metric: String = "L2", nprobe: Int = 4,
              withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
     val m = manifest(tenant, index)
+    // the tail's geometry (KMeans clusters, HNSW links, PQ codebooks) is
+    // trained for the build metric — scoring probes with a different one
+    // silently degrades recall, so reject the mismatch. FLAT tails are a
+    // single exact-scanned list: metric-agnostic by construction.
+    require(m.algo == "FLAT" || metric.equalsIgnoreCase(m.metric),
+      s"index built with metric=${m.metric}; cannot search with metric=$metric")
     val snap = snapDir(tenant, index, m)
     val snapshot = spark.read.parquet(s"$snap/records")
 
@@ -467,14 +478,19 @@ class GraftEngine(spark: SparkSession, root: String) {
     val newVersion = m0.version + 1
     val dir = s"${indexPath(tenant, index)}/v$newVersion"
     val idx0 = IvfFlat.Index(spark.emptyDataFrame, centroids)
-    IvfFlat.assign(keyed.select("id", "vec", "id_str"), idx0)
+    // assignment MUST reproduce build()'s geometry: COSINE tails are
+    // cosine-trained (cosine argmax), everything else euclidean-trained —
+    // an L2 re-assignment of a cosine tail would silently reshape the
+    // lists away from the probe ranking later cosine searches use
+    val assignMetric = if (m0.metric.equalsIgnoreCase("COSINE")) "COSINE" else "L2"
+    IvfFlat.assign(keyed.select("id", "vec", "id_str"), idx0, assignMetric)
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$dir/vectors")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     keyed.select("id_str", "meta", "tags")
       .write.mode("overwrite").parquet(s"$dir/records")
     writeManifest(tenant, index, Manifest(m0.epoch + 1, wmRow.getLong(0),
-      m0.algo, wmRow.getLong(1), newVersion))
+      m0.algo, wmRow.getLong(1), newVersion, m0.metric))
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
   }
 
@@ -574,6 +590,8 @@ class GraftEngine(spark: SparkSession, root: String) {
                    options: SearchOptions = SearchOptions()): DataFrame = {
     import graft.operators.Caching
     val m = manifest(tenant, index)
+    require(m.algo == "FLAT" || metric.equalsIgnoreCase(m.metric),
+      s"index built with metric=${m.metric}; cannot search with metric=$metric")
     val centroids = spark.read.parquet(
       s"${snapDir(tenant, index, m)}/centroids")
 
@@ -714,11 +732,18 @@ class GraftEngine(spark: SparkSession, root: String) {
         .localCheckpoint()
 
     // populate (step 13): one hits-array per missed query, written under
-    // every derived key; L2 TTL write-hot-shortened
-    val freshArr = fresh
-      .groupBy("query_id")
-      .agg(array_sort(collect_list(
-        struct(col("rank"), col("id"), col("score")))).as("hits"))
+    // every derived key; L2 TTL write-hot-shortened. Zero-hit misses are
+    // cached too — the reference stores the serialized (possibly empty)
+    // result list (ResultCache.cs), so the repeat query must hit instead
+    // of re-running the full scan; groupBy alone would drop them.
+    val freshArr = missQueries.select("query_id")
+      .join(fresh
+        .groupBy("query_id")
+        .agg(array_sort(collect_list(
+          struct(col("rank"), col("id"), col("score")))).as("hits")),
+        Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"),
+        array().cast("array<struct<rank:int,id:string,score:double>>")))
     val hot = hotClusters.getOrElse {
       import spark.implicits._
       Seq.empty[(Int, Boolean)].toDF("cluster_id", "hot")

@@ -58,9 +58,14 @@ object IvfPq {
       .withColumn("rq", zip_with(col("qvec"), col("centroid"), (x, y) => x - y))
       .select("query_id", "cluster_id", "rq")
 
-    val sample = probeSet.limit(maxLocalQueries + 1).collect()
+    // probeSet has nq × nprobe rows — bound it in QUERY units so the knob
+    // keeps its documented meaning (the driver holds nprobe ADC tables per
+    // query either way, so memory per admitted query is nprobe·M·K doubles)
+    val pairCap = (maxLocalQueries.toLong * math.max(1, nprobe))
+      .min(Int.MaxValue - 1L).toInt
+    val sample = probeSet.limit(pairCap + 1).collect()
     val scored =
-      if (sample.length <= maxLocalQueries) {
+      if (sample.length <= pairCap) {
         // One residual ADC table per (query, probed cluster):
         // nq × nprobe × M × K doubles — small here by construction.
         val tables = sample.map { r =>

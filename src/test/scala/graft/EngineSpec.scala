@@ -337,6 +337,61 @@ class EngineSpec extends SparkSpec {
     assert(eng.stats("t1", "idx").agg(sum("n_vectors")).head.getLong(0) == 30)
   }
 
+  test("build metric persists: compaction keeps it, mismatched searches are rejected") {
+    val root = Files.createTempDirectory("engine_metric").toString
+    val eng = new GraftEngine(spark, root)
+    val xs = (0 until 15).map(i =>
+      (s"x$i", Seq(5f + i, 0.01f, 0f), null: String, Seq.empty[String], 100L))
+    val ys = (0 until 15).map(i =>
+      (s"y$i", Seq(0.01f, 5f + i, 0f), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(xs ++ ys))
+    eng.build("t1", "idx", nlist = 2, metric = "COSINE")
+    assert(eng.manifest("t1", "idx").metric == "COSINE")
+
+    // the tail's cluster geometry is cosine-trained: L2 probes would rank
+    // against the wrong geometry, so the mismatch is rejected up front
+    intercept[IllegalArgumentException] {
+      eng.search("t1", "idx", q(1L, Seq(1f, 0f, 0f)), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      eng.searchCached("t1", "idx", q(1L, Seq(1f, 0f, 0f)), k = 1, now = 0L)
+    }
+
+    // fold a fresh low-magnitude x-direction record: compaction must assign
+    // by the persisted cosine metric and keep serving it on the x list
+    eng.upsert(mkRecords(Seq(
+      ("tiny", Seq(0.5f, 0.01f, 0f), null, Seq.empty[String], 200L))))
+    eng.compactIncremental("t1", "idx")
+    assert(eng.manifest("t1", "idx").metric == "COSINE")
+    val hits = eng.search("t1", "idx", q(2L, Seq(1f, 0.001f, 0f)), k = 16,
+      metric = "COSINE", nprobe = 1).collect()
+    assert(hits.map(_.getAs[String]("id")).contains("tiny"))
+  }
+
+  test("searchCached caches zero-hit misses: the repeat query hits, not re-scans") {
+    val root = Files.createTempDirectory("engine_zerohit").toString
+    val eng = new GraftEngine(spark, root)
+    val recs = (0 until 20).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq("present"), 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2)
+
+    // a filter no record satisfies → the search legitimately returns 0 hits
+    val qz = q(1L, Seq(3f, 1f, 0f), Seq("no_such_tag"))
+    val cold = eng.searchCached("t1", "idx", qz, k = 3, nprobe = 2, now = 1000L)
+      .collect()
+    assert(cold.isEmpty)
+
+    // the empty result was cached: the warm call bills a hit, not a second
+    // miss (the reference caches the serialized empty list, ResultCache.cs)
+    val warm = eng.searchCached("t1", "idx", qz, k = 3, nprobe = 2, now = 1010L)
+      .collect()
+    assert(warm.isEmpty)
+    val mlog = spark.read.parquet(s"$root/metrics/t1/idx").orderBy("ts").collect()
+    assert(mlog.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L), (1L, 0L)))
+  }
+
   test("upsertStream: micro-batches land as last-write-wins records with epoch bumps") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("engine_stream").toString

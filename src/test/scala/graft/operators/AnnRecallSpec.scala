@@ -136,6 +136,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(refined > 0.6, s"IVF-PQ refined recall $refined")
   }
 
+  test("IvfFlat.assign is metric-aware: cosine argmax differs from L2 argmin") {
+    // non-unit centroid makes the two geometries disagree: v=(0.5,0.4) is
+    // angle-closest to (10,0) but position-closest to (0,1)
+    val cents = Seq((0, Seq(10f, 0f)), (1, Seq(0f, 1f))).toDF("cluster_id", "centroid")
+    val idx = IvfFlat.Index(spark.emptyDataFrame, cents)
+    val v = Seq((1L, Seq(0.5f, 0.4f), "a")).toDF("id", "vec", "id_str")
+    assert(IvfFlat.assign(v, idx, "COSINE").select("cluster_id").head.getInt(0) == 0)
+    assert(IvfFlat.assign(v, idx, "L2").select("cluster_id").head.getInt(0) == 1)
+  }
+
   test("Delta: fresh head vector beats stale tail with same id (head-wins)") {
     // tail has id=999 far from query; head re-writes id=999 exactly at the query
     val q = Seq((0L, Seq.fill(dim)(5.0f))).toDF("query_id", "qvec")
