@@ -45,8 +45,14 @@ class GraftEngine(spark: SparkSession, root: String) {
     * single manifest write is the atomic commit point — the snapshot-
     * isolation form of the reference's temp-dir-rename atomic snapshot
     * (DeltaVectorIndex.cs:160-212). version 0 = never built. */
+  /** `headDirty` = 1 when the record log may hold rows newer than the
+    * build watermark (any write since the last build/compaction); 0 right
+    * after a build. Lets the search plan skip the whole fresh-head subtree
+    * (log scan, LWW window, mask anti-joins) when the tail is known
+    * current — the overwhelmingly common read regime of a serving index. */
   case class Manifest(epoch: Long, buildWatermark: Long, algo: String = "IVF_FLAT",
-                      nVectors: Long = 0L, version: Long = 0L, metric: String = "L2")
+                      nVectors: Long = 0L, version: Long = 0L, metric: String = "L2",
+                      headDirty: Int = 1)
 
   private def manifestFile(tenant: String, index: String) =
     Paths.get(s"${indexPath(tenant, index)}/manifest.json")
@@ -67,8 +73,11 @@ class GraftEngine(spark: SparkSession, root: String) {
         .map(_.group(1)).getOrElse("IVF_FLAT")
       val metric = raw""""metric"\s*:\s*"([A-Za-z_]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse("L2")
+      // absent field (older manifest) → assume dirty: correctness over speed
+      val headDirty = raw""""headDirty"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(1)
       Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"),
-        field("version"), metric)
+        field("version"), metric, headDirty)
     } else Manifest(0L, Long.MinValue, "IVF_FLAT")
   }
 
@@ -78,7 +87,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     // write-then-atomic-rename: the manifest swap IS the commit
     val tmp = Paths.get(f.toString + ".tmp")
     Files.writeString(tmp,
-      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}, "version": ${m.version}, "metric": "${m.metric}"}""",
+      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}, "version": ${m.version}, "metric": "${m.metric}", "headDirty": ${m.headDirty}}""",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
     Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -106,7 +115,7 @@ class GraftEngine(spark: SparkSession, root: String) {
 
   private def bumpEpoch(tenant: String, index: String): Unit = {
     val m = manifest(tenant, index)
-    writeManifest(tenant, index, m.copy(epoch = m.epoch + 1))
+    writeManifest(tenant, index, m.copy(epoch = m.epoch + 1, headDirty = 1))
   }
 
   // -------------------------------------------------------------------
@@ -278,7 +287,7 @@ class GraftEngine(spark: SparkSession, root: String) {
       .write.mode("overwrite").parquet(s"$dir/records")
     writeManifest(tenant, index,
       Manifest(m0.epoch + 1, watermark, algoU, nVectors, newVersion,
-        metric.toUpperCase))
+        metric.toUpperCase, headDirty = 0))
     // keep the previous snapshot too: lazy frames returned by search()
     // before this build may still resolve into it
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
@@ -320,7 +329,16 @@ class GraftEngine(spark: SparkSession, root: String) {
 
   def search(tenant: String, index: String, queries: DataFrame, k: Int,
              metric: String = "L2", nprobe: Int = 4,
-             withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
+             withMeta: Boolean = false, maxScans: Int = 0): DataFrame =
+    searchImpl(tenant, index, queries, k, metric, nprobe, withMeta, maxScans)
+      .orderBy("query_id", "rank")
+
+  /** [[search]] without the final cosmetic sort — internal callers
+    * (the cached cascade) re-order once at their own output, and the
+    * range-sort costs a sampling pass per call. */
+  private def searchImpl(tenant: String, index: String, queries: DataFrame, k: Int,
+                         metric: String, nprobe: Int,
+                         withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
     val m = manifest(tenant, index)
     // the tail's geometry (KMeans clusters, HNSW links, PQ codebooks) is
     // trained for the build metric — scoring probes with a different one
@@ -332,18 +350,34 @@ class GraftEngine(spark: SparkSession, root: String) {
     val snapshot = spark.read.parquet(s"$snap/records")
 
     // head: anything written after the build watermark (fresh adds,
-    // upserts AND tombstones — the latter must mask tail hits)
-    val headLog = spark.read.parquet(recordsPath)
-      .filter(col("tenant_id") === tenant && col("index_name") === index &&
-        col("updated_at") > m.buildWatermark)
-    val wHead = Window.partitionBy("id").orderBy(col("updated_at").desc)
-    val headState = headLog.withColumn("rn", row_number().over(wHead))
-      .filter(col("rn") === 1)
-    val headIds = headState.select(col("id").as("id_str")).distinct()
-    val headLive = headState.filter(!col("deleted"))
-      .select(col("id").as("id_str"), col("vector").as("vec"),
-        coalesce(col("tags"), array().cast("array<string>")).as("tags"),
-        col("meta"))
+    // upserts AND tombstones — the latter must mask tail hits). Skipped
+    // wholesale when the manifest proves the log has no post-watermark
+    // rows (headDirty == 0) — the steady serving state after a build.
+    val headOpt: Option[(DataFrame, DataFrame)] =
+      if (m.headDirty == 0) None
+      else {
+        val headLog = spark.read.parquet(recordsPath)
+          .filter(col("tenant_id") === tenant && col("index_name") === index &&
+            col("updated_at") > m.buildWatermark)
+        val wHead = Window.partitionBy("id").orderBy(col("updated_at").desc)
+        val headState = headLog.withColumn("rn", row_number().over(wHead))
+          .filter(col("rn") === 1)
+        val headIds = headState.select(col("id").as("id_str")).distinct()
+        val headLive = headState.filter(!col("deleted"))
+          .select(col("id").as("id_str"), col("vector").as("vec"),
+            coalesce(col("tags"), array().cast("array<string>")).as("tags"),
+            col("meta"))
+        Some((headIds, headLive))
+      }
+
+    // drop tail candidates whose id was re-written (or tombstoned) in head
+    def maskHead(cands: DataFrame): DataFrame = headOpt match {
+      case None => cands
+      case Some((headIds, _)) =>
+        cands
+          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
+          .filter(col("masked").isNull)
+    }
 
     val baseQueries = queries.select("query_id", "qvec")
 
@@ -359,9 +393,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         val kFetch = if (tagFilter) k * 10 else k
         val hnswHits = graft.operators.Hnsw.search(graphs, baseQueries, kFetch)
           .select(col("query_id"), col("id"), col("score"))
-        idmap.join(broadcast(hnswHits), Seq("id"))
-          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
-          .filter(col("masked").isNull)
+        maskHead(idmap.join(broadcast(hnswHits), Seq("id")))
           .select("query_id", "id_str", "score")
       case "IVF_PQ" =>
         // ADC-scored candidates from the probed inverted lists (approximate
@@ -374,26 +406,21 @@ class GraftEngine(spark: SparkSession, root: String) {
         val pqIdx = graft.operators.IvfPq.load(
           spark, s"$snap/ivfpq")
         val strMap = pqIdx.assigned.select("id", "id_str")
-        val candidates = graft.operators.IvfPq
-          .scoredCandidates(
-            graft.operators.IvfPq.Index(
-              pqIdx.assigned.select("id", "cluster_id", "codes"),
-              pqIdx.centroids, pqIdx.cb),
-            baseQueries, nprobe)
-          .join(strMap, Seq("id"))
-          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
-          .filter(col("masked").isNull)
+        val candidates = maskHead(
+          graft.operators.IvfPq
+            .scoredCandidates(
+              graft.operators.IvfPq.Index(
+                pqIdx.assigned.select("id", "cluster_id", "codes"),
+                pqIdx.centroids, pqIdx.cb),
+              baseQueries, nprobe)
+            .join(strMap, Seq("id")))
           .select("query_id", "id_str", "score")
         capScans(candidates, maxScans)
       case _ => // IVF_FLAT / FLAT share the inverted-list layout
-        val tailIdx = IvfFlat.Index(
-          spark.read.parquet(s"$snap/vectors"),
-          spark.read.parquet(s"$snap/centroids"))
+        val tailIdx = tailIndexOf(tenant, index, m)
         val probeSet = IvfFlat.probes(tailIdx, baseQueries, metric, nprobe)
-        val tailCandidates = tailIdx.assigned
-          .join(broadcast(probeSet), Seq("cluster_id"))
-          .join(broadcast(headIds.withColumn("masked", lit(true))), Seq("id_str"), "left")
-          .filter(col("masked").isNull)
+        val tailCandidates = maskHead(
+          tailIdx.assigned.join(broadcast(probeSet), Seq("cluster_id")))
         capScans(tailCandidates, maxScans)
           .select(col("query_id"), col("id_str"),
             graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
@@ -403,22 +430,28 @@ class GraftEngine(spark: SparkSession, root: String) {
     // by the same deterministic maxScans budget as the tail (the reference
     // caps EVERY scan, BruteForceVectorIndex.cs:288-344, including the
     // delta head; uncapped heads would let budget degradation leak)
-    val headScored = capScans(
-      headLive.crossJoin(broadcast(baseQueries)), maxScans)
-      .select(col("query_id"), col("id_str"),
-        graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
-
-    val candidates = tailScored.unionByName(headScored)
+    val candidates = headOpt match {
+      case None => tailScored
+      case Some((_, headLive)) =>
+        val headScored = capScans(
+          headLive.crossJoin(broadcast(baseQueries)), maxScans)
+          .select(col("query_id"), col("id_str"),
+            graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
+        tailScored.unionByName(headScored)
+    }
 
     // conjunctive tag filter BEFORE ranking (F1 semantics)
     val filtered =
-      if (!queries.columns.contains("filter_tags")) candidates
+      if (!tagFilter) candidates
       else {
-        val tagsOf = headLive.select(col("id_str"), col("tags"))
-          .unionByName(snapshot.select(col("id_str"), col("tags"))
-            .join(headIds, Seq("id_str"), "left_anti")
-            .select(col("id_str"),
-              coalesce(col("tags"), array().cast("array<string>")).as("tags")))
+        val snapTags = snapshot.select(col("id_str"),
+          coalesce(col("tags"), array().cast("array<string>")).as("tags"))
+        val tagsOf = headOpt match {
+          case None => snapTags
+          case Some((headIds, headLive)) =>
+            headLive.select(col("id_str"), col("tags"))
+              .unionByName(snapTags.join(headIds, Seq("id_str"), "left_anti"))
+        }
         candidates
           .join(broadcast(queries.select("query_id", "filter_tags")), "query_id")
           .join(tagsOf, Seq("id_str"), "left")
@@ -437,22 +470,53 @@ class GraftEngine(spark: SparkSession, root: String) {
       filtered.select(col("query_id"), xxhash64(col("id_str")).as("id"), col("score")),
       Seq("query_id"), k)
     val hitIds = hits.select("id").distinct()
-    val idMap = snapshot.select("id_str").unionByName(headLive.select("id_str"))
-      .distinct().withColumn("id", xxhash64(col("id_str")))
+    // snapshot ids are unique by construction; the union+distinct is only
+    // needed when a fresh head can re-introduce ids
+    val allIds = headOpt match {
+      case None => snapshot.select("id_str")
+      case Some((_, headLive)) =>
+        snapshot.select("id_str").unionByName(headLive.select("id_str")).distinct()
+    }
+    val idMap = allIds.withColumn("id", xxhash64(col("id_str")))
       .join(broadcast(hitIds), Seq("id"), "left_semi")
     val withIds = hits.join(broadcast(idMap), Seq("id"))
       .select(col("query_id"), col("rank"), col("id_str").as("id"), col("score"))
-    if (!withMeta) withIds.orderBy("query_id", "rank")
+    if (!withMeta) withIds
     else {
       // hydration: head meta wins over snapshot meta (F4/F5)
-      val metaOf = headLive.select(col("id_str"), col("meta"))
-        .unionByName(snapshot.select(col("id_str"), col("meta"))
-          .join(headIds, Seq("id_str"), "left_anti"))
-        .join(broadcast(idMap.select("id_str")), Seq("id_str"), "left_semi")
+      val snapMeta = snapshot.select(col("id_str"), col("meta"))
+      val metaOf = (headOpt match {
+        case None => snapMeta
+        case Some((headIds, headLive)) =>
+          headLive.select(col("id_str"), col("meta"))
+            .unionByName(snapMeta.join(headIds, Seq("id_str"), "left_anti"))
+      }).join(broadcast(idMap.select("id_str")), Seq("id_str"), "left_semi")
       withIds.join(broadcast(metaOf), withIds("id") === metaOf("id_str"), "left")
-        .drop("id_str").orderBy("query_id", "rank")
+        .drop("id_str")
     }
   }
+
+  // memoized per-snapshot read handles: the tail Index (lazy driver-side
+  // centroid snapshot + packed serving RDD) and the raw centroid table —
+  // immutable once written, so safe to cache for the engine's lifetime
+  private val tailIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, IvfFlat.Index]
+  private def tailIndexOf(tenant: String, index: String, m: Manifest): IvfFlat.Index =
+    tailIndexCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+      val snap = snapDir(tenant, index, m)
+      IvfFlat.Index(
+        spark.read.parquet(s"$snap/vectors"),
+        spark.read.parquet(s"$snap/centroids"))
+    })
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float])]]
+  private def centroidsLocalOf(tenant: String, index: String,
+                               m: Manifest): Array[(Int, Array[Float])] =
+    centroidCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
+      spark.read.parquet(s"${snapDir(tenant, index, m)}/centroids")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1))
 
   /** Incremental compaction: fold the current state into a fresh tail
     * snapshot WITHOUT retraining the coarse codebook — every live record
@@ -490,7 +554,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     keyed.select("id_str", "meta", "tags")
       .write.mode("overwrite").parquet(s"$dir/records")
     writeManifest(tenant, index, Manifest(m0.epoch + 1, wmRow.getLong(0),
-      m0.algo, wmRow.getLong(1), newVersion, m0.metric))
+      m0.algo, wmRow.getLong(1), newVersion, m0.metric, headDirty = 0))
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
   }
 
@@ -592,8 +656,6 @@ class GraftEngine(spark: SparkSession, root: String) {
     val m = manifest(tenant, index)
     require(m.algo == "FLAT" || metric.equalsIgnoreCase(m.metric),
       s"index built with metric=${m.metric}; cannot search with metric=$metric")
-    val centroids = spark.read.parquet(
-      s"${snapDir(tenant, index, m)}/centroids")
 
     val tagsNorm =
       if (queries.columns.contains("filter_tags"))
@@ -603,13 +665,22 @@ class GraftEngine(spark: SparkSession, root: String) {
     // E10 cost proxy over the indexed collection; relaxes L2 admission
     val cost = lit(m.nVectors / 10000.0) * (size(col("qvec")) / 128.0)
 
-    // nearest centroid + admission (L2 layer key)
-    val scoredCent = queries
-      .crossJoin(broadcast(centroids))
-      .withColumn("cscore",
-        graft.functions.vector_score(metric, col("qvec"), col("centroid")))
-    val wBest = Window.partitionBy("query_id")
-      .orderBy(col("cscore").desc, col("cluster_id"))
+    // nearest centroid + admission (L2 layer key): the centroid table is
+    // driver-sized (nlist rows) — one narrow UDF pass beats a
+    // crossJoin×centroids + per-query window (which shuffles nq×nlist
+    // rows). Tie-break identical: highest score, then lowest cluster_id
+    // (centroids iterate in ascending-cid order).
+    val bcCents = spark.sparkContext.broadcast(centroidsLocalOf(tenant, index, m))
+    val metricU = metric.toUpperCase
+    val bestU = udf { (qv: Seq[Float]) =>
+      val arr = qv.toArray
+      var bcid = -1; var bs = Double.NegativeInfinity
+      bcCents.value.foreach { case (cid, cv) =>
+        val s = graft.operators.IvfFlat.candidateScore(metricU, arr, cv)
+        if (s > bs) { bs = s; bcid = cid }
+      }
+      (bcid, bs)
+    }
     val admitted =
       if (metric.equalsIgnoreCase("COSINE"))
         col("cscore") >= Caching.closenessThreshold(metric, cost)
@@ -620,10 +691,10 @@ class GraftEngine(spark: SparkSession, root: String) {
         // IP has no bounded closeness notion (reference thresholds exist
         // only for cosine/L2, VectorCommandSet.cs:913-944): L2 layer off
         lit(false)
-    val withCluster = scoredCent
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .withColumn("l2_cluster", when(admitted, col("cluster_id")))
+    val withCluster = queries
+      .withColumn("best", bestU(col("qvec")))
+      .withColumn("cscore", col("best._2"))
+      .withColumn("l2_cluster", when(admitted, col("best._1")))
       .select(queries.columns.map(col) :+ col("l2_cluster"): _*)
 
     val keyed = withCluster
@@ -700,10 +771,13 @@ class GraftEngine(spark: SparkSession, root: String) {
     val missQueries =
       if (hitRows == null) keyed
       else keyed.join(hitRows.select("query_id"), Seq("query_id"), "left_anti")
-    // fully-warm calls (every query hit) skip the whole miss machinery —
-    // search plan, populate write, shed frame — for one cheap existence
-    // probe against the cached/checkpointed inputs
-    val anyMiss = hitRows == null || missQueries.limit(1).count() > 0
+    // hit/miss accounting from two cheap counts (keyed is cached, hitRows
+    // is checkpointed; hitRows holds ≤1 row per query by construction) —
+    // they also decide the fully-warm fast path, which skips the whole
+    // miss machinery: search plan, populate write, shed frame
+    val nQ = keyed.count()
+    val nHit = if (hitRows == null) 0L else hitRows.count()
+    val anyMiss = nHit < nQ
 
     def emptyResult() =
       missQueries.select(col("query_id")).limit(0)
@@ -717,7 +791,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     // Under cache-only shedding the misses never reach the index.
     val fresh =
       if (options.cacheOnly || !anyMiss) emptyResult()
-      else search(tenant, index,
+      else searchImpl(tenant, index,
         missQueries.select(queries.columns.map(col): _*), k, metric, nprobe,
         maxScans = options.maxScans)
         .localCheckpoint()
@@ -779,16 +853,10 @@ class GraftEngine(spark: SparkSession, root: String) {
     // step 14: metric counters (hit/miss per call) appended to the
     // per-index metrics log — feeds [[statsText]] (VEC.STATS parity);
     // shed queries count as misses (the reference bills the rejected
-    // request too, VectorCommandSet.cs:432-433)
-    val nHit =
-      if (hitRows == null) 0L
-      else hitRows.select("query_id").distinct().count()
-    // misses counted from the MISS SET, not the result rows — a miss whose
-    // search returns zero hits (selective tags, empty probes) still bills
-    val nMiss =
-      if (!anyMiss) 0L
-      else if (options.cacheOnly) shedOut.count()
-      else missQueries.select("query_id").distinct().count()
+    // request too, VectorCommandSet.cs:432-433). Misses are counted from
+    // the MISS SET (nQ − nHit), not the result rows — a miss whose search
+    // returns zero hits (selective tags, empty probes) still bills.
+    val nMiss = nQ - nHit
     import spark.implicits._
     Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
       .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
@@ -840,11 +908,10 @@ class GraftEngine(spark: SparkSession, root: String) {
                         ttlSeconds: Int = 300): Long = {
     import graft.operators.{Caching, TopK}
     val m = manifest(tenant, index)
-    val snap = snapDir(tenant, index, m)
-    val assigned = spark.read.parquet(s"$snap/vectors")
-    val cents = spark.read.parquet(s"$snap/centroids")
+    val tailIdx = tailIndexOf(tenant, index, m)
+    val assigned = tailIdx.assigned
     val queries = predicted.select("cluster_id").distinct()
-      .join(broadcast(cents), Seq("cluster_id"))
+      .join(broadcast(tailIdx.centroids), Seq("cluster_id"))
       .select(col("cluster_id"), col("centroid").as("qvec"))
     // the reference's prefetch probes exactly the predicted cluster
     val scored = assigned
@@ -855,7 +922,8 @@ class GraftEngine(spark: SparkSession, root: String) {
         scored.select(col("qcluster"), xxhash64(col("id_str")).as("id"), col("score")),
         Seq("qcluster"), k)
     val hitIds = ranked.select("id").distinct()
-    val idMap = assigned.select("id_str").distinct()
+    // assigned ids are unique by construction (one row per live vector)
+    val idMap = assigned.select("id_str")
       .withColumn("id", xxhash64(col("id_str")))
       .join(broadcast(hitIds), Seq("id"), "left_semi")
     val entries = ranked.join(broadcast(idMap), Seq("id"))

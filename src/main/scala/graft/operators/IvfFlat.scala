@@ -161,22 +161,31 @@ object IvfFlat {
       spark.read.parquet(s"$path/vectors"),
       spark.read.parquet(s"$path/centroids"))
 
-  /** Probe selection: score each query against all centroids, keep the
-    * top-nprobe clusters (reference: IvfFlatVectorIndex.cs:183-198).
-    * The top-nprobe aggregation groups on the integer query_id only (never
-    * on the float-array qvec — array grouping keys wreck the hash
-    * aggregate); qvec is joined back afterwards. */
+  /** Probe selection: top-nprobe clusters per query, ranked by the metric
+    * score against the driver-held centroid snapshot (reference:
+    * IvfFlatVectorIndex.cs:183-198). One narrow pass over the query frame
+    * (broadcast centroids + rank UDF + explode) — a crossJoin×centroids +
+    * aggregate form would shuffle nq×nlist rows for the same answer, and
+    * the centroid table is driver-sized by construction (nlist rows).
+    * Scores and tie-break identical to [[probesLocal]]: (-score, cid). */
   def probes(index: Index, queries: DataFrame, metric: String, nprobe: Int): DataFrame = {
-    val scored = queries
-      .crossJoin(broadcast(index.centroids))
-      .select(col("query_id"),
-        col("cluster_id").cast("long").as("id"),
-        vector_score(metric, col("qvec"), col("centroid")).as("score"))
-    TopK.perGroup(scored, Seq("query_id"), nprobe)
-      .select(col("query_id"), col("id").cast("int").as("cluster_id"))
-      .join(queries, "query_id")
-      .select("query_id", "qvec", "cluster_id")
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(index.centroidsLocal)
+    val metricU = metric.toUpperCase
+    val probeU = udf { (qv: Seq[Float]) =>
+      rankProbes(bc.value, qv.toArray, metricU, nprobe)
+    }
+    queries.select(col("query_id"), col("qvec"),
+      explode(probeU(col("qvec"))).as("cluster_id"))
   }
+
+  /** Top-nprobe cluster ids for one query (shared ranking kernel). */
+  private[graft] def rankProbes(cents: Array[(Int, Array[Float])],
+                                q: Array[Float], metricU: String,
+                                nprobe: Int): Array[Int] =
+    cents.map { case (cid, cv) => (cid, candidateScore(metricU, q, cv)) }
+      .sortBy { case (cid, s) => (-s, cid.toLong) }
+      .take(nprobe).map(_._1)
 
   /** Driver-side probe selection: centroids (nlist rows) and the query
     * batch are both driver-sized by construction — exactly the data the
@@ -350,7 +359,7 @@ object IvfFlat {
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
 
-  private def candidateScore(metricU: String, a: Array[Float], b: Array[Float]): Double =
+  private[graft] def candidateScore(metricU: String, a: Array[Float], b: Array[Float]): Double =
     metricU match {
       case "L2" =>
         var s = 0.0; var i = 0

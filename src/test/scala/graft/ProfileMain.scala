@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only job profiler: runs one named SparkEntry query with a listener
+  * that prints per-job wall times, so bench lines can be decomposed into
+  * their constituent Spark jobs. Usage:
+  *   sbt "Test/runMain graft.ProfileMain <query> [sfDir]"
+  */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("engine_cached_search")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    @volatile var jobLog = List.empty[(Int, Double, String)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          .orElse(js.stageInfos.lastOption.map(_.name))
+          .getOrElse("")
+        val nTasks = js.stageInfos.map(_.numTasks).sum
+        starts(js.jobId) = (System.nanoTime(), s"tasks=$nTasks  ${desc.take(100)}")
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (t0, d) =>
+          jobLog ::= ((je.jobId, (System.nanoTime() - t0) / 1e9, d))
+        }
+    })
+
+    val fn = SparkEntry.queries(name)
+    // warm run (JIT, parquet footers, memoized builds)
+    fn(spark, sfDir).count()
+    Thread.sleep(500)
+    jobLog = Nil
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"QUERY=$name TOTAL=$total%.3f s, jobs=${jobLog.size}")
+    jobLog.reverse.foreach { case (id, s, d) =>
+      println(f"  job $id%3d  $s%7.3f s  $d")
+    }
+    spark.stop()
+  }
+}
