@@ -785,9 +785,12 @@ object Queries {
     // plain shingle join at driver SF: the prefix filter's candidate
     // reduction pays off on large corpora, but its extra phases dominate
     // a 5k-doc input (measured 2-4 s vs 4-8 s at sf0.1; identical rows —
-    // TextDedupSpec proves the paths equal)
-    TextDedup.jaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.5,
-        prefixFilter = false)
+    // TextDedupSpec proves the paths equal). repartition: the single-file
+    // local input is one row group — shingling would otherwise run on one
+    // core (at real scale the file count provides the parallelism)
+    TextDedup.jaccardPairs(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        n = 3, tau = 0.5, prefixFilter = false)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id1", "id2")
 
@@ -845,7 +848,11 @@ object Queries {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val planted = emb.filter(col("vec_id") % 8 === 0)
       .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
-    EmbeddingDedup.lshPairs(emb.unionByName(planted), tau = 0.95)
+    // repartition: single-file local input — the SimHash banding would
+    // otherwise run on 2 cores (at scale file count = parallelism)
+    EmbeddingDedup.lshPairs(
+        emb.unionByName(planted).repartition(s.sparkContext.defaultParallelism),
+        tau = 0.95)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id1", "id2")
   }

@@ -175,8 +175,11 @@ object IvfFlat {
     val probeU = udf { (qv: Seq[Float]) =>
       rankProbes(bc.value, qv.toArray, metricU, nprobe)
     }
+    // _outer keeps Catalyst's InferFiltersFromGenerate from re-evaluating
+    // the probe-ranking UDF inside synthesized size/notnull filters
+    // (row-identical here: the rank array is non-empty for nprobe ≥ 1)
     queries.select(col("query_id"), col("qvec"),
-      explode(probeU(col("qvec"))).as("cluster_id"))
+      explode_outer(probeU(col("qvec"))).as("cluster_id"))
   }
 
   /** Top-nprobe cluster ids for one query (shared ranking kernel). */

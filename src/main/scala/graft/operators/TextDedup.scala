@@ -23,22 +23,52 @@ object TextDedup {
 
   def tokens(text: Column): Column = split(text, " ", -1)
 
-  /** Distinct word n-gram shingles per document. */
-  def shingleCol(text: Column, n: Int): Column =
+  /** Distinct word n-gram shingles from a MATERIALIZED token-array column.
+    * The token array must be a real column (not an inline `split(...)`):
+    * expressions captured by a higher-order-function lambda are
+    * re-evaluated per element, so an inline split turns shingling into
+    * O(tokens²) splits per document. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(0), size(tokens(text)) - n),
-      i => concat_ws("_", slice(tokens(text), i + 1, lit(n)))))
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws("_", slice(toks, i + 1, lit(n)))))
+
+  /** Distinct word n-gram shingles per document (convenience form — for
+    * hot paths prefer projecting `tokens(text)` to a column first and
+    * calling [[shinglesOfTokens]], see its note). */
+  def shingleCol(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** (doc_id, shingles ARRAY<STRING>) with the token array materialized
+    * before shingling — the shared first stage of every Jaccard path. */
+  private def docShingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("shingles"))
 
   /** Exact dedup: group identical texts by content hash, keep min doc_id. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Exploded (doc_id, shingle) with optional document-frequency cap. */
+  /** Exploded (doc_id, shingle-hash) with optional document-frequency cap.
+    * Shingles are xxhash64'd BEFORE any shuffle: the self-join exchanges
+    * and the pair-count aggregation then move 8-byte longs instead of
+    * n-gram strings — at corpus scale the shuffle volume is the cost, and
+    * intersection counts over hashed-distinct shingles equal the string
+    * counts (a 64-bit collision within one corpus is ~n²/2⁶⁵). */
+  // NOTE on explode_outer: plain explode triggers Catalyst's
+  // InferFiltersFromGenerate, which synthesizes `size(e)>0 AND
+  // isnotnull(e)` filters on the GENERATOR INPUT EXPRESSION and pushes
+  // them below projections/exchanges — re-inlining the whole shingle /
+  // signature computation (twice) into the stage beneath the shuffle,
+  // where it runs with the input's (often single-file) parallelism. Our
+  // generator inputs are provably non-empty wherever _outer is used, so
+  // the outer variant is row-identical and skips the rule.
   private def shingleTable(docs: DataFrame, n: Int, maxDocFreq: Int): DataFrame = {
-    val sh = docs
-      .filter(size(tokens(col("text"))) >= n)
-      .select(col("doc_id"), explode(shingleCol(col("text"), n)).as("g"))
+    val sh = docShingleTable(docs, n)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     if (maxDocFreq > 0) {
       // drop hub shingles before the pair join — the anti-skew guard
       val hubs = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -76,15 +106,13 @@ object TextDedup {
       try result.localCheckpoint()
       finally sh.unpersist()
     } else {
-      val docShingles = docs.filter(size(tokens(col("text"))) >= n)
-        .select(col("doc_id"), shingleCol(col("text"), n).as("shingles"))
-        .persist()
+      val docShingles = docShingleTable(docs, n).persist()
       // global deterministic shingle order: xxhash64; prefix length
       // |S| - ceil(tau*|S|) + 1
       val sorted = docShingles.select(col("doc_id"),
         array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
       val prefix = sorted.select(col("doc_id"),
-          explode(slice(col("hs"), lit(1),
+          explode_outer(slice(col("hs"), lit(1),
             (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")))
             .as("g"))
       val a = prefix.as("a"); val b = prefix.as("b")
@@ -136,9 +164,8 @@ object TextDedup {
 
   /** Signatures table: (doc_id, sig ARRAY<BIGINT>). */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
-    docs.filter(size(tokens(col("text"))) >= n)
-      .select(col("doc_id"),
-        minhashUdf(numHashes)(shingleCol(col("text"), n)).as("sig"))
+    docShingleTable(docs, n)
+      .select(col("doc_id"), minhashUdf(numHashes)(col("shingles")).as("sig"))
 
   /** LSH candidates from a precomputed (doc_id, shingles) table. */
   private def candidatePairsFromShingles(docShingles: DataFrame, numHashes: Int,
@@ -154,7 +181,8 @@ object TextDedup {
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2"))).distinct()
     val shAll = docShingles.join(ids, "doc_id")
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .select(col("doc_id"), explode(col("shingles")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     val sh = (if (maxDocFreq > 0) {
       val hubs = shAll.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select("g")
@@ -176,9 +204,7 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, n: Int, tau: Double,
                       numHashes: Int = 128, bands: Int = 64,
                       maxDocFreq: Int = 0): DataFrame = {
-    val docShingles = docs.filter(size(tokens(col("text"))) >= n)
-      .select(col("doc_id"), shingleCol(col("text"), n).as("shingles"))
-      .persist()
+    val docShingles = docShingleTable(docs, n).persist()
     try {
       val candidates = candidatePairsFromShingles(docShingles, numHashes, bands)
       verifyFromShingles(docShingles, candidates, maxDocFreq)
@@ -209,7 +235,9 @@ object TextDedup {
     // persisted: the self-join would otherwise recompute the signature
     // UDF once per branch
     val banded = sigs
-      .select(col("doc_id"), posexplode(bandHashes(col("sig"))))
+      // _outer: see shingleTable note — plain posexplode would re-inline
+      // the band-hash (and upstream signature) UDFs into inferred filters
+      .select(col("doc_id"), posexplode_outer(bandHashes(col("sig"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
       .persist()
     val a = banded.as("a"); val b = banded.as("b")

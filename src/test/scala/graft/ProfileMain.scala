@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only job profiler: runs one named SparkEntry query with a listener
@@ -26,18 +26,23 @@ object ProfileMain {
     @volatile var jobLog = List.empty[(Int, Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .filter(_.nonEmpty)
-          .orElse(js.stageInfos.lastOption.map(_.name))
-          .getOrElse("")
+        val stages = js.stageInfos
+          .map(si => s"[${si.stageId}:${si.numTasks}t ${si.name.take(60)}]")
+          .mkString(" ")
         val nTasks = js.stageInfos.map(_.numTasks).sum
-        starts(js.jobId) = (System.nanoTime(), s"tasks=$nTasks  ${desc.take(100)}")
+        starts(js.jobId) = (System.nanoTime(), s"tasks=$nTasks  $stages")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, d) =>
           jobLog ::= ((je.jobId, (System.nanoTime() - t0) / 1e9, d))
         }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val tm = si.taskMetrics
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+        if (wall > 400)
+          println(f"  SLOW-STAGE ${si.stageId} ${si.numTasks}t wall=${wall / 1e3}%.2f s run=${tm.executorRunTime / 1e3}%.2f s gc=${tm.jvmGCTime / 1e3}%.2f s deser=${tm.executorDeserializeTime / 1e3}%.2f s ${si.name.take(70)}")
+      }
     })
 
     val fn = SparkEntry.queries(name)
