@@ -354,7 +354,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     // wholesale when the manifest proves the log has no post-watermark
     // rows (headDirty == 0) — the steady serving state after a build.
     val headOpt: Option[(DataFrame, DataFrame)] =
-      if (m.headDirty == 0) None
+      if (m.headDirty == 0 || !recordsLogExists) None
       else {
         val headLog = spark.read.parquet(recordsPath)
           .filter(col("tenant_id") === tenant && col("index_name") === index &&
@@ -518,6 +518,102 @@ class GraftEngine(spark: SparkSession, root: String) {
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1))
 
+  // -------------------------------------------------------------------
+  // semantic-cluster override for the L2 cache layer (reference:
+  // SemanticClusterRegistry fed by POST centroids, IndexController.cs:251-292
+  // + sidecar semantic_model.py:30-53 — the cache clustering is allowed to
+  // come from an externally trained model, independent of the index tail)
+  // -------------------------------------------------------------------
+
+  private def cacheCentroidsPath(tenant: String, index: String) =
+    s"$root/cache/$tenant/$index/centroids"
+
+  private val cacheCentroidMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Array[(Int, Array[Float])]]]
+
+  private def cacheCentroidOverride(tenant: String,
+                                    index: String): Option[Array[(Int, Array[Float])]] =
+    cacheCentroidMemo.getOrElseUpdate(s"$tenant/$index", {
+      val p = cacheCentroidsPath(tenant, index)
+      if (!Files.exists(Paths.get(p))) None
+      else Some(spark.read.parquet(p)
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1))
+    })
+
+  /** Centroids driving the L2 semantic-cache layer: the pushed override
+    * when present, the index tail's own centroids otherwise. */
+  private def l2CentroidsLocal(tenant: String, index: String,
+                               m: Manifest): Array[(Int, Array[Float])] =
+    cacheCentroidOverride(tenant, index)
+      .getOrElse(centroidsLocalOf(tenant, index, m))
+
+  /** Install an externally trained semantic-cluster model for the L2 cache
+    * layer (reference: POST /v1/indexes/{t}/{i}/centroids). Changing the
+    * clustering re-keys the L2 layer, so the epoch is bumped — old entries
+    * (keyed by the previous cluster ids) become stale, exactly like the
+    * reference's UpdateCentroids epoch bump (IndexController.cs:277).
+    * centroids: (cluster_id INT, centroid ARRAY<FLOAT>). */
+  def setCacheCentroids(tenant: String, index: String, centroids: DataFrame): Unit = {
+    centroids.select(col("cluster_id").cast("int").as("cluster_id"),
+        col("centroid"))
+      .write.mode("overwrite").parquet(cacheCentroidsPath(tenant, index))
+    cacheCentroidMemo.remove(s"$tenant/$index")
+    invalidateCache(tenant, index)
+  }
+
+  // -------------------------------------------------------------------
+  // snapshot export / import (reference: POST {t}/{i}/snapshot + /load,
+  // IndexController.cs:125-228 — index state moves as files; the record
+  // store stays where it is)
+  // -------------------------------------------------------------------
+
+  private def copyTree(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
+    Files.walk(src).forEach { p =>
+      val target = dest.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Export the current built snapshot (tail artifacts + manifest) to an
+    * external directory. Requires a completed build. */
+  def exportSnapshot(tenant: String, index: String, dest: String): Unit = {
+    val m = manifest(tenant, index)
+    val snap = snapDir(tenant, index, m)
+    copyTree(Paths.get(snap), Paths.get(s"$dest/snapshot"))
+    Files.createDirectories(Paths.get(dest))
+    Files.writeString(Paths.get(s"$dest/manifest.json"),
+      s"""{"epoch": ${m.epoch}, "buildWatermark": ${m.buildWatermark}, "algo": "${m.algo}", "nVectors": ${m.nVectors}, "version": ${m.version}, "metric": "${m.metric}", "headDirty": ${m.headDirty}}""")
+  }
+
+  /** Import an exported snapshot as this index's next version: the tail
+    * serves the imported artifacts; local log rows newer than the imported
+    * build watermark surface through the delta head as usual. */
+  def importSnapshot(tenant: String, index: String, src: String): Unit = {
+    val s = Files.readString(Paths.get(s"$src/manifest.json"))
+    def field(k: String): Long =
+      raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("IVF_FLAT")
+    val metric = raw""""metric"\s*:\s*"([A-Za-z_]+)"""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("L2")
+    val m0 = manifest(tenant, index)
+    val newVersion = m0.version + 1
+    copyTree(Paths.get(s"$src/snapshot"),
+      Paths.get(s"${indexPath(tenant, index)}/v$newVersion"))
+    // headDirty stays 1: the local log's relation to the imported
+    // watermark is unknown, so the head path must stay on
+    writeManifest(tenant, index,
+      Manifest(m0.epoch + 1, field("buildWatermark"), algo, field("nVectors"),
+        newVersion, metric, headDirty = 1))
+    gcOldSnapshots(tenant, index, keep = newVersion - 1)
+  }
+
   /** Incremental compaction: fold the current state into a fresh tail
     * snapshot WITHOUT retraining the coarse codebook — every live record
     * is assigned to its nearest EXISTING centroid in one pass
@@ -566,6 +662,15 @@ class GraftEngine(spark: SparkSession, root: String) {
     s"$root/cache/$tenant/$index/entries"
   private def cacheAliasPath(tenant: String, index: String) =
     s"$root/cache/$tenant/$index/aliases"
+
+  /** Cache invalidation (reference: CacheController invalidate + the epoch
+    * machinery, VectorIndexRegistry.cs:52-68): bumping the epoch makes
+    * every cached entry stale at probe time without touching the files. */
+  def invalidateCache(tenant: String, index: String): Unit = {
+    // epoch-only bump: no data changed, so head-dirtiness is untouched
+    val m = manifest(tenant, index)
+    writeManifest(tenant, index, m.copy(epoch = m.epoch + 1))
+  }
 
   /** Cache flush (reference: CacheController flush endpoint) — removes all
     * entries and aliases for the index. */
@@ -670,7 +775,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     // crossJoin×centroids + per-query window (which shuffles nq×nlist
     // rows). Tie-break identical: highest score, then lowest cluster_id
     // (centroids iterate in ascending-cid order).
-    val bcCents = spark.sparkContext.broadcast(centroidsLocalOf(tenant, index, m))
+    val bcCents = spark.sparkContext.broadcast(l2CentroidsLocal(tenant, index, m))
     val metricU = metric.toUpperCase
     val bestU = udf { (qv: Seq[Float]) =>
       val arr = qv.toArray
@@ -905,31 +1010,51 @@ class GraftEngine(spark: SparkSession, root: String) {
     * predicted: (cluster_id INT). Returns the number of entries written. */
   def prefetchIntoCache(tenant: String, index: String, predicted: DataFrame,
                         k: Int, metric: String = "L2", now: Long = 0L,
-                        ttlSeconds: Int = 300): Long = {
+                        ttlSeconds: Int = 300, nprobe: Int = 4): Long = {
     import graft.operators.{Caching, TopK}
     val m = manifest(tenant, index)
-    val tailIdx = tailIndexOf(tenant, index, m)
-    val assigned = tailIdx.assigned
-    val queries = predicted.select("cluster_id").distinct()
-      .join(broadcast(tailIdx.centroids), Seq("cluster_id"))
-      .select(col("cluster_id"), col("centroid").as("qvec"))
-    // the reference's prefetch probes exactly the predicted cluster
-    val scored = assigned
-      .join(broadcast(queries), Seq("cluster_id"))
-      .select(col("cluster_id").cast("long").as("qcluster"), col("id_str"),
-        graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
-    val ranked = TopK.perGroup(
-        scored.select(col("qcluster"), xxhash64(col("id_str")).as("id"), col("score")),
-        Seq("qcluster"), k)
-    val hitIds = ranked.select("id").distinct()
-    // assigned ids are unique by construction (one row per live vector)
-    val idMap = assigned.select("id_str")
-      .withColumn("id", xxhash64(col("id_str")))
-      .join(broadcast(hitIds), Seq("id"), "left_semi")
-    val entries = ranked.join(broadcast(idMap), Seq("id"))
+    val ranked = cacheCentroidOverride(tenant, index) match {
+      case Some(cents) =>
+        // semantic-model clustering: the predicted cluster's centroid is
+        // just a query vector for the index (the reference fire-and-forgets
+        // a SEARCH of the predicted centroid, VectorCommandSet.cs:318-379)
+        import spark.implicits._
+        val byId = cents.toMap
+        val ids = predicted.select("cluster_id").distinct()
+          .collect().map(_.getInt(0)).filter(byId.contains)
+        val queries = ids.toSeq.map(c => (c.toLong, byId(c).toSeq))
+          .toDF("query_id", "qvec")
+        searchImpl(tenant, index, queries, k, metric, nprobe)
+          .select(col("query_id").as("qcluster"), col("rank"),
+            col("id"), col("score"))
+      case None =>
+        // tail clustering IS the cache clustering: probe exactly the
+        // predicted inverted list with its own centroid as the query
+        val tailIdx = tailIndexOf(tenant, index, m)
+        val assigned = tailIdx.assigned
+        val queries = predicted.select("cluster_id").distinct()
+          .join(broadcast(tailIdx.centroids), Seq("cluster_id"))
+          .select(col("cluster_id"), col("centroid").as("qvec"))
+        val scored = assigned
+          .join(broadcast(queries), Seq("cluster_id"))
+          .select(col("cluster_id").cast("long").as("qcluster"), col("id_str"),
+            graft.functions.vector_score(metric, col("qvec"), col("vec")).as("score"))
+        val rankedIds = TopK.perGroup(
+            scored.select(col("qcluster"), xxhash64(col("id_str")).as("id"), col("score")),
+            Seq("qcluster"), k)
+        val hitIds = rankedIds.select("id").distinct()
+        // assigned ids are unique by construction (one row per live vector)
+        val idMap = assigned.select("id_str")
+          .withColumn("id", xxhash64(col("id_str")))
+          .join(broadcast(hitIds), Seq("id"), "left_semi")
+        rankedIds.join(broadcast(idMap), Seq("id"))
+          .select(col("qcluster"), col("rank"),
+            col("id_str").as("id"), col("score"))
+    }
+    val entries = ranked
       .groupBy("qcluster")
       .agg(array_sort(collect_list(
-        struct(col("rank"), col("id_str").as("id"), col("score")))).as("hits"))
+        struct(col("rank"), col("id"), col("score")))).as("hits"))
       .select(
         Caching.queryKey(lit(tenant), lit(index), lit(k), lit(metric),
           array().cast("array<string>"), col("qcluster")).as("cache_key"),
