@@ -116,10 +116,10 @@ object Bench {
     // steady-state serving measurement: explicit JIT warmup first, like
     // the reference harness's warmup phase (Pyrope.Benchmarks/Program.cs)
     (0 until 8).foreach { _ =>
-      IvfFlat.searchLocal(idx100k, q100Local, "L2", 10, nprobe = 10, spark).count()
+      IvfFlat.searchLocalRows(idx100k, q100Local, "L2", 10, nprobe = 10, spark).length
     }
     val tIvf100k = time3 {
-      IvfFlat.searchLocal(idx100k, q100Local, "L2", 10, nprobe = 10, spark).count()
+      require(IvfFlat.searchLocalRows(idx100k, q100Local, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
     // same 100k corpus, 2000-query batch: fixed job overhead amortizes —
     // the batch-engine regime the reference (one query per RESP round
@@ -129,16 +129,16 @@ object Bench {
     val q2000Local = q2000.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     (0 until 3).foreach { _ =>
-      IvfFlat.searchLocal(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).count()
+      IvfFlat.searchLocalRows(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).length
     }
     val tIvf100k2k = time3 {
-      IvfFlat.searchLocal(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).count()
+      require(IvfFlat.searchLocalRows(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
     (0 until 8).foreach { _ =>
-      IvfFlat.searchLocal(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).count()
+      IvfFlat.searchLocalRows(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).length
     }
     val tBrute100kFused = time3 {
-      IvfFlat.searchLocal(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).count()
+      require(IvfFlat.searchLocalRows(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).nonEmpty)
     }
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused

@@ -249,6 +249,18 @@ object IvfFlat {
                   metric: String, k: Int, nprobe: Int,
                   spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
+    searchLocalRows(index, queries, metric, k, nprobe, spark).toSeq
+      .toDF("query_id", "rank", "id", "score")
+  }
+
+  /** [[searchLocal]] returning the answer as a driver-local array —
+    * the true serving form (the reference's RESP reply is exactly this
+    * list). The DataFrame wrapper above costs ~100-150 ms of per-call
+    * encoder + Catalyst planning, which dwarfs the ~35 ms search job;
+    * latency-sensitive callers and the benchmark use this entry. */
+  def searchLocalRows(index: Index, queries: Array[(Long, Array[Float])],
+                      metric: String, k: Int, nprobe: Int,
+                      spark: org.apache.spark.sql.SparkSession): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -314,11 +326,10 @@ object IvfFlat {
       }
     }.collect()
     // final merge: ≤ partitions·nq·k rows, driver-local
-    val out = partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
+    partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
       rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
         .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
-    }.toSeq
-    out.toDF("query_id", "rank", "id", "score")
+    }.toArray
   }
 
   /** -L2² with early abandonment: once the partial sum exceeds `bound`
