@@ -123,15 +123,24 @@ class GraftEngine(spark: SparkSession, root: String) {
   // -------------------------------------------------------------------
 
   /** Records: (tenant_id, index_name, id, vector ARRAY<FLOAT>, meta STRING,
-    * tags ARRAY<STRING>, updated_at BIGINT, deleted BOOLEAN). `updated_at`
-    * is a caller-supplied monotonic version (epoch-micros in practice). */
-  private def appendLog(records: DataFrame): Unit =
-    records
+    * tags ARRAY<STRING>, numeric_fields MAP<STRING,DOUBLE>, updated_at
+    * BIGINT, deleted BOOLEAN). `updated_at` is a caller-supplied monotonic
+    * version (epoch-micros in practice). `numeric_fields` mirrors the
+    * reference's stored-but-never-searched numeric map
+    * (Model/VectorRecord.cs:38; parsed at VectorCommandParser.cs:391-395)
+    * and is optional on input — absent columns land as null. */
+  private def appendLog(records: DataFrame): Unit = {
+    val withNum =
+      if (records.columns.contains("numeric_fields")) records
+      else records.withColumn("numeric_fields",
+        lit(null).cast("map<string,double>"))
+    withNum
       .select("tenant_id", "index_name", "id", "vector", "meta", "tags",
-        "updated_at", "deleted")
+        "numeric_fields", "updated_at", "deleted")
       .write.mode("append")
       .partitionBy("tenant_id", "index_name")
       .parquet(recordsPath)
+  }
 
   private def recordsLogExists: Boolean =
     Files.exists(Paths.get(recordsPath))

@@ -91,11 +91,20 @@ object TextDedup {
     * verify then computes true Jaccard over the full shingle sets.
     * Right-sizing: the filter's extra phases only pay off once the
     * shared-shingle join dominates (large corpora); small inputs run
-    * faster with `prefixFilter = false`. A further optimization at
-    * extreme scale is frequency-ordered prefixes (rarest shingles first,
-    * classic AllPairs), at the cost of a global df pass. */
+    * faster with `prefixFilter = false`.
+    *
+    * `rareFirst = true` upgrades the prefix order to classic AllPairs
+    * frequency ordering: shingles are globally ranked rarest-first
+    * (document frequency ascending, hash tie-break — a total order, so
+    * the prefix guarantee still holds), which makes prefixes consist of
+    * the LEAST-shared shingles — on skewed corpora the candidate join
+    * shrinks by orders of magnitude versus hash-ordered prefixes, at the
+    * cost of one extra global df aggregation + rank join. This is the
+    * 100-TB configuration; hash order skips the df pass and fits
+    * mid-sized corpora. */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
-                   maxDocFreq: Int = 0, prefixFilter: Boolean = true): DataFrame = {
+                   maxDocFreq: Int = 0, prefixFilter: Boolean = true,
+                   rareFirst: Boolean = false): DataFrame = {
     // the df-cap changes which shingle sets Jaccard is computed over;
     // prefixes derived from UNCAPPED sets wouldn't be sound against
     // capped verification, so the cap route uses the plain shingle join
@@ -107,10 +116,25 @@ object TextDedup {
       finally sh.unpersist()
     } else {
       val docShingles = docShingleTable(docs, n).persist()
-      // global deterministic shingle order: xxhash64; prefix length
-      // |S| - ceil(tau*|S|) + 1
-      val sorted = docShingles.select(col("doc_id"),
-        array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
+      // per-doc shingle hashes in a global deterministic order; prefix
+      // length |S| - ceil(tau*|S|) + 1
+      val sorted =
+        if (!rareFirst)
+          // hash order: no extra pass
+          docShingles.select(col("doc_id"),
+            array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
+        else {
+          // rarest-first: rank by (document frequency, hash) — ubiquitous
+          // shingles sink to the suffix and never generate candidates
+          val sh = docShingles
+            .select(col("doc_id"), explode_outer(col("shingles")).as("gs"))
+            .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+          val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          sh.join(dfreq, "g")
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+            .select(col("doc_id"), transform(col("ord"), x => x("g")).as("hs"))
+        }
       val prefix = sorted.select(col("doc_id"),
           explode_outer(slice(col("hs"), lit(1),
             (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")))

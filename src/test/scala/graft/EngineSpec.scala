@@ -337,6 +337,20 @@ class EngineSpec extends SparkSpec {
     assert(eng.stats("t1", "idx").agg(sum("n_vectors")).head.getLong(0) == 30)
   }
 
+  test("numeric_fields map is stored and survives the LWW current-state view") {
+    val root = Files.createTempDirectory("engine_numf").toString
+    val eng = new GraftEngine(spark, root)
+    // first write without the column (optional input), then an upsert WITH it
+    eng.add(mkRecords(Seq(("d1", Seq(1f, 0f, 0f), null, Seq.empty[String], 100L))))
+    eng.upsert(mkRecords(Seq(("d1", Seq(1f, 0f, 0f), null, Seq.empty[String], 200L)))
+      .withColumn("numeric_fields",
+        map(lit("price"), lit(9.5), lit("stock"), lit(3.0))))
+    val cur = eng.currentState("t1", "idx").collect()
+    assert(cur.length == 1)
+    val nf = cur.head.getAs[Map[String, Double]]("numeric_fields")
+    assert(nf == Map("price" -> 9.5, "stock" -> 3.0))
+  }
+
   test("build metric persists: compaction keeps it, mismatched searches are rejected") {
     val root = Files.createTempDirectory("engine_metric").toString
     val eng = new GraftEngine(spark, root)

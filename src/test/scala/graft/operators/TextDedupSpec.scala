@@ -64,6 +64,12 @@ class TextDedupSpec extends SparkSpec {
         .select("id1", "id2", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
       assert(pref == plain, s"tau=$tau: prefix=${pref.size} plain=${plain.size}")
+      // rarest-first (AllPairs frequency order) is exact too — any global
+      // total order upholds the prefix guarantee
+      val rare = TextDedup.jaccardPairs(all, 3, tau, rareFirst = true)
+        .select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(rare == plain, s"tau=$tau: rareFirst=${rare.size} plain=${plain.size}")
     }
   }
 
