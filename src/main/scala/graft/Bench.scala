@@ -140,6 +140,33 @@ object Bench {
     val tBrute100kFused = time3 {
       require(IvfFlat.searchLocalRows(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).nonEmpty)
     }
+    // Cached-search warm throughput (reference headline: semantic-cache
+    // 6,121 QPS on a repeat query, docs/benchmarks/20260112_phase6_summary).
+    // Batch analog: a 20k-query batch fully warm in the result cache —
+    // the cascade's L0 probe is one equi-join against the entry table.
+    val cachedQps = {
+      val eng = new GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("bench_cache").toString)
+      val recs = synth.filter(col("id") < 20000)
+        .select(col("id").cast("string").as("id"), col("vec").as("vector"))
+        .withColumn("tenant_id", lit("t0"))
+        .withColumn("index_name", lit("emb"))
+        .withColumn("meta", lit(null).cast("string"))
+        .withColumn("tags", lit(null).cast("array<string>"))
+        .withColumn("updated_at", lit(100L))
+      eng.add(recs)
+      eng.build("t0", "emb", nlist = 32)
+      val qs = synth.filter(col("id") < 20000)
+        .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+      val nq = qs.count().toDouble
+      eng.searchCached("t0", "emb", qs, 10, nprobe = 4, now = 1000L).count() // cold populate
+      val tWarm = time {
+        eng.searchCached("t0", "emb", qs, 10, nprobe = 4, now = 1010L).count()
+      }
+      qs.unpersist()
+      nq / tWarm
+    }
+
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused
     results("ivf_100k_dim128_100q_sec") = tIvf100k
@@ -154,6 +181,7 @@ object Bench {
       "brute_100k_fused_qps" -> 100.0 / tBrute100kFused,
       "ivf_100k_qps" -> 100.0 / tIvf100k,
       "ivf_100k_2000q_qps" -> 2000.0 / tIvf100k2k,
+      "cached_warm_20000q_qps" -> cachedQps,
       "load_vecs_per_sec" -> 100000.0 / tLoad)
 
     val total = results.filter(_._2 >= 0).values.sum

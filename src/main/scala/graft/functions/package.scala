@@ -29,6 +29,26 @@ package object functions {
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
 
+  /** Primitive-array view of a UDF-provided Seq — Spark's UDF input
+    * conversion can hand over wrappers with O(n) positional access, so a
+    * kernel that INDEXES its input must normalize to an array first
+    * (measured 70× on the simhash kernel: 3.2 ms/row through the wrapper
+    * vs 46 µs on an array). Iteration-only kernels (foreach) are safe. */
+  def floatArray(v: Seq[Float]): Array[Float] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case _ => v.toArray
+  }
+
+  def doubleArray(v: Seq[Double]): Array[Double] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+    case _ => v.toArray
+  }
+
+  def longArray(v: Seq[Long]): Array[Long] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+    case _ => v.toArray
+  }
+
   /** Register SQL-callable versions of the vector functions. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -91,7 +91,8 @@ object IvfPq {
         val tableCol = udf { (rq: Seq[Float]) => Pq.adcTableFor(rq, bcb.value).flatten }
         val withTables = probeSet
           .select(col("query_id"), col("cluster_id"), tableCol(col("rq")).as("adc"))
-        val score = udf { (adc: Seq[Double], codes: Array[Byte]) =>
+        val score = udf { (adc0: Seq[Double], codes: Array[Byte]) =>
+          val adc = graft.functions.doubleArray(adc0)
           var s = 0.0; var mi = 0
           while (mi < codes.length) { s += adc(mi * kk + (codes(mi) & 0xff)); mi += 1 }
           -s

@@ -129,7 +129,8 @@ object Pq {
     Codebook(m, dsub, k, cbs)
   }
 
-  private def encodeOne(v: Seq[Float], cb: Codebook): Array[Byte] = {
+  private def encodeOne(v0: Seq[Float], cb: Codebook): Array[Byte] = {
+    val v = graft.functions.floatArray(v0) // indexed m·k·dsub times below
     val out = new Array[Byte](cb.m)
     var mi = 0
     while (mi < cb.m) {
@@ -180,7 +181,8 @@ object Pq {
   private[operators] def adcTableFor(q: Seq[Float], cb: Codebook): Array[Array[Double]] =
     adcTable(q, cb)
 
-  private def adcTable(q: Seq[Float], cb: Codebook): Array[Array[Double]] = {
+  private def adcTable(q0: Seq[Float], cb: Codebook): Array[Array[Double]] = {
+    val q = graft.functions.floatArray(q0) // indexed m·k·dsub times below
     Array.tabulate(cb.m) { mi =>
       Array.tabulate(cb.codebooks(mi).length) { ki =>
         val c = cb.codebooks(mi)(ki)
@@ -229,7 +231,8 @@ object Pq {
         val bcb = spark.sparkContext.broadcast(cb)
         val tableCol = udf { (q: Seq[Float]) => adcTable(q, bcb.value).flatten }
         val qT = queries.select(col("query_id"), tableCol(col("qvec")).as("adc"))
-        val score = udf { (adc: Seq[Double], codes: Array[Byte]) =>
+        val score = udf { (adc0: Seq[Double], codes: Array[Byte]) =>
+          val adc = graft.functions.doubleArray(adc0)
           var s = 0.0; var mi = 0
           while (mi < codes.length) { s += adc(mi * kk + (codes(mi) & 0xff)); mi += 1 }
           -s

@@ -45,7 +45,8 @@ object ScalarQuant {
     Params(r.getFloat(0), r.getFloat(1))
   }
 
-  private def encodeArr(v: Seq[Float], mn: Float, mx: Float): Array[Byte] = {
+  private def encodeArr(v0: Seq[Float], mn: Float, mx: Float): Array[Byte] = {
+    val v = graft.functions.floatArray(v0) // indexed per element below
     val scale = if (mx > mn) 255.0 / (mx - mn) else 0.0
     val out = new Array[Byte](v.length)
     var i = 0

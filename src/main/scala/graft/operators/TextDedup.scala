@@ -248,7 +248,8 @@ object TextDedup {
                                bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val bandHashes = udf { (sig: Seq[Long]) =>
+    val bandHashes = udf { (sig0: Seq[Long]) =>
+      val sig = graft.functions.longArray(sig0) // indexed across all bands
       (0 until bands).map { band =>
         var h = 0L
         var i = band * rows
