@@ -861,16 +861,12 @@ class GraftEngine(spark: SparkSession, root: String) {
         // materialized (localCheckpoint): the populate step below APPENDS to
         // the entry table this plan reads — a lazy plan re-collected after
         // the append could see its own writes and flip misses to hits
-        val hr = probes
+        probes
           .join(valid, probes("key") === valid("cache_key"))
           .withColumn("hrn", row_number().over(wPri))
           .filter(col("hrn") === 1)
           .select(col("query_id"), col("layer"), col("hits"))
-        if (sys.env.contains("GRAFT_DEBUG_PLANS"))
-          // scalastyle:off println
-          println("HITROWS PLAN:\n" + hr.queryExecution.executedPlan.toString.take(8000))
-          // scalastyle:on println
-        hr.localCheckpoint()
+          .localCheckpoint()
       }
 
     // Served entries are trimmed to the REQUESTED k: L1/L2 keys bucket k
