@@ -76,6 +76,28 @@ object Queries {
   val knnCosineSql: String =
     knnSql("list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[])", withScore = true)
 
+  /** The same query through `spark.sql` with the REGISTERED vector
+    * functions (graft.functions.registerAll) — the SQL-first face of the
+    * engine. The SQL uses the registered `vector_topk` bounded aggregate,
+    * so the plan is the same map-side heap as the Column API (a
+    * row_number window here would shuffle the whole scored product).
+    * Same oracle as knn_cosine. */
+  val sqlKnnCosine: QueryFn = (s, dir) => {
+    graft.functions.registerAll(s)
+    vectorsOf(s, dir).createOrReplaceTempView("graft_vectors")
+    queriesOf(s, dir).createOrReplaceTempView("graft_queries")
+    s.sql(
+      s"""SELECT query_id, CAST(pos + 1 AS INT) AS rank, h.id AS id,
+         |       round(h.score, 6) AS score
+         |FROM (
+         |  SELECT q.query_id,
+         |         vector_topk(v.id, vector_cosine(q.qvec, v.vec), $K) AS hits
+         |  FROM graft_vectors v CROSS JOIN graft_queries q
+         |  GROUP BY q.query_id
+         |) LATERAL VIEW posexplode(hits) t AS pos, h
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** Brute-force top-k by L2 (score = -distance²; rank-only output since
     * DuckDB's list_distance applies a sqrt we don't). */
   val knnL2: QueryFn = (s, dir) =>
@@ -812,6 +834,19 @@ object Queries {
       |WHERE c * 1.0 / (s1.n_sh + s2.n_sh - c) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** The SAME exact-Jaccard surface through the rarest-first AllPairs
+    * prefix filter — the extreme-scale configuration (global df pass,
+    * ubiquitous shingles never generate candidates). Identical output to
+    * `dedup_ngram_jaccard` by the prefix-filter guarantee, so it shares
+    * that query's DuckDB oracle — the driver grades the scale path
+    * directly. */
+  val dedupJaccardRareFirst: QueryFn = (s, dir) =>
+    TextDedup.jaccardPairs(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        n = 3, tau = 0.5, prefixFilter = true, rareFirst = true)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id1", "id2")
+
   /** MinHash+LSH near-dup pairs, verified at τ=0.5 — should recover the
     * same planted pairs as the exact Jaccard query (LSH is probabilistic;
     * ScalaTest covers recall on planted fixtures; driver does rows-only). */
@@ -1082,6 +1117,7 @@ object Queries {
   val all: Map[String, QueryFn] = Map(
     "knn_dot" -> knnDot,
     "knn_cosine" -> knnCosine,
+    "sql_knn_cosine" -> sqlKnnCosine,
     "knn_l2" -> knnL2,
     "ivf_flat_search" -> ivfFlatSearch,
     "ivf_cosine_search" -> ivfCosineSearch,
@@ -1118,6 +1154,7 @@ object Queries {
     "corpus_clean" -> corpusClean,
     "multimodal_resize" -> multimodalResize,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_jaccard_rarefirst" -> dedupJaccardRareFirst,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "embedding_top_pairs" -> embeddingTopPairs,
@@ -1134,6 +1171,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "knn_dot" -> knnDotSql,
     "knn_cosine" -> knnCosineSql,
+    "sql_knn_cosine" -> knnCosineSql, // same surface through spark.sql
     "knn_l2" -> knnL2Sql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
@@ -1165,6 +1203,9 @@ object Queries {
     "corpus_clean" -> corpusCleanSql,
     "multimodal_resize" -> multimodalResizeSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    // identical output by the prefix-filter guarantee (rarest-first is a
+    // candidate-generation strategy, not a semantics change)
+    "dedup_jaccard_rarefirst" -> dedupNgramJaccardSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,
     "embedding_lsh_pairs" -> embeddingLshPairsSql,
     "text_quality" -> textQualitySql,

@@ -49,12 +49,22 @@ package object functions {
     case _ => v.toArray
   }
 
-  /** Register SQL-callable versions of the vector functions. */
+  /** Register SQL-callable versions of the vector functions, including the
+    * bounded top-k aggregate — SQL users get the same map-side heap the
+    * Column API uses (never a window over the full scored product). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vector_l2sq", es => VectorL2Sq(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vector_cosine", es => VectorCosine(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_topk", es => {
+      val k = es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"vector_topk(id, score, k): k must be an integer literal, got $other")
+      }
+      graft.operators.TopKHits(es(0), es(1), k)
+    }, "scala_udf")
   }
 }
