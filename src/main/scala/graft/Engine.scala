@@ -35,6 +35,27 @@ class GraftEngine(spark: SparkSession, root: String) {
   private def recordsPath = s"$root/records"
   private def indexPath(tenant: String, index: String) = s"$root/indexes/$tenant/$index"
 
+  /** Declared log schema: reads never infer from a sampled footer, so a
+    * log mixing pre-`numeric_fields` files with new ones stays
+    * deterministic (absent columns read as null) without mergeSchema's
+    * all-footers cost. */
+  private val recordSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("meta", StringType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("numeric_fields", MapType(StringType, DoubleType)),
+      StructField("updated_at", LongType),
+      StructField("deleted", BooleanType),
+      StructField("tenant_id", StringType),
+      StructField("index_name", StringType)))
+  }
+
+  private def readLog(): DataFrame =
+    spark.read.schema(recordSchema).parquet(recordsPath)
+
   // -------------------------------------------------------------------
   // manifest (epoch + build watermark) — tiny JSON, driver-side
   // -------------------------------------------------------------------
@@ -71,8 +92,11 @@ class GraftEngine(spark: SparkSession, root: String) {
         raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
       val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse("IVF_FLAT")
+      // absent field (pre-upgrade manifest) → UNKNOWN, not L2: defaulting
+      // to a concrete metric would reject the index's true metric and
+      // accept the wrong one; unknown skips validation instead
       val metric = raw""""metric"\s*:\s*"([A-Za-z_]+)"""".r.findFirstMatchIn(s)
-        .map(_.group(1)).getOrElse("L2")
+        .map(_.group(1)).getOrElse("")
       // absent field (older manifest) → assume dirty: correctness over speed
       val headDirty = raw""""headDirty"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toInt).getOrElse(1)
@@ -221,7 +245,7 @@ class GraftEngine(spark: SparkSession, root: String) {
   private def currentStateAll(): DataFrame = {
     val w = Window.partitionBy("tenant_id", "index_name", "id")
       .orderBy(col("updated_at").desc)
-    spark.read.parquet(recordsPath)
+    readLog()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .drop("rn")
@@ -294,9 +318,15 @@ class GraftEngine(spark: SparkSession, root: String) {
     // meta/tags snapshot for hydration without re-reading the whole log
     state.select(col("id").as("id_str"), col("meta"), col("tags"))
       .write.mode("overwrite").parquet(s"$dir/records")
+    // concurrent-writer guard (e.g. an upsertStream micro-batch landing
+    // between the state read and this commit): any write bumps the epoch,
+    // so an epoch moved since m0 means the log holds rows this snapshot
+    // never saw — the head must stay dirty or they'd be invisible
+    val mNow = manifest(tenant, index)
     writeManifest(tenant, index,
-      Manifest(m0.epoch + 1, watermark, algoU, nVectors, newVersion,
-        metric.toUpperCase, headDirty = 0))
+      Manifest(mNow.epoch + 1, watermark, algoU, nVectors, newVersion,
+        metric.toUpperCase,
+        headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
     // keep the previous snapshot too: lazy frames returned by search()
     // before this build may still resolve into it
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
@@ -353,7 +383,8 @@ class GraftEngine(spark: SparkSession, root: String) {
     // trained for the build metric — scoring probes with a different one
     // silently degrades recall, so reject the mismatch. FLAT tails are a
     // single exact-scanned list: metric-agnostic by construction.
-    require(m.algo == "FLAT" || metric.equalsIgnoreCase(m.metric),
+    require(m.algo == "FLAT" || m.metric.isEmpty ||
+        metric.equalsIgnoreCase(m.metric),
       s"index built with metric=${m.metric}; cannot search with metric=$metric")
     val snap = snapDir(tenant, index, m)
     val snapshot = spark.read.parquet(s"$snap/records")
@@ -365,7 +396,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     val headOpt: Option[(DataFrame, DataFrame)] =
       if (m.headDirty == 0 || !recordsLogExists) None
       else {
-        val headLog = spark.read.parquet(recordsPath)
+        val headLog = readLog()
           .filter(col("tenant_id") === tenant && col("index_name") === index &&
             col("updated_at") > m.buildWatermark)
         val wHead = Window.partitionBy("id").orderBy(col("updated_at").desc)
@@ -518,6 +549,10 @@ class GraftEngine(spark: SparkSession, root: String) {
         spark.read.parquet(s"$snap/centroids"))
     })
 
+  // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
+  // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
+  // layer), while constructing an IvfFlat.Index eagerly resolves the
+  // $snap/vectors path, which HNSW/IVF_PQ snapshots don't have.
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float])]]
   private def centroidsLocalOf(tenant: String, index: String,
@@ -593,6 +628,8 @@ class GraftEngine(spark: SparkSession, root: String) {
     * external directory. Requires a completed build. */
   def exportSnapshot(tenant: String, index: String, dest: String): Unit = {
     val m = manifest(tenant, index)
+    require(m.version > 0,
+      s"cannot export $tenant/$index: no built snapshot (build first)")
     val snap = snapDir(tenant, index, m)
     copyTree(Paths.get(snap), Paths.get(s"$dest/snapshot"))
     Files.createDirectories(Paths.get(dest))
@@ -658,8 +695,11 @@ class GraftEngine(spark: SparkSession, root: String) {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     keyed.select("id_str", "meta", "tags")
       .write.mode("overwrite").parquet(s"$dir/records")
-    writeManifest(tenant, index, Manifest(m0.epoch + 1, wmRow.getLong(0),
-      m0.algo, wmRow.getLong(1), newVersion, m0.metric, headDirty = 0))
+    // same concurrent-writer guard as build()
+    val mNow = manifest(tenant, index)
+    writeManifest(tenant, index, Manifest(mNow.epoch + 1, wmRow.getLong(0),
+      m0.algo, wmRow.getLong(1), newVersion, m0.metric,
+      headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
   }
 
@@ -761,15 +801,22 @@ class GraftEngine(spark: SparkSession, root: String) {
     * layer "SHED") row — the batch analog of the reference's
     * `VEC_ERR_BUSY "SLO mode: cache-only."` per-request error — and
     * `maxScans` caps the miss-path scan budget. */
-  def searchCached(tenant: String, index: String, queries: DataFrame, k: Int,
+  def searchCached(tenant: String, index: String, queries0: DataFrame, k: Int,
                    metric: String = "L2", nprobe: Int = 4, now: Long = 0L,
                    ttlSeconds: Int = 60,
                    hotClusters: Option[DataFrame] = None,
                    options: SearchOptions = SearchOptions()): DataFrame = {
     import graft.operators.Caching
     val m = manifest(tenant, index)
-    require(m.algo == "FLAT" || metric.equalsIgnoreCase(m.metric),
+    require(m.algo == "FLAT" || m.metric.isEmpty ||
+        metric.equalsIgnoreCase(m.metric),
       s"index built with metric=${m.metric}; cannot search with metric=$metric")
+
+    // one key set per DISTINCT query id: duplicates would defeat the
+    // fully-warm fast path (row counts vs per-query hit rows), bill
+    // phantom misses, and double-write entries (the old crossJoin+window
+    // key derivation deduplicated as a side effect)
+    val queries = queries0.dropDuplicates("query_id")
 
     val tagsNorm =
       if (queries.columns.contains("filter_tags"))

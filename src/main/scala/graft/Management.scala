@@ -62,7 +62,10 @@ class Management(spark: SparkSession, val root: String) {
   private def jLong(s: String, k: String): Option[Long] =
     raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
   private def jDouble(s: String, k: String): Option[Double] =
-    raw""""$k"\s*:\s*(-?[\d.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+    // Scala renders e.g. 1.0e7 as "1.0E7" — the pattern must cover
+    // scientific notation or large budgets would round-trip as 1.0
+    raw""""$k"\s*:\s*(-?[\d.]+(?:[eE][+-]?\d+)?)""".r
+      .findFirstMatchIn(s).map(_.group(1).toDouble)
   private def jString(s: String, k: String): Option[String] =
     raw""""$k"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
 

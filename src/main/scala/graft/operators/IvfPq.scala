@@ -59,10 +59,14 @@ object IvfPq {
       .select("query_id", "cluster_id", "rq")
 
     // probeSet has nq × nprobe rows — bound it in QUERY units so the knob
-    // keeps its documented meaning (the driver holds nprobe ADC tables per
-    // query either way, so memory per admitted query is nprobe·M·K doubles)
+    // keeps its documented meaning, but ALSO cap the driver's table bytes:
+    // each admitted (query, cluster) pair costs one M×K-double ADC table,
+    // so large nprobe must flip to the distributed path rather than
+    // multiply the driver footprint nprobe-fold (~256 MB ceiling)
+    val tableBytes = index.cb.m.toLong * index.cb.k * 8L
+    val memCapPairs = math.max(1L, (256L << 20) / math.max(1L, tableBytes))
     val pairCap = (maxLocalQueries.toLong * math.max(1, nprobe))
-      .min(Int.MaxValue - 1L).toInt
+      .min(memCapPairs).min(Int.MaxValue - 1L).toInt
     val sample = probeSet.limit(pairCap + 1).collect()
     val scored =
       if (sample.length <= pairCap) {
