@@ -382,6 +382,23 @@ class EngineSpec extends SparkSpec {
     assert(hits.map(_.getAs[String]("id")).contains("tiny"))
   }
 
+  test("searchCached deduplicates query_ids: warm repeat batch bills one hit, no miss") {
+    val root = Files.createTempDirectory("engine_dupq").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 20).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    // the same query_id twice in one batch (same vector)
+    val dup = q(1L, Seq(3f, 1f, 0f)).unionByName(q(1L, Seq(3f, 1f, 0f)))
+    eng.searchCached("t1", "idx", dup, k = 3, nprobe = 2, now = 1000L).collect()
+    val warm = eng.searchCached("t1", "idx", dup, k = 3, nprobe = 2, now = 1010L)
+      .collect()
+    assert(warm.nonEmpty && warm.forall(_.getAs[Boolean]("cache_hit")))
+    val mlog = spark.read.parquet(s"$root/metrics/t1/idx").orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(mlog.toSeq == Seq((0L, 1L), (1L, 0L)), mlog.toSeq.toString)
+  }
+
   test("searchCached caches zero-hit misses: the repeat query hits, not re-scans") {
     val root = Files.createTempDirectory("engine_zerohit").toString
     val eng = new GraftEngine(spark, root)
