@@ -204,7 +204,8 @@ object TextDedup {
                                  maxDocFreq: Int): DataFrame = {
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2"))).distinct()
-    val shAll = docShingles.join(ids, "doc_id")
+    val candDocs = docShingles.join(ids, "doc_id")
+    val shAll = candDocs
       .select(col("doc_id"), explode(col("shingles")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     val sh = (if (maxDocFreq > 0) {
@@ -212,7 +213,13 @@ object TextDedup {
         .filter(col("df") > maxDocFreq).select("g")
       shAll.join(broadcast(hubs), Seq("g"), "left_anti")
     } else shAll).persist()
-    try jaccardOfShingleTable(sh, pairs)
+    // uncapped set sizes come straight off the (distinct) shingle arrays —
+    // no aggregation over the exploded table; the df-cap changes the sets,
+    // so the capped route must re-count post-cap
+    val sizes =
+      if (maxDocFreq > 0) sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      else candDocs.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    try jaccardOfShingleTable(sh, pairs, sizes)
     finally sh.unpersist()
   }
 
@@ -289,14 +296,16 @@ object TextDedup {
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2"))).distinct()
     val sh = shingleTable(docs.join(ids, "doc_id"), n, maxDocFreq).persist()
-    try jaccardOfShingleTable(sh, pairs)
+    try jaccardOfShingleTable(sh, pairs,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     finally sh.unpersist()
   }
 
   /** Exact Jaccard over an exploded (doc_id, g) shingle table, restricted
-    * to the given candidate pairs. Caller persists/unpersists `sh`. */
-  private def jaccardOfShingleTable(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    * to the given candidate pairs. `sizes` = (doc_id, n_sh) set sizes.
+    * Caller persists/unpersists `sh`. */
+  private def jaccardOfShingleTable(sh: DataFrame, pairs: DataFrame,
+                                    sizes: DataFrame): DataFrame = {
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
