@@ -88,6 +88,29 @@ class ManagementSpec extends SparkSpec {
     assert(fresh.head.getAs[String]("id") == "w0")
   }
 
+  test("snapshot export → import roundtrips an IVF_PQ snapshot (codes+codebooks)") {
+    val m1 = mkMgmt()
+    m1.createIndex("t1", "idx", DeclaredIndex(dim = 8, algo = "IVF_PQ",
+      nlist = 2, pqM = 4, pqK = 8))
+    val recs = (0 until 40).map(i =>
+      (s"v$i", Seq.tabulate(8)(d => (i * 8 + d).toFloat)))
+    m1.engine.add(mkRecords(recs))
+    m1.buildIndex("t1", "idx")
+    val dest = Files.createTempDirectory("snap_pq").toString
+    m1.snapshotIndex("t1", "idx", dest)
+
+    val m2 = mkMgmt()
+    m2.loadIndex("t1", "idx", dest)
+    assert(m2.engine.manifest("t1", "idx").algo == "IVF_PQ")
+    // both engines serve the identical ADC ranking from the moved files
+    val q7 = q(1L, recs(7)._2)
+    val a = m1.engine.search("t1", "idx", q7, k = 3, nprobe = 2).collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    val b = m2.engine.search("t1", "idx", q7, k = 3, nprobe = 2).collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("cache invalidate flips warm hits back to misses without flushing files") {
     val m = mkMgmt()
     m.createIndex("t1", "idx", DeclaredIndex(dim = 3, nlist = 2))

@@ -13,6 +13,13 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  /** For properties whose trial runs whole Spark jobs: fewer, bigger cases. */
+  private def checkN(n: Int)(p: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n)
+    val r = org.scalacheck.Test.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
   private val vecGen: Gen[Seq[Float]] =
     Gen.chooseNum(1, 64).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-100f, 100f)).map(_.toSeq))
@@ -65,6 +72,29 @@ class PropertySpec extends SparkSpec {
       val m2 = fill(b); m2.mergeFrom(fill(a)); m2.compact()
       (0 until m1.n).map(i => (m1.ids(i), m1.scores(i))) ==
         (0 until m2.n).map(i => (m2.ids(i), m2.scores(i)))
+    })
+  }
+
+  test("jaccard: plain / hash-prefix / rare-first paths agree on random corpora") {
+    import spark.implicits._
+    // random word docs with shared vocabulary so overlaps span tau; a
+    // generative complement to TextDedupSpec's planted fixtures
+    val wordGen = Gen.chooseNum(0, 30).map(i => s"w$i")
+    val docGen = Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpusGen = Gen.chooseNum(6, 14).flatMap(n => Gen.listOfN(n, docGen))
+    checkN(8)(Prop.forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.7)) { (corpus, tau) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def pairs(prefix: Boolean, rare: Boolean) =
+        graft.operators.TextDedup
+          .jaccardPairs(docs, n = 2, tau, prefixFilter = prefix, rareFirst = rare)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+          .toSet
+      val plain = pairs(prefix = false, rare = false)
+      plain == pairs(prefix = true, rare = false) &&
+        plain == pairs(prefix = true, rare = true)
     })
   }
 
