@@ -82,7 +82,12 @@ object IvfFlat {
             Iterator(new PackedLists(dim, pIds, pVecs, ranges))
           }
         }
-      rdd.cache()
+      // MEMORY_AND_DISK, not MEMORY_ONLY: under storage pressure an
+      // evicted MEMORY_ONLY partition silently recomputes the whole
+      // pack-from-parquet per search call (a 20×+ serving regression
+      // observed under a cache-heavy JVM); disk spill degrades to a
+      // local read instead
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd
     }
   }
