@@ -30,7 +30,23 @@ import graft.operators.{BruteForceKnn, DeltaIndex, IvfFlat, TopK}
   * the fresh head — records written after the build watermark — exactly
   * like the reference's Delta head/tail index (DeltaVectorIndex.cs:76-122).
   */
+object GraftEngine {
+  /** Per-index manifest monitors, JVM-global (keyed by root so two engine
+    * instances over the same layout share one): every manifest
+    * read-modify-write serializes on this, closing the TOCTOU window where
+    * a concurrent writer (e.g. an upsertStream micro-batch on another
+    * thread) bumps the epoch between a commit's re-read and its rename —
+    * which would let build commit headDirty=0 and hide the fresh rows. */
+  private val manifestLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(root: String, tenant: String, index: String): Object =
+    manifestLocks.getOrElseUpdate(s"$root#$tenant/$index", new Object)
+}
+
 class GraftEngine(spark: SparkSession, root: String) {
+
+  private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
+    GraftEngine.lockFor(root, tenant, index).synchronized(f)
 
   private def recordsPath = s"$root/records"
   private def indexPath(tenant: String, index: String) = s"$root/indexes/$tenant/$index"
@@ -102,7 +118,11 @@ class GraftEngine(spark: SparkSession, root: String) {
         .map(_.group(1).toInt).getOrElse(1)
       Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"),
         field("version"), metric, headDirty)
-    } else Manifest(0L, Long.MinValue, "IVF_FLAT")
+    } else
+      // metric = "" (unknown), NOT the case-class "L2" default: a
+      // never-built index has recorded no metric, so validation must be
+      // skipped — the same convention as an absent field in the parse path
+      Manifest(0L, Long.MinValue, "IVF_FLAT", metric = "")
   }
 
   private def writeManifest(tenant: String, index: String, m: Manifest): Unit = {
@@ -137,10 +157,11 @@ class GraftEngine(spark: SparkSession, root: String) {
 
   def epoch(tenant: String, index: String): Long = manifest(tenant, index).epoch
 
-  private def bumpEpoch(tenant: String, index: String): Unit = {
-    val m = manifest(tenant, index)
-    writeManifest(tenant, index, m.copy(epoch = m.epoch + 1, headDirty = 1))
-  }
+  private def bumpEpoch(tenant: String, index: String): Unit =
+    withManifestLock(tenant, index) {
+      val m = manifest(tenant, index)
+      writeManifest(tenant, index, m.copy(epoch = m.epoch + 1, headDirty = 1))
+    }
 
   // -------------------------------------------------------------------
   // write path (SURVEY §3.2)
@@ -321,15 +342,22 @@ class GraftEngine(spark: SparkSession, root: String) {
     // concurrent-writer guard (e.g. an upsertStream micro-batch landing
     // between the state read and this commit): any write bumps the epoch,
     // so an epoch moved since m0 means the log holds rows this snapshot
-    // never saw — the head must stay dirty or they'd be invisible
-    val mNow = manifest(tenant, index)
-    writeManifest(tenant, index,
-      Manifest(mNow.epoch + 1, watermark, algoU, nVectors, newVersion,
-        metric.toUpperCase,
-        headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
+    // never saw — the head must stay dirty or they'd be invisible. The
+    // re-read and the rename sit under the per-index manifest lock, so a
+    // writer can't slip its bump between them (it either lands before the
+    // re-read — seen in mNow — or after the rename, where bumpEpoch itself
+    // re-sets headDirty=1).
+    withManifestLock(tenant, index) {
+      val mNow = manifest(tenant, index)
+      writeManifest(tenant, index,
+        Manifest(mNow.epoch + 1, watermark, algoU, nVectors, newVersion,
+          metric.toUpperCase,
+          headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
+    }
     // keep the previous snapshot too: lazy frames returned by search()
     // before this build may still resolve into it
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
+    evictStaleHandles(tenant, index, keep = newVersion - 1)
   }
 
   // -------------------------------------------------------------------
@@ -562,6 +590,25 @@ class GraftEngine(spark: SparkSession, root: String) {
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1))
 
+  /** Drop memoized read handles (and their cached packed RDD blocks) for
+    * snapshot versions older than `keep` — mirrors [[gcOldSnapshots]]'s
+    * retention window, so repeated builds/compactions don't accumulate
+    * stale Index handles and pinned storage for the engine's lifetime. */
+  private def evictStaleHandles(tenant: String, index: String, keep: Long): Unit = {
+    val prefix = s"$tenant/$index/v"
+    def versionOf(k: String): Option[Long] = {
+      val v = k.stripPrefix(prefix)
+      if (k.startsWith(prefix) && v.forall(_.isDigit)) Some(v.toLong) else None
+    }
+    tailIndexCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep))
+        tailIndexCache.remove(k).foreach(_.packed.unpersist(blocking = false))
+    }
+    centroidCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) centroidCache.remove(k)
+    }
+  }
+
   // -------------------------------------------------------------------
   // semantic-cluster override for the L2 cache layer (reference:
   // SemanticClusterRegistry fed by POST centroids, IndexController.cs:251-292
@@ -654,10 +701,14 @@ class GraftEngine(spark: SparkSession, root: String) {
       Paths.get(s"${indexPath(tenant, index)}/v$newVersion"))
     // headDirty stays 1: the local log's relation to the imported
     // watermark is unknown, so the head path must stay on
-    writeManifest(tenant, index,
-      Manifest(m0.epoch + 1, field("buildWatermark"), algo, field("nVectors"),
-        newVersion, metric, headDirty = 1))
+    withManifestLock(tenant, index) {
+      val mNow = manifest(tenant, index)
+      writeManifest(tenant, index,
+        Manifest(mNow.epoch + 1, field("buildWatermark"), algo, field("nVectors"),
+          newVersion, metric, headDirty = 1))
+    }
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
+    evictStaleHandles(tenant, index, keep = newVersion - 1)
   }
 
   /** Incremental compaction: fold the current state into a fresh tail
@@ -695,17 +746,25 @@ class GraftEngine(spark: SparkSession, root: String) {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     keyed.select("id_str", "meta", "tags")
       .write.mode("overwrite").parquet(s"$dir/records")
-    // same concurrent-writer guard as build()
-    val mNow = manifest(tenant, index)
-    writeManifest(tenant, index, Manifest(mNow.epoch + 1, wmRow.getLong(0),
-      m0.algo, wmRow.getLong(1), newVersion, m0.metric,
-      headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
+    // same concurrent-writer guard as build(), same lock discipline
+    withManifestLock(tenant, index) {
+      val mNow = manifest(tenant, index)
+      writeManifest(tenant, index, Manifest(mNow.epoch + 1, wmRow.getLong(0),
+        m0.algo, wmRow.getLong(1), newVersion, m0.metric,
+        headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
+    }
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
+    evictStaleHandles(tenant, index, keep = newVersion - 1)
   }
 
   // -------------------------------------------------------------------
   // cached search (SURVEY §3.1 steps 6-13 assembled)
   // -------------------------------------------------------------------
+
+  /** Parquet part-file ceiling for the entry table before an inline
+    * compaction pass: the per-call validity probe scans every entry file,
+    * so unbounded appends would grow per-call cost with serving duration. */
+  private val CacheGcFileThreshold = 64L
 
   private def cacheEntriesPath(tenant: String, index: String) =
     s"$root/cache/$tenant/$index/entries"
@@ -715,11 +774,12 @@ class GraftEngine(spark: SparkSession, root: String) {
   /** Cache invalidation (reference: CacheController invalidate + the epoch
     * machinery, VectorIndexRegistry.cs:52-68): bumping the epoch makes
     * every cached entry stale at probe time without touching the files. */
-  def invalidateCache(tenant: String, index: String): Unit = {
-    // epoch-only bump: no data changed, so head-dirtiness is untouched
-    val m = manifest(tenant, index)
-    writeManifest(tenant, index, m.copy(epoch = m.epoch + 1))
-  }
+  def invalidateCache(tenant: String, index: String): Unit =
+    withManifestLock(tenant, index) {
+      // epoch-only bump: no data changed, so head-dirtiness is untouched
+      val m = manifest(tenant, index)
+      writeManifest(tenant, index, m.copy(epoch = m.epoch + 1))
+    }
 
   /** Cache flush (reference: CacheController flush endpoint) — removes all
     * entries and aliases for the index. */
@@ -744,11 +804,92 @@ class GraftEngine(spark: SparkSession, root: String) {
   def cacheEntries(tenant: String, index: String): DataFrame =
     spark.read.parquet(cacheEntriesPath(tenant, index))
 
+  // separate tree from metrics/: billingUsage enumerates metrics/<tenant>/*
+  // as per-index hit/miss logs and must not pick this up
+  private def evictionsPath(tenant: String, index: String) =
+    s"$root/metrics_gc/$tenant/$index"
+
+  private def dirBytes(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  private def dirFileCount(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+  }
+
+  /** Entry-table GC (reference: lazy expiry eviction + bounded cache,
+    * MemoryCacheStorage.cs:20-86): rewrite the entry table keeping only
+    * LIVE entries — current epoch, unexpired at `now`, newest per
+    * cache_key (the same validity rule [[searchCached]] probes with) —
+    * and count everything dropped as evictions (VEC.STATS
+    * `cache_eviction_total`). Without this the table grows one file set
+    * per miss batch forever and the per-call validity window scans the
+    * whole history — the 100×-serving-duration scale killer. Returns the
+    * number of evicted entries. Single-writer, like every snapshot
+    * commit. */
+  def compactCacheEntries(tenant: String, index: String, now: Long): Long = {
+    val p = cacheEntriesPath(tenant, index)
+    if (!Files.exists(Paths.get(p))) return 0L
+    val m = manifest(tenant, index)
+    // live rows sort first, so vrn==1 ∧ live picks the newest LIVE entry
+    // per key — identical to the entry searchCached's probe would serve
+    // (its validity filter runs before its ranking window)
+    val wNewest = Window.partitionBy("cache_key")
+      .orderBy(col("live").desc, col("written_at").desc,
+        xxhash64(to_json(col("hits"))))
+    val counted = cacheEntries(tenant, index)
+      .withColumn("live",
+        col("epoch") === m.epoch && col("expires_at") > now)
+      .withColumn("vrn",
+        row_number().over(wNewest))
+      .withColumn("keep", col("live") && col("vrn") === 1)
+      .cache()
+    val agg = counted.agg(count(lit(1)), count(when(col("keep"), 1))).head
+    val (total, kept) = (agg.getLong(0), agg.getLong(1))
+    val evicted = total - kept
+    if (evicted > 0) {
+      val tmp = s"$p.compact"
+      counted.filter(col("keep"))
+        .drop("live", "vrn", "keep")
+        .write.mode("overwrite").parquet(tmp)
+      counted.unpersist()
+      // swap: delete the old table, move the compacted one into place.
+      // Readers hold no lazy plans over the entry files ([[searchCached]]
+      // localCheckpoints its probe results), so the single-writer swap is
+      // safe — the same isolation argument as snapshot GC.
+      val target = Paths.get(p)
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => Files.deleteIfExists(q))
+      Files.move(Paths.get(tmp), target)
+      import spark.implicits._
+      Seq((now, evicted)).toDF("ts", "evicted")
+        .write.mode("append").parquet(evictionsPath(tenant, index))
+    } else counted.unpersist()
+    evicted
+  }
+
   /** Resolved plan-time search parameters — VEC.SEARCH steps 8-9
     * (reference: VectorCommandSet.cs:423-456 + SloGuardrails.cs:58-87).
-    * `maxScans` 0 = uncapped; `cacheOnly` sheds cache misses. */
+    * `maxScans` 0 = uncapped; `cacheOnly` sheds cache misses.
+    * `cacheMemoryMb` is the tenant's result-cache quota (reference:
+    * TenantConfig.CacheMemoryMb enforced at MemoryCacheStorage.cs:59-71):
+    * populate writes are rejected once the entry table reaches it. */
   case class SearchOptions(maxScans: Int = 0, cacheOnly: Boolean = false,
-                           budgetAdjusted: Boolean = false)
+                           budgetAdjusted: Boolean = false,
+                           cacheMemoryMb: Int = Int.MaxValue)
 
   /** SLO shed + budget degradation, resolved deterministically from the
     * tenant's state (the serving side evaluates this per request; batch
@@ -763,7 +904,8 @@ class GraftEngine(spark: SparkSession, root: String) {
                            degraded: Boolean = false, priority: Int = 1,
                            overBudget: Boolean = false,
                            cacheHintForce: Boolean = false,
-                           degradedMaxScans: Int = 1000): SearchOptions = {
+                           degradedMaxScans: Int = 1000,
+                           cacheMemoryMb: Int = Int.MaxValue): SearchOptions = {
     val n = manifest(tenant, index).nVectors
     val cacheOnly = cacheHintForce || (degraded && priority >= 2)
     var maxScans = if (degraded && priority >= 1) degradedMaxScans else 0
@@ -774,7 +916,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         else math.max(1, math.min(1000L, n / 2).toInt)
       adjusted = true
     }
-    SearchOptions(maxScans, cacheOnly, adjusted)
+    SearchOptions(maxScans, cacheOnly, adjusted, cacheMemoryMb)
   }
 
   /** The assembled cached-search pipeline — the reference's VEC.SEARCH
@@ -815,8 +957,14 @@ class GraftEngine(spark: SparkSession, root: String) {
     // one key set per DISTINCT query id: duplicates would defeat the
     // fully-warm fast path (row counts vs per-query hit rows), bill
     // phantom misses, and double-write entries (the old crossJoin+window
-    // key derivation deduplicated as a side effect)
-    val queries = queries0.dropDuplicates("query_id")
+    // key derivation deduplicated as a side effect). Dedup on the FULL
+    // payload, not query_id alone — a query_id reused with a different
+    // vector/filter would otherwise keep an arbitrary row and make
+    // results nondeterministic; the uniqueness check below fails fast
+    // on that instead.
+    val dedupCols = Seq("query_id", "qvec") ++
+      (if (queries0.columns.contains("filter_tags")) Seq("filter_tags") else Nil)
+    val queries = queries0.dropDuplicates(dedupCols)
 
     val tagsNorm =
       if (queries.columns.contains("filter_tags"))
@@ -935,8 +1083,14 @@ class GraftEngine(spark: SparkSession, root: String) {
     // hit/miss accounting from two cheap counts (keyed is cached, hitRows
     // is checkpointed; hitRows holds ≤1 row per query by construction) —
     // they also decide the fully-warm fast path, which skips the whole
-    // miss machinery: search plan, populate write, shed frame
-    val nQ = keyed.count()
+    // miss machinery: search plan, populate write, shed frame. The same
+    // aggregation enforces query_id uniqueness post-dedup: equal ids with
+    // DIFFERENT payloads must fail fast, not silently keep one.
+    val qAgg = keyed.agg(count(lit(1)), count_distinct(col("query_id"))).head
+    val nQ = qAgg.getLong(0)
+    require(qAgg.getLong(1) == nQ,
+      s"batch contains a query_id reused with different qvec/filter_tags " +
+        s"(${nQ} rows, ${qAgg.getLong(1)} distinct ids)")
     val nHit = if (hitRows == null) 0L else hitRows.count()
     val anyMiss = nHit < nQ
 
@@ -1000,8 +1154,29 @@ class GraftEngine(spark: SparkSession, root: String) {
         lit(m.epoch).as("epoch"),
         (lit(now) + col("e.ttl")).as("expires_at"),
         lit(now).as("written_at"))
-    if (anyMiss && !options.cacheOnly)
-      newEntries.write.mode("append").parquet(cacheEntriesPath(tenant, index))
+    if (anyMiss && !options.cacheOnly) {
+      // CacheMemoryMb enforcement (MemoryCacheStorage.cs:59-71): when the
+      // entry table has reached the tenant's quota, first lazily evict
+      // stale/expired entries (the reference's read-path expiry sweep); if
+      // still at quota, REJECT the populate — the miss was served, it just
+      // isn't cached. Size checks are driver-side file metadata, no job.
+      val entriesDir = cacheEntriesPath(tenant, index)
+      val quotaBytes = options.cacheMemoryMb.toLong << 20
+      val underQuota =
+        dirBytes(entriesDir) < quotaBytes || {
+          compactCacheEntries(tenant, index, now)
+          dirBytes(entriesDir) < quotaBytes
+        }
+      if (underQuota) {
+        newEntries.write.mode("append").parquet(entriesDir)
+        // bound the file count independently of the quota: every miss
+        // batch appends a file set, and the per-call validity window
+        // scans all of them — amortized compaction keeps the per-call
+        // probe cost flat over serving time
+        if (dirFileCount(entriesDir) > CacheGcFileThreshold)
+          compactCacheEntries(tenant, index, now)
+      }
+    }
 
     val freshOut0 = fresh
       .withColumn("cache_hit", lit(false))
@@ -1048,8 +1223,18 @@ class GraftEngine(spark: SparkSession, root: String) {
         import spark.implicits._
         Governance.latencyHistogram(Seq.empty[Double].toDF("latency_ms"), "latency_ms")
       }
+    // real eviction counts from the GC log (entries dropped by
+    // compactCacheEntries — the reference's MemoryCacheStorage eviction
+    // counter feeding GetStats)
+    val evPath = evictionsPath(tenant, index)
+    val ev =
+      if (!Files.exists(Paths.get(evPath))) 0L
+      else {
+        val r = spark.read.parquet(evPath).agg(sum("evicted")).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     Governance.metricsText(
-      Governance.standardCounters(h, m, evictions = 0L, fallbacks = 0L), hist)
+      Governance.standardCounters(h, m, evictions = ev, fallbacks = 0L), hist)
   }
 
   /** Current snapshot's centroid table (cluster_id, centroid). */

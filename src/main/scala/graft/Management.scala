@@ -40,9 +40,38 @@ case class DeclaredIndex(dim: Int, metric: String = "L2",
   * There is deliberately no HTTP server here (documented divergence,
   * COVERAGE.md): the protocol plane is transport, not capability.
   */
+object Management {
+  /** Sentinel principal for in-process trusted callers (the serving stack
+    * itself). The reference's middleware likewise skips RequirePermission
+    * on excluded internal paths (Program.cs:154-156); every externally
+    * attributed call must pass a real user id and clears the role gate. */
+  val SystemUser = "__system__"
+}
+
 class Management(spark: SparkSession, val root: String) {
 
   val engine = new GraftEngine(spark, root)
+
+  // -------------------------------------------------------------------
+  // RBAC enforcement (reference: RequirePermission on every route, e.g.
+  // IndexController.cs:80-82, enforced by the auth middleware
+  // Program.cs:154-156): admin ⊃ writer ⊃ reader. Operations take an
+  // `actingUser`; unknown users and insufficient roles are rejected.
+  // -------------------------------------------------------------------
+
+  private val roleRank = Map("reader" -> 0, "writer" -> 1, "admin" -> 2)
+
+  private def authorize(tenantId: String, actingUser: String,
+                        atLeast: String): Unit =
+    if (actingUser != Management.SystemUser) {
+      val role = users(tenantId).getOrElse(actingUser,
+        throw new SecurityException(
+          s"unknown user '$actingUser' for tenant $tenantId"))
+      if (roleRank(role) < roleRank(atLeast))
+        throw new SecurityException(
+          s"user '$actingUser' (role $role) lacks '$atLeast' permission " +
+            s"on tenant $tenantId")
+    }
 
   private val NamePat = "^[A-Za-z0-9_-]+$"
   private def requireName(s: String, what: String): Unit =
@@ -101,7 +130,9 @@ class Management(spark: SparkSession, val root: String) {
       jDouble(s, "monthlyBudget").getOrElse(100.0))
   }
 
-  def updateQuota(tenantId: String, q: TenantQuota): Unit = {
+  def updateQuota(tenantId: String, q: TenantQuota,
+                  actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "admin")
     require(tenantExists(tenantId), s"no such tenant: $tenantId")
     writeJson(tenantFile(tenantId), quotaJson(q, apiKeyHash(tenantId)))
   }
@@ -109,7 +140,9 @@ class Management(spark: SparkSession, val root: String) {
   private def apiKeyHash(tenantId: String): String =
     jString(Files.readString(tenantFile(tenantId)), "apiKeyHash").getOrElse("")
 
-  def updateApiKey(tenantId: String, newHash: String): Unit = {
+  def updateApiKey(tenantId: String, newHash: String,
+                   actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "admin")
     require(tenantExists(tenantId), s"no such tenant: $tenantId")
     writeJson(tenantFile(tenantId), quotaJson(quota(tenantId), newHash))
   }
@@ -140,7 +173,9 @@ class Management(spark: SparkSession, val root: String) {
       us.toSeq.sorted.map { case (u, r) => s""""$u": "$r"""" }
         .mkString("{", ", ", "}"))
 
-  def createUser(tenantId: String, userId: String, role: String): Unit = {
+  def createUser(tenantId: String, userId: String, role: String,
+                 actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "admin")
     require(tenantExists(tenantId), s"no such tenant: $tenantId")
     requireName(userId, "user id")
     require(Roles(role), s"unknown role: $role (allowed: ${Roles.mkString("/")})")
@@ -149,7 +184,9 @@ class Management(spark: SparkSession, val root: String) {
     writeUsers(tenantId, us + (userId -> role))
   }
 
-  def updateUserRole(tenantId: String, userId: String, role: String): Unit = {
+  def updateUserRole(tenantId: String, userId: String, role: String,
+                     actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "admin")
     require(Roles(role), s"unknown role: $role")
     val us = users(tenantId)
     require(us.contains(userId), s"no such user: $userId")
@@ -164,7 +201,9 @@ class Management(spark: SparkSession, val root: String) {
   private def indexFile(t: String, i: String) =
     Paths.get(s"$root/indexes/$t/$i/config.json")
 
-  def createIndex(tenantId: String, indexName: String, cfg: DeclaredIndex): Unit = {
+  def createIndex(tenantId: String, indexName: String, cfg: DeclaredIndex,
+                  actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "admin")
     requireName(tenantId, "tenant id"); requireName(indexName, "index name")
     require(cfg.dim > 0, s"dim must be positive: ${cfg.dim}")
     require(Set("L2", "IP", "COSINE")(cfg.metric.toUpperCase),
@@ -194,7 +233,9 @@ class Management(spark: SparkSession, val root: String) {
 
   /** Build with the DECLARED config — the REST build route has no
     * parameters; everything comes from index creation. */
-  def buildIndex(tenantId: String, indexName: String, seed: Long = 42L): Unit = {
+  def buildIndex(tenantId: String, indexName: String, seed: Long = 42L,
+                 actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "writer")
     val cfg = indexConfig(tenantId, indexName)
       .getOrElse(throw new IllegalArgumentException(
         s"no such index: $tenantId/$indexName (createIndex first)"))
@@ -202,37 +243,57 @@ class Management(spark: SparkSession, val root: String) {
       seed = seed, algo = cfg.algo, pqM = cfg.pqM, pqK = cfg.pqK)
   }
 
-  def indexStats(tenantId: String, indexName: String): DataFrame =
+  def indexStats(tenantId: String, indexName: String,
+                 actingUser: String = Management.SystemUser): DataFrame = {
+    authorize(tenantId, actingUser, "reader")
     engine.stats(tenantId, indexName)
+  }
 
-  def snapshotIndex(tenantId: String, indexName: String, dest: String): Unit =
+  def snapshotIndex(tenantId: String, indexName: String, dest: String,
+                    actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "writer")
     engine.exportSnapshot(tenantId, indexName, dest)
+  }
 
-  def loadIndex(tenantId: String, indexName: String, src: String): Unit =
+  def loadIndex(tenantId: String, indexName: String, src: String,
+                actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "writer")
     engine.importSnapshot(tenantId, indexName, src)
+  }
 
   /** Push externally trained semantic-cluster centroids into the L2 cache
     * layer (sidecar → server flow). */
   def updateCentroids(tenantId: String, indexName: String,
-                      centroids: DataFrame): Unit =
+                      centroids: DataFrame,
+                      actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "writer")
     engine.setCacheCentroids(tenantId, indexName, centroids)
+  }
 
   // -------------------------------------------------------------------
   // cache (CacheController.cs:62-79 flush, 81-103 invalidate)
   // -------------------------------------------------------------------
 
-  def flushCache(tenantId: String, indexName: String): Unit =
+  def flushCache(tenantId: String, indexName: String,
+                 actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "writer")
     engine.flushCache(tenantId, indexName)
+  }
 
-  def invalidateCache(tenantId: String, indexName: String): Unit =
+  def invalidateCache(tenantId: String, indexName: String,
+                      actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "writer")
     engine.invalidateCache(tenantId, indexName)
+  }
 
   // -------------------------------------------------------------------
   // billing (BillingController.cs:26-46): usage rollup per tenant/index
   // from the engine's metrics log
   // -------------------------------------------------------------------
 
-  def billingUsage(tenantId: String): DataFrame = {
+  def billingUsage(tenantId: String,
+                   actingUser: String = Management.SystemUser): DataFrame = {
+    authorize(tenantId, actingUser, "reader")
     val base = Paths.get(s"$root/metrics/$tenantId")
     val indexes =
       if (!Files.isDirectory(base)) Seq.empty[String]
@@ -284,8 +345,11 @@ class Management(spark: SparkSession, val root: String) {
   def health(): String = """{"status": "healthy"}"""
 
   def metricsText(tenantId: String, indexName: String,
-                  latencies: Option[DataFrame] = None): String =
+                  latencies: Option[DataFrame] = None,
+                  actingUser: String = Management.SystemUser): String = {
+    authorize(tenantId, actingUser, "reader")
     engine.statsText(tenantId, indexName, latencies)
+  }
 
   // -------------------------------------------------------------------
   // AI model registry (AiController.cs:30-196 + semantic_model.py:9-53):
@@ -372,6 +436,6 @@ class Management(spark: SparkSession, val root: String) {
     val q = quota(tenantId)
     engine.resolveSearchOptions(tenantId, indexName, degraded,
       priority = q.priority, overBudget = monthSpend > q.monthlyBudget,
-      cacheHintForce = cacheHintForce)
+      cacheHintForce = cacheHintForce, cacheMemoryMb = q.cacheMemoryMb)
   }
 }

@@ -461,6 +461,85 @@ class EngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cache-entry GC: compaction bounds the table, preserves live hits, counts evictions") {
+    val root = Files.createTempDirectory("engine_gc").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 20).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+
+    // N populate cycles, each invalidated afterwards → all-stale entries
+    (0 until 4).foreach { i =>
+      eng.searchCached("t1", "idx", q(i.toLong, Seq(i.toFloat, 1f, 0f)),
+        k = 3, nprobe = 2, now = 1000L + i).collect()
+      eng.invalidateCache("t1", "idx")
+    }
+    // plus one LIVE entry under the current epoch
+    val live = q(99L, Seq(7f, 1f, 0f))
+    eng.searchCached("t1", "idx", live, k = 3, nprobe = 2, now = 2000L).collect()
+
+    val before = eng.cacheEntries("t1", "idx").count()
+    val evicted = eng.compactCacheEntries("t1", "idx", now = 2005L)
+    assert(evicted > 0)
+    val after = eng.cacheEntries("t1", "idx").count()
+    assert(after == before - evicted)
+    // only the live query's entries survive (≤ 3: L0 + L1 + optional L2)
+    assert(after <= 3, s"entries after GC: $after")
+
+    // the surviving entry still serves a warm hit
+    val warm = eng.searchCached("t1", "idx", live, k = 3, nprobe = 2, now = 2010L)
+      .collect()
+    assert(warm.nonEmpty && warm.forall(_.getAs[Boolean]("cache_hit")))
+
+    // real eviction count lands in VEC.STATS (was hard-coded 0)
+    val stats = eng.statsText("t1", "idx")
+    val evLine = raw"cache_eviction_total (\d+)".r
+      .findFirstMatchIn(stats).map(_.group(1).toLong)
+    assert(evLine.contains(evicted), stats)
+
+    // second compaction over an already-clean table is a no-op
+    assert(eng.compactCacheEntries("t1", "idx", now = 2015L) == 0L)
+  }
+
+  test("CacheMemoryMb quota: at-quota populate is rejected, the miss still serves") {
+    val root = Files.createTempDirectory("engine_quota").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 20).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+
+    val opts = eng.SearchOptions(cacheMemoryMb = 0)
+    val query = q(1L, Seq(3f, 1f, 0f))
+    val cold = eng.searchCached("t1", "idx", query, k = 3, nprobe = 2,
+      now = 1000L, options = opts).collect()
+    assert(cold.nonEmpty && cold.forall(!_.getAs[Boolean]("cache_hit")))
+    // populate rejected: no entry files were ever written
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/cache/t1/idx/entries")))
+    // repeat call: still a (served) miss — nothing was cached
+    val again = eng.searchCached("t1", "idx", query, k = 3, nprobe = 2,
+      now = 1010L, options = opts).collect()
+    assert(again.nonEmpty && again.forall(!_.getAs[Boolean]("cache_hit")))
+
+    // default options (no quota) populate as before on the same engine
+    eng.searchCached("t1", "idx", query, k = 3, nprobe = 2, now = 1020L).collect()
+    val warm = eng.searchCached("t1", "idx", query, k = 3, nprobe = 2, now = 1030L)
+      .collect()
+    assert(warm.forall(_.getAs[Boolean]("cache_hit")))
+  }
+
+  test("searchCached rejects a query_id reused with different payloads") {
+    val root = Files.createTempDirectory("engine_dupbad").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 10).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    val conflicting = q(1L, Seq(3f, 1f, 0f)).unionByName(q(1L, Seq(8f, 1f, 0f)))
+    intercept[IllegalArgumentException] {
+      eng.searchCached("t1", "idx", conflicting, k = 3, nprobe = 2, now = 1000L)
+        .collect()
+    }
+  }
+
   test("searchCached: L0.5 canonical alias resolves to the canonical entry") {
     val recs = (0 until 20).map { i =>
       (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L)

@@ -204,6 +204,59 @@ class ManagementSpec extends SparkSpec {
     assert(hits.forall(_.getAs[String]("layer") == "L2"))
   }
 
+  test("RBAC: roles gate operations — reader denied writes, writer builds, admin administers") {
+    val m = mkMgmt()
+    m.createTenant("acme")
+    m.createUser("acme", "root", "admin")
+    m.createUser("acme", "bob", "reader", actingUser = "root")
+    m.createUser("acme", "wes", "writer", actingUser = "root")
+    m.createIndex("acme", "idx", DeclaredIndex(dim = 3, nlist = 2),
+      actingUser = "root")
+    m.engine.add(mkRecords((0 until 20).map(i => (s"v$i", Seq(i.toFloat, 1f, 0f))))
+      .withColumn("tenant_id", lit("acme")))
+
+    // reader: build/flush/invalidate denied (RequirePermission parity)
+    intercept[SecurityException](m.buildIndex("acme", "idx", actingUser = "bob"))
+    intercept[SecurityException](m.flushCache("acme", "idx", actingUser = "bob"))
+    intercept[SecurityException](m.invalidateCache("acme", "idx", actingUser = "bob"))
+    // writer: data-plane allowed, tenant administration denied
+    intercept[SecurityException](
+      m.createUser("acme", "eve", "admin", actingUser = "wes"))
+    intercept[SecurityException](
+      m.updateQuota("acme", TenantQuota(), actingUser = "wes"))
+    // unknown principal: denied outright
+    intercept[SecurityException](m.buildIndex("acme", "idx", actingUser = "ghost"))
+
+    m.buildIndex("acme", "idx", actingUser = "wes")
+    m.flushCache("acme", "idx", actingUser = "wes")
+    // reader-level reads allowed for every role
+    assert(m.indexStats("acme", "idx", actingUser = "bob").count() > 0)
+    assert(m.metricsText("acme", "idx", actingUser = "bob")
+      .contains("cache_hit_total"))
+    m.updateQuota("acme", TenantQuota(maxQps = 7), actingUser = "root")
+    assert(m.quota("acme").maxQps == 7)
+  }
+
+  test("stored CacheMemoryMb quota flows into searchCached and rejects populate") {
+    val m = mkMgmt()
+    m.createTenant("tiny", TenantQuota(cacheMemoryMb = 0))
+    m.createIndex("tiny", "idx", DeclaredIndex(dim = 3, nlist = 2))
+    m.engine.add(mkRecords((0 until 20).map(i => (s"v$i", Seq(i.toFloat, 1f, 0f))))
+      .withColumn("tenant_id", lit("tiny")))
+    m.buildIndex("tiny", "idx")
+
+    val opts = m.searchOptionsFor("tiny", "idx")
+    assert(opts.cacheMemoryMb == 0)
+    val query = q(1L, Seq(3f, 1f, 0f))
+    val cold = m.engine.searchCached("tiny", "idx", query, k = 3, nprobe = 2,
+      now = 1000L, options = opts).collect()
+    assert(cold.nonEmpty) // the miss is served even though caching is rejected
+    val again = m.engine.searchCached("tiny", "idx", query, k = 3, nprobe = 2,
+      now = 1010L, options = opts).collect()
+    assert(again.forall(!_.getAs[Boolean]("cache_hit")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"${m.root}/cache/tiny/idx/entries")))
+  }
+
   test("quota bridge: stored priority/budget drive plan-time degradation") {
     val m = mkMgmt()
     m.createTenant("low", TenantQuota(priority = 2, monthlyBudget = 10.0))
