@@ -129,38 +129,51 @@ object Queries {
     builtMemo.getOrElseUpdate(s"${s.sparkContext.applicationId}:$key", f)
       .asInstanceOf[T]
 
-  /** IVF-Flat ANN search (nlist=10 ≈ the label structure, nprobe=3).
-    * Not DuckDB-expressible (KMeans); correctness is covered by the
-    * brute-force-oracle recall suite (AnnRecallSpec). */
+  /** IVF-Flat search through the full probe pipeline (probe ranking →
+    * inverted-list join → bounded top-k) at nprobe = nlist: exhaustive
+    * probes make the ANN result EXACT, so the KMeans geometry cancels out
+    * and the query shares the brute-force L2 oracle — the driver gates
+    * the whole IVF machinery, not just rows>0. Pruned-nprobe recall stays
+    * covered by AnnRecallSpec (a KMeans-dependent property no SQL engine
+    * reproduces). Rank-only output: DuckDB's list_distance takes a sqrt
+    * ours doesn't, same ranking. */
   val ivfFlatSearch: QueryFn = (s, dir) => {
     val idx = built(s, s"$dir:ivf_l2") {
       IvfFlat.build(vectorsOf(s, dir), nlist = 10, metric = "L2", seed = 42L)
     }
-    IvfFlat.search(idx, queriesOf(s, dir), "L2", K, nprobe = 3)
-      .withColumn("score", round(col("score"), 6))
+    IvfFlat.search(idx, queriesOf(s, dir), "L2", K, nprobe = 10)
+      .drop("score")
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-Flat under the cosine metric: codebook trained with MLlib's
-    * cosine distance measure (reference metric-aware assignment,
-    * KMeansUtils.cs:70-93). Rows-only; recall in AnnRecallSpec. */
+  /** IVF-Flat under the cosine metric (codebook trained with MLlib's
+    * cosine distance measure — reference metric-aware assignment,
+    * KMeansUtils.cs:70-93), exhaustive probes: exact, so it shares the
+    * brute-force cosine oracle (same scoring kernel ⇒ identical doubles). */
   val ivfCosineSearch: QueryFn = (s, dir) => {
     val idx = built(s, s"$dir:ivf_cos") {
       IvfFlat.build(vectorsOf(s, dir), nlist = 10, metric = "COSINE", seed = 42L)
     }
-    IvfFlat.search(idx, queriesOf(s, dir), "COSINE", K, nprobe = 3)
+    IvfFlat.search(idx, queriesOf(s, dir), "COSINE", K, nprobe = 10)
       .withColumn("score", round(col("score"), 6))
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-PQ with residual codes + exact rerank (M=8 subspaces, K=16). */
+  /** IVF-PQ with residual codes + exact rerank (M=8 subspaces, K=16),
+    * driven exact for the driver gate: exhaustive probes + rerank-all
+    * (refine·K ≥ corpus) mean every vector is ADC-scored, survives the
+    * candidate cut, and is exactly re-scored — the output IS brute-force
+    * L2, sharing its oracle, while exercising the full codes→ADC→rerank
+    * pipeline. Pruned/limited-refine recall stays in AnnRecallSpec. */
   val ivfPqSearch: QueryFn = (s, dir) => {
-    val (vs, idx) = built(s, s"$dir:ivfpq") {
+    val (vs, idx, refineAll) = built(s, s"$dir:ivfpq") {
       val v = vectorsOf(s, dir).cache()
-      (v, IvfPq.build(v, nlist = 10, m = 8, k = 16))
+      val n = v.count()
+      (v, IvfPq.build(v, nlist = 10, m = 8, k = 16), ((n + K - 1) / K).toInt)
     }
-    IvfPq.searchRefined(idx, vs, queriesOf(s, dir), K, nprobe = 3, refine = 10)
-      .withColumn("score", round(col("score"), 6))
+    IvfPq.searchRefined(idx, vs, queriesOf(s, dir), K, nprobe = 10,
+        refine = refineAll)
+      .select("query_id", "rank", "id")
       .orderBy("query_id", "rank")
   }
 
@@ -847,9 +860,13 @@ object Queries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id1", "id2")
 
-  /** MinHash+LSH near-dup pairs, verified at τ=0.5 — should recover the
-    * same planted pairs as the exact Jaccard query (LSH is probabilistic;
-    * ScalaTest covers recall on planted fixtures; driver does rows-only). */
+  /** MinHash+LSH near-dup pairs, verified at τ=0.5. Shares the exact
+    * Jaccard query's DuckDB oracle: the exact verify removes every false
+    * candidate, and at 64 bands × 2 rows a true pair at J ≥ τ collides in
+    * ≥1 band with probability 1 − (1−τ²)^64 (≥ 1 − 10⁻⁸ at τ=0.5) — and
+    * the seeded hash family makes the outcome a deterministic function of
+    * the corpus, so the gate is stable, not flaky. Perturbed near-dup
+    * recall at other (τ, band) points stays covered by TextDedupSpec. */
   val dedupMinhash: QueryFn = (s, dir) =>
     // repartition: the single-file local input is one row group → would
     // otherwise run the signature computation on one core
@@ -1173,6 +1190,11 @@ object Queries {
     "knn_cosine" -> knnCosineSql,
     "sql_knn_cosine" -> knnCosineSql, // same surface through spark.sql
     "knn_l2" -> knnL2Sql,
+    // exhaustive-probe configs are exact ⇒ the IVF family shares the
+    // brute-force oracles (rank-only where our score scale differs)
+    "ivf_flat_search" -> knnL2Sql,
+    "ivf_cosine_search" -> knnCosineSql,
+    "ivf_pq_search" -> knnL2Sql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
     "engine_prefetch_hit" -> enginePrefetchHitSql,
@@ -1206,6 +1228,9 @@ object Queries {
     // identical output by the prefix-filter guarantee (rarest-first is a
     // candidate-generation strategy, not a semantics change)
     "dedup_jaccard_rarefirst" -> dedupNgramJaccardSql,
+    // LSH candidates + exact verify = the exact pair set (recall argument
+    // in the query's scaladoc), so minhash shares the same oracle too
+    "dedup_minhash" -> dedupNgramJaccardSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,
     "embedding_lsh_pairs" -> embeddingLshPairsSql,
     "text_quality" -> textQualitySql,

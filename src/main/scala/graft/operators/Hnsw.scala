@@ -199,38 +199,75 @@ object Hnsw {
       }
   }
 
-  private val ChunkBytes = 64 * 1024 * 1024
-
-  /** Persist the per-partition graphs: java-serialized blobs CHUNKED into
-    * 64 MiB parquet rows (one giant cell would hit JVM/parquet limits) —
-    * the HNSW analog of the reference's index snapshot (S11). */
+  /** Persist the per-partition graphs as ENGINE-NEUTRAL parquet tables —
+    * the same columnar discipline as every other index snapshot (S11),
+    * replacing java-serialized blobs whose bytes break on any Graph class
+    * change:
+    *   meta/   (part_id, metric, m, ef_construction, seed, entry,
+    *            max_level, n_levels, n_nodes)   — one row per partition
+    *   nodes/  (part_id, node, id, vec)          — flat vector storage
+    *   edges/  (part_id, level, node, nbrs)      — adjacency lists
+    * Three passes over the (persisted) graph dataset; node indexes are
+    * partition-local, exactly the in-memory layout. */
   def save(graphs: Dataset[(Int, Graph)], path: String): Unit = {
     val spark = graphs.sparkSession
     import spark.implicits._
-    graphs.flatMap { case (p, g) =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(g); oos.close()
-      val bytes = bos.toByteArray
-      (0 until bytes.length by ChunkBytes).zipWithIndex.map { case (from, chunkNo) =>
-        (p, chunkNo, java.util.Arrays.copyOfRange(
-          bytes, from, math.min(from + ChunkBytes, bytes.length)))
-      }
-    }.toDF("part_id", "chunk_no", "blob").write.mode("overwrite").parquet(path)
+    val g = graphs.persist()
+    try {
+      g.map { case (p, gr) =>
+        (p, gr.metric, gr.m, gr.efC, gr.seed, gr.entry, gr.maxLevel,
+          gr.layers.length, gr.ids.length)
+      }.toDF("part_id", "metric", "m", "ef_construction", "seed", "entry",
+          "max_level", "n_levels", "n_nodes")
+        .write.mode("overwrite").parquet(s"$path/meta")
+      g.flatMap { case (p, gr) =>
+        gr.ids.indices.iterator.map(n => (p, n, gr.ids(n), gr.vecs(n).toSeq))
+      }.toDF("part_id", "node", "id", "vec")
+        .write.mode("overwrite").parquet(s"$path/nodes")
+      g.flatMap { case (p, gr) =>
+        for {
+          l <- gr.layers.indices.iterator
+          n <- gr.layers(l).indices.iterator
+          if gr.layers(l)(n).nonEmpty
+        } yield (p, l, n, gr.layers(l)(n).toSeq)
+      }.toDF("part_id", "level", "node", "nbrs")
+        .write.mode("overwrite").parquet(s"$path/edges")
+    } finally { g.unpersist(); () }
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Dataset[(Int, Graph)] = {
     import spark.implicits._
     implicit val enc = Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Graph])
-    spark.read.parquet(path).as[(Int, Int, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (p, it) =>
-        val bytes = it.toArray.sortBy(_._2).map(_._3)
-          .foldLeft(new java.io.ByteArrayOutputStream()) { (acc, b) => acc.write(b); acc }
-          .toByteArray
-        val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-        (p, ois.readObject().asInstanceOf[Graph])
+    // driver-sized: one row per graph partition
+    val meta = spark.read.parquet(s"$path/meta").collect().map { r =>
+      r.getAs[Int]("part_id") ->
+        ((r.getAs[String]("metric"), r.getAs[Int]("m"),
+          r.getAs[Int]("ef_construction"), r.getAs[Long]("seed"),
+          r.getAs[Int]("entry"), r.getAs[Int]("max_level"),
+          r.getAs[Int]("n_levels"), r.getAs[Int]("n_nodes")))
+    }.toMap
+    val bMeta = spark.sparkContext.broadcast(meta)
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select("part_id", "node", "id", "vec")
+      .as[(Int, Int, Long, Seq[Float])]
+    val edges = spark.read.parquet(s"$path/edges")
+      .select("part_id", "level", "node", "nbrs")
+      .as[(Int, Int, Int, Seq[Int])]
+    nodes.groupByKey(_._1).cogroup(edges.groupByKey(_._1)) { (p, nit, eit) =>
+      val (metric, m, efC, seed, entry, maxLevel, nLevels, nNodes) = bMeta.value(p)
+      val g = new Graph(metric, m, efC, seed)
+      nit.toArray.sortBy(_._2).foreach { case (_, _, id, vec) =>
+        g.ids += id
+        g.vecs += vec.toArray
       }
+      (0 until nLevels).foreach { _ =>
+        g.layers += mutable.ArrayBuffer.fill(nNodes)(mutable.ArrayBuffer.empty[Int])
+      }
+      eit.foreach { case (_, level, node, nbrs) => g.layers(level)(node) ++= nbrs }
+      g.entry = entry
+      g.maxLevel = maxLevel
+      Iterator((p, g))
+    }
   }
 
   /** Fan the query batch out to every per-partition graph and merge with a

@@ -118,27 +118,37 @@ object TextDedup {
       val docShingles = docShingleTable(docs, n).persist()
       // per-doc shingle hashes in a global deterministic order; prefix
       // length |S| - ceil(tau*|S|) + 1
-      val sorted =
+      val prefix =
         if (!rareFirst)
-          // hash order: no extra pass
+          // hash order: no extra pass — sort the array in place and slice
           docShingles.select(col("doc_id"),
-            array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
+              array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
+            .select(col("doc_id"),
+              explode_outer(slice(col("hs"), lit(1),
+                (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")))
+                .as("g"))
         else {
           // rarest-first: rank by (document frequency, hash) — ubiquitous
-          // shingles sink to the suffix and never generate candidates
+          // shingles sink to the suffix and never generate candidates.
+          // The prefix falls straight out of a windowed rank over the
+          // exploded table (row_number ≤ prefix length, with |S| from a
+          // count over the same partition) — no per-doc re-collection
+          // into arrays and no second explode.
           val sh = docShingles
             .select(col("doc_id"), explode_outer(col("shingles")).as("gs"))
             .select(col("doc_id"), xxhash64(col("gs")).as("g"))
           val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          val wRank = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("df", "g")
+          val wDoc = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")
           sh.join(dfreq, "g")
-            .groupBy("doc_id")
-            .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
-            .select(col("doc_id"), transform(col("ord"), x => x("g")).as("hs"))
+            .withColumn("rn", row_number().over(wRank))
+            .withColumn("n_sh", count(lit(1)).over(wDoc))
+            .filter(col("rn") <=
+              col("n_sh") - ceil(lit(tau) * col("n_sh")) + lit(1))
+            .select("doc_id", "g")
         }
-      val prefix = sorted.select(col("doc_id"),
-          explode_outer(slice(col("hs"), lit(1),
-            (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")))
-            .as("g"))
       val a = prefix.as("a"); val b = prefix.as("b")
       val cands = a.join(b,
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -351,18 +361,27 @@ object TextDedup {
     * must use ≥ r+1 bands. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val fp = simhashes(docs)
+    // persisted: the self-join would otherwise run the fingerprint UDF
+    // once per branch (same discipline as bandedCandidates); the
+    // candidate set is tiny, so materialize it (localCheckpoint) and
+    // release the cache before the hamming filter
     val banded = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bh", expr("shiftrightunsigned(simhash, band * 16)")
         .bitwiseAND(lit(0xffffL)))
+      .persist()
     val a = banded.as("a"); val b = banded.as("b")
+    val cands =
+      try a.join(b,
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        .distinct()
+        .localCheckpoint()
+      finally banded.unpersist()
     val hamming = udf((x: Long, y: Long) => StableHash.popcount(x ^ y))
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
-      .distinct()
+    cands
       .withColumn("hamming", hamming(col("s1"), col("s2")))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.StableHash
@@ -43,6 +44,68 @@ object Policy {
       .withColumn("ttl_seconds",
         when(col("explore"), (col("ttl_seconds") / 2).cast("int"))
           .otherwise(col("ttl_seconds")))
+  }
+
+  /** Reward-driven bandit learning step — the deterministic `partial_fit`
+    * analog of the sidecar's SGD bandit (reference:
+    * src/Pyrope.AISidecar/bandit_engine.py:52-77): each (tenant, arm)'s
+    * value estimate is the running mean of its observed rewards, updated
+    * incrementally from this interval's observations.
+    *
+    * values:  (tenant, arm INT, value DOUBLE, n BIGINT) — arm is a policy
+    *          ttl_seconds candidate; n is how many rewards value averages.
+    * rewards: (tenant, arm INT, reward DOUBLE) — e.g. the interval's
+    *          observed cache hit rate under that arm.
+    * Returns the updated value table (same schema; unobserved arms pass
+    * through unchanged). Pure column arithmetic — no RNG, no state outside
+    * the table — so replays are exact. */
+  def banditUpdate(values: DataFrame, rewards: DataFrame): DataFrame =
+    values
+      .join(rewards.groupBy("tenant", "arm")
+          .agg(sum("reward").as("r_sum"), count(lit(1)).as("r_n")),
+        Seq("tenant", "arm"), "left")
+      .withColumn("value",
+        when(col("r_n").isNotNull,
+          (col("value") * col("n") + col("r_sum")) / (col("n") + col("r_n")))
+          .otherwise(col("value")))
+      .withColumn("n", col("n") + coalesce(col("r_n"), lit(0L)))
+      .select("tenant", "arm", "value", "n")
+
+  /** ε-greedy arm selection over a learned value table (the
+    * exploit/explore choice of bandit_engine.py:36-50, seeded like
+    * [[banditAdjust]]): per (tenant, window), explore ~ε of the time by
+    * hash-picking an arm uniformly, otherwise exploit the arm with the
+    * highest learned value (tie-break: lowest arm). The chosen arm
+    * OVERRIDES the policy row's ttl_seconds; tenants absent from the
+    * value table keep their heuristic ttl. */
+  def banditPolicy(policies: DataFrame, values: DataFrame, windowCol: String,
+                   epsilonPct: Int = 10, seed: Long = 42L): DataFrame = {
+    val wBest = Window.partitionBy("tenant")
+      .orderBy(col("value").desc, col("arm"))
+    val best = values.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("tenant"), col("arm").as("best_arm"))
+    val armsOf = values.groupBy("tenant")
+      .agg(sort_array(collect_list(col("arm"))).as("arms"))
+    val explore = udf { (tenant: String, w: Long) =>
+      math.floorMod(StableHash.rehash(StableHash.hashString(tenant, seed), w),
+        100L) < epsilonPct
+    }
+    val pick = udf { (tenant: String, w: Long, arms: Seq[Int]) =>
+      arms(math.floorMod(
+        StableHash.rehash(StableHash.hashString(tenant, seed + 1), w),
+        arms.length.toLong).toInt)
+    }
+    policies
+      .join(broadcast(best), Seq("tenant"), "left")
+      .join(broadcast(armsOf), Seq("tenant"), "left")
+      .withColumn("explore",
+        col("arms").isNotNull && explore(col("tenant"), col(windowCol)))
+      .withColumn("ttl_seconds",
+        when(col("explore"), pick(col("tenant"), col(windowCol), col("arms")))
+          .when(col("best_arm").isNotNull, col("best_arm"))
+          .otherwise(col("ttl_seconds")))
+      .drop("best_arm", "arms")
   }
 
   /** Deterministic half of the LLM policy engine (reference:

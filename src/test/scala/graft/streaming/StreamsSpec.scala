@@ -108,4 +108,41 @@ class StreamsSpec extends SparkSpec {
       .filter(col("tenant") === "t1").select("ttl_seconds").head.getInt(0)
     assert(shortened == 30) // 300 → 10%
   }
+
+  test("bandit learning: reward updates converge arm values; exploit picks the winner") {
+    // two TTL arms, no prior observations
+    val v0 = Seq(("t1", 60, 0.0, 0L), ("t1", 300, 0.0, 0L))
+      .toDF("tenant", "arm", "value", "n")
+    // interval 1: arm 300 observes a far better hit rate than arm 60
+    val v1 = Policy.banditUpdate(v0,
+      Seq(("t1", 300, 0.9), ("t1", 60, 0.1)).toDF("tenant", "arm", "reward"))
+    val m1 = v1.collect().map(r => r.getInt(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(m1(300) == ((0.9, 1L)) && m1(60) == ((0.1, 1L)))
+    // interval 2: running mean, unobserved arm untouched
+    val v2 = Policy.banditUpdate(v1,
+      Seq(("t1", 300, 0.7)).toDF("tenant", "arm", "reward"))
+    val m2 = v2.collect().map(r => r.getInt(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(math.abs(m2(300)._1 - 0.8) < 1e-12 && m2(300)._2 == 2L)
+    assert(m2(60) == ((0.1, 1L)))
+
+    // ε-greedy selection across 100 windows: every exploit window picks
+    // the learned winner (300); exploration happens but stays ~ε
+    val pol100 = (0L until 100L).map(w => ("t1", 60, w))
+      .toDF("tenant", "ttl_seconds", "w")
+    val chosen = Policy.banditPolicy(pol100, v2, "w", epsilonPct = 10)
+      .select("w", "explore", "ttl_seconds").collect()
+    val exploit = chosen.filter(!_.getBoolean(1))
+    assert(exploit.nonEmpty && exploit.forall(_.getInt(2) == 300))
+    val nExplore = chosen.count(_.getBoolean(1))
+    assert(nExplore > 0 && nExplore < 30, s"explored $nExplore/100")
+    // reproducible: the same seed explores the same windows
+    val again = Policy.banditPolicy(pol100, v2, "w", epsilonPct = 10)
+      .select("w", "explore", "ttl_seconds").collect()
+    assert(chosen.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // a tenant absent from the value table keeps its heuristic TTL
+    val other = Policy.banditPolicy(
+      Seq(("t9", 60, 0L)).toDF("tenant", "ttl_seconds", "w"), v2, "w")
+      .select("ttl_seconds").head.getInt(0)
+    assert(other == 60)
+  }
 }
