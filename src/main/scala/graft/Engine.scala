@@ -336,8 +336,14 @@ class GraftEngine(spark: SparkSession, root: String) {
         cached.unpersist()
       case other => throw new IllegalArgumentException(s"unknown algo: $other")
     }
-    // meta/tags snapshot for hydration without re-reading the whole log
-    state.select(col("id").as("id_str"), col("meta"), col("tags"))
+    // meta/tags snapshot for hydration without re-reading the whole log.
+    // IVF_PQ additionally retains the RAW vectors here (the reference
+    // keeps an ID → raw-vector map alongside the codes,
+    // IvfPqVectorIndex.cs:18-19): codes alone can't serve the exact
+    // rerank path, and the inverted lists hold only quantized codes.
+    val recCols = Seq(col("id").as("id_str"), col("meta"), col("tags")) ++
+      (if (algoU == "IVF_PQ") Seq(col("vector").as("vec")) else Nil)
+    state.select(recCols: _*)
       .write.mode("overwrite").parquet(s"$dir/records")
     // concurrent-writer guard (e.g. an upsertStream micro-batch landing
     // between the state read and this commit): any write bumps the epoch,
@@ -394,10 +400,19 @@ class GraftEngine(spark: SparkSession, root: String) {
         .filter(col("scan_rn") <= maxScans).drop("scan_rn")
     }
 
+  /** `refine` > 0 (IVF_PQ only) re-scores the top `k·refine` ADC
+    * candidates per query against the raw vectors retained in the build
+    * snapshot — the classic PQ refine step. ADC ranks are approximate;
+    * the rerank makes the served top-k exact whenever the true top-k
+    * survives the ADC cut (guaranteed at refine·k ≥ candidates), and also
+    * removes the approximate-tail/exact-head score asymmetry of the delta
+    * merge. 0 = raw ADC scores (the reference's serving behavior). */
   def search(tenant: String, index: String, queries: DataFrame, k: Int,
              metric: String = "L2", nprobe: Int = 4,
-             withMeta: Boolean = false, maxScans: Int = 0): DataFrame =
-    searchImpl(tenant, index, queries, k, metric, nprobe, withMeta, maxScans)
+             withMeta: Boolean = false, maxScans: Int = 0,
+             refine: Int = 0): DataFrame =
+    searchImpl(tenant, index, queries, k, metric, nprobe, withMeta, maxScans,
+      refine)
       .orderBy("query_id", "rank")
 
   /** [[search]] without the final cosmetic sort — internal callers
@@ -405,7 +420,8 @@ class GraftEngine(spark: SparkSession, root: String) {
     * range-sort costs a sampling pass per call. */
   private def searchImpl(tenant: String, index: String, queries: DataFrame, k: Int,
                          metric: String, nprobe: Int,
-                         withMeta: Boolean = false, maxScans: Int = 0): DataFrame = {
+                         withMeta: Boolean = false, maxScans: Int = 0,
+                         refine: Int = 0): DataFrame = {
     val m = manifest(tenant, index)
     // the tail's geometry (KMeans clusters, HNSW links, PQ codebooks) is
     // trained for the build metric — scoring probes with a different one
@@ -474,16 +490,36 @@ class GraftEngine(spark: SparkSession, root: String) {
         val pqIdx = graft.operators.IvfPq.load(
           spark, s"$snap/ivfpq")
         val strMap = pqIdx.assigned.select("id", "id_str")
-        val candidates = maskHead(
-          graft.operators.IvfPq
-            .scoredCandidates(
-              graft.operators.IvfPq.Index(
-                pqIdx.assigned.select("id", "cluster_id", "codes"),
-                pqIdx.centroids, pqIdx.cb),
-              baseQueries, nprobe)
-            .join(strMap, Seq("id")))
-          .select("query_id", "id_str", "score")
-        capScans(candidates, maxScans)
+        val adcCands = capScans(
+          maskHead(
+            graft.operators.IvfPq
+              .scoredCandidates(
+                graft.operators.IvfPq.Index(
+                  pqIdx.assigned.select("id", "cluster_id", "codes"),
+                  pqIdx.centroids, pqIdx.cb),
+                baseQueries, nprobe)
+              .join(strMap, Seq("id")))
+            .select("query_id", "id_str", "score"),
+          maxScans)
+        if (refine <= 0) adcCands
+        else {
+          // exact rerank: bounded ADC cut (≤ k·refine rows per query) →
+          // broadcast the tiny cut into the snapshot's raw-vector table →
+          // exact score. Same small-side-always-broadcast shape as hit
+          // hydration; the corpus-sized snapshot is never shuffled.
+          val cut = TopK.perGroup(
+              adcCands.select(col("query_id"),
+                xxhash64(col("id_str")).as("id"), col("score")),
+              Seq("query_id"), math.max(1, k * refine))
+            .select("query_id", "id")
+          val snapVecs = snapshot.select(col("id_str"), col("vec"))
+            .withColumn("id", xxhash64(col("id_str")))
+          snapVecs.join(broadcast(cut), Seq("id"))
+            .join(broadcast(baseQueries), Seq("query_id"))
+            .select(col("query_id"), col("id_str"),
+              graft.functions.vector_score("L2", col("qvec"), col("vec"))
+                .as("score"))
+        }
       case _ => // IVF_FLAT / FLAT share the inverted-list layout
         val tailIdx = tailIndexOf(tenant, index, m)
         val probeSet = IvfFlat.probes(tailIdx, baseQueries, metric, nprobe)
@@ -1196,9 +1232,33 @@ class GraftEngine(spark: SparkSession, root: String) {
     import spark.implicits._
     Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
       .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+    // rotate the per-call metrics log: one tiny file per call is a
+    // small-files generator at serving rates; every consumer (statsText,
+    // billingUsage) only ever SUMS it, so fold history into one row once
+    // the file count crosses the threshold
+    compactMetricsLog(tenant, index)
 
     keyed.unpersist()
     out.orderBy("query_id", "rank")
+  }
+
+  /** Fold the append-only hit/miss metrics log into a single summed row
+    * when its part-file count exceeds [[CacheGcFileThreshold]] (all
+    * consumers aggregate it, so the fold is lossless for them). */
+  private def compactMetricsLog(tenant: String, index: String): Unit = {
+    val p = s"$root/metrics/$tenant/$index"
+    if (dirFileCount(p) <= CacheGcFileThreshold) return
+    val r = spark.read.parquet(p)
+      .agg(max("ts"), sum("hits"), sum("misses")).head
+    import spark.implicits._
+    val tmp = s"$p.compact"
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("ts", "hits", "misses")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(p)
+    Files.walk(target).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(q => Files.deleteIfExists(q))
+    Files.move(Paths.get(tmp), target)
   }
 
   /** VEC.STATS Prometheus-text dump for an index: cumulative hit/miss

@@ -261,13 +261,19 @@ object Queries {
   }
 
   /** Engine-built IVF_PQ end to end: registry algo dispatch + persisted
-    * codes/codebooks + ADC tail search (reference:
-    * VectorIndexRegistry.cs:96, IvfPqVectorIndex.cs:55-198). Rows-only:
-    * ADC ranks are approximate by design; AnnRecallSpec owns recall. */
-  val enginePqSearch: QueryFn = (s, dir) =>
-    engineOn(s, dir, "IVF_PQ")
-      .search("t0", "emb", queriesOf(s, dir), K, nprobe = 3)
-      .select("query_id", "rank", "id")
+    * codes/codebooks + ADC tail search + exact rerank (reference:
+    * VectorIndexRegistry.cs:96, IvfPqVectorIndex.cs:55-198; raw-vector
+    * retention :18-19). Exhaustive probes + rerank-all make the output
+    * exactly brute-force L2, so the whole engine pipeline (write log →
+    * build → codes → ADC → rerank → hydration ids) shares the knn_l2
+    * oracle. ADC-only serving ranks stay covered by AnnRecallSpec. */
+  val enginePqSearch: QueryFn = (s, dir) => {
+    val eng = engineOn(s, dir, "IVF_PQ")
+    val n = eng.manifest("t0", "emb").nVectors
+    eng.search("t0", "emb", queriesOf(s, dir), K, nprobe = 10,
+        refine = ((n + K - 1) / K).toInt)
+      .select(col("query_id"), col("rank"), col("id").cast("long").as("id"))
+  }
 
   /** The assembled cache cascade as observables: cold call misses and
     * populates, warm call hits at L0 — deterministic, so fully oracled
@@ -1195,6 +1201,7 @@ object Queries {
     "ivf_flat_search" -> knnL2Sql,
     "ivf_cosine_search" -> knnCosineSql,
     "ivf_pq_search" -> knnL2Sql,
+    "engine_pq_search" -> knnL2Sql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
     "engine_prefetch_hit" -> enginePrefetchHitSql,

@@ -461,6 +461,27 @@ class EngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engine IVF_PQ refine: exact rerank over retained raw vectors reproduces the exact top-k") {
+    val root = Files.createTempDirectory("engine_refine").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(11)
+    val recs = (0 until 80).map(i =>
+      (s"v$i", Seq.fill(8)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4, algo = "IVF_PQ", pqM = 4, pqK = 16)
+    val qv = Seq.fill(8)(rng.nextFloat())
+    // local exact-L2 oracle (same double accumulation as the engine kernel)
+    val expected = recs.map { case (id, v, _, _, _) =>
+      (id, -v.zip(qv).map { case (a, b) => val d = a.toDouble - b; d * d }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    // rerank-all (refine·k ≥ corpus): served ranks must be exact
+    val got = eng.search("t1", "idx", q(1L, qv), k = 5, nprobe = 4, refine = 16)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(got == expected)
+    // ADC-only ranks may differ from exact but serve the same k
+    assert(eng.search("t1", "idx", q(2L, qv), k = 5, nprobe = 4).count() == 5)
+  }
+
   test("cache-entry GC: compaction bounds the table, preserves live hits, counts evictions") {
     val root = Files.createTempDirectory("engine_gc").toString
     val eng = new GraftEngine(spark, root)

@@ -64,6 +64,20 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("simhashPairs serves from materialized candidates: one fingerprint pass, no join in the final plan") {
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha beta gamma delta $i"))
+      .toDF("doc_id", "text")
+    val result = TextDedup.simhashPairs(docs, maxHamming = 20)
+    val plan = result.queryExecution.executedPlan.toString
+    // the band self-join ran ONCE inside the localCheckpoint (over the
+    // persisted banded table — fingerprint UDF evaluated a single time);
+    // the returned frame must scan that checkpoint, not re-plan the join
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+    assert(result.count() > 0)
+  }
+
   test("top-k over scored candidates shuffles only aggregated buffers, not raw rows") {
     val df = (0 until 1000).map(i => (i % 7L, i.toLong, i * 0.5))
       .toDF("query_id", "id", "score").repartition(8)
