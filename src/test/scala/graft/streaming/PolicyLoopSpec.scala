@@ -62,4 +62,26 @@ class PolicyLoopSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.columns.toSet == Set("tenant", "ttl_seconds", "miss_rate"))
   }
+
+  test("learning loop: interval hit rates become rewards, arm values drive the next TTL") {
+    // TTL arms under evaluation; no prior knowledge
+    val arms = Seq(("t1", 60, 0.0, 0L), ("t1", 300, 0.0, 0L))
+      .toDF("tenant", "arm", "value", "n")
+    // interval 1 served under arm 60 and missed hard; interval 2 under
+    // arm 300 hit well — the reward IS the observed hit rate
+    def reward(metrics: org.apache.spark.sql.DataFrame, arm: Int) =
+      Policy.heuristic(metrics).select(col("tenant"), lit(arm).as("arm"),
+        (lit(1.0) - col("miss_rate")).as("reward"))
+    val v1 = Policy.banditUpdate(arms,
+      reward(Seq(("t1", 100L, 80L)).toDF("tenant", "n_requests", "n_misses"), 60))
+    val v2 = Policy.banditUpdate(v1,
+      reward(Seq(("t1", 100L, 10L)).toDF("tenant", "n_requests", "n_misses"), 300))
+    // pure exploitation (ε=0): the learned winner overrides the heuristic
+    val pol = Policy.heuristic(
+        Seq(("t1", 100L, 10L)).toDF("tenant", "n_requests", "n_misses"))
+      .withColumn("w", lit(5L))
+    val chosen = Policy.banditPolicy(pol, v2, "w", epsilonPct = 0)
+      .select("ttl_seconds").head.getInt(0)
+    assert(chosen == 300)
+  }
 }
