@@ -138,6 +138,12 @@ class GraftEngine(spark: SparkSession, root: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+
   /** Best-effort GC of superseded snapshot dirs (single-writer model). */
   private def gcOldSnapshots(tenant: String, index: String, keep: Long): Unit = {
     val base = Paths.get(indexPath(tenant, index))
@@ -146,10 +152,8 @@ class GraftEngine(spark: SparkSession, root: String) {
         val name = p.getFileName.toString
         if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
             name.drop(1).toLong < keep) {
-          try {
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(q => Files.deleteIfExists(q))
-          } catch { case _: java.io.IOException => () }
+          try deleteTree(p)
+          catch { case _: java.io.IOException => () }
         }
       }
     }
@@ -503,6 +507,12 @@ class GraftEngine(spark: SparkSession, root: String) {
           maxScans)
         if (refine <= 0) adcCands
         else {
+          // raw vectors are only retained in refine-era snapshots; an
+          // older snapshot must fail with the remedy, not an unresolved-
+          // column error
+          require(snapshot.columns.contains("vec"),
+            s"$tenant/$index snapshot predates raw-vector retention; " +
+              "rebuild the index to enable refine")
           // exact rerank: bounded ADC cut (≤ k·refine rows per query) →
           // broadcast the tiny cut into the snapshot's raw-vector table →
           // exact score. Same small-side-always-broadcast shape as hit
@@ -820,13 +830,8 @@ class GraftEngine(spark: SparkSession, root: String) {
   /** Cache flush (reference: CacheController flush endpoint) — removes all
     * entries and aliases for the index. */
   def flushCache(tenant: String, index: String): Unit =
-    Seq(cacheEntriesPath(tenant, index), cacheAliasPath(tenant, index)).foreach { d =>
-      val p = Paths.get(d)
-      if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(q => Files.deleteIfExists(q))
-      }
-    }
+    Seq(cacheEntriesPath(tenant, index), cacheAliasPath(tenant, index))
+      .foreach(d => deleteTree(Paths.get(d)))
 
   /** Register canonical-alias mappings for the L0.5 layer
     * (reference: DataModel/CanonicalKeyMap.cs:18-44). aliases:
@@ -844,6 +849,11 @@ class GraftEngine(spark: SparkSession, root: String) {
   // as per-index hit/miss logs and must not pick this up
   private def evictionsPath(tenant: String, index: String) =
     s"$root/metrics_gc/$tenant/$index"
+
+  // (entries bytes, now) at the last quota sweep that freed nothing —
+  // see the populate path's rate-limit note
+  private val fruitlessSweepMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
   private def dirBytes(dir: String): Long = {
     val p = Paths.get(dir)
@@ -874,47 +884,65 @@ class GraftEngine(spark: SparkSession, root: String) {
     * `cache_eviction_total`). Without this the table grows one file set
     * per miss batch forever and the per-call validity window scans the
     * whole history — the 100×-serving-duration scale killer. Returns the
-    * number of evicted entries. Single-writer, like every snapshot
-    * commit. */
+    * number of evicted entries.
+    *
+    * Cache WRITE paths (populate, this compaction, the metrics fold) all
+    * serialize on the per-index manifest lock, so an appending thread
+    * can't slip a file set between the read and the swap. Concurrent
+    * READERS of the entry table during a swap are the caller's contract:
+    * searchCached materializes (localCheckpoint) everything it keeps, so
+    * engine calls are safe; external readers holding lazy plans over
+    * [[cacheEntries]] across a GC are not. */
   def compactCacheEntries(tenant: String, index: String, now: Long): Long = {
     val p = cacheEntriesPath(tenant, index)
-    if (!Files.exists(Paths.get(p))) return 0L
-    val m = manifest(tenant, index)
-    // live rows sort first, so vrn==1 ∧ live picks the newest LIVE entry
-    // per key — identical to the entry searchCached's probe would serve
-    // (its validity filter runs before its ranking window)
-    val wNewest = Window.partitionBy("cache_key")
-      .orderBy(col("live").desc, col("written_at").desc,
-        xxhash64(to_json(col("hits"))))
-    val counted = cacheEntries(tenant, index)
-      .withColumn("live",
-        col("epoch") === m.epoch && col("expires_at") > now)
-      .withColumn("vrn",
-        row_number().over(wNewest))
-      .withColumn("keep", col("live") && col("vrn") === 1)
-      .cache()
-    val agg = counted.agg(count(lit(1)), count(when(col("keep"), 1))).head
-    val (total, kept) = (agg.getLong(0), agg.getLong(1))
-    val evicted = total - kept
-    if (evicted > 0) {
-      val tmp = s"$p.compact"
-      counted.filter(col("keep"))
-        .drop("live", "vrn", "keep")
-        .write.mode("overwrite").parquet(tmp)
-      counted.unpersist()
-      // swap: delete the old table, move the compacted one into place.
-      // Readers hold no lazy plans over the entry files ([[searchCached]]
-      // localCheckpoints its probe results), so the single-writer swap is
-      // safe — the same isolation argument as snapshot GC.
-      val target = Paths.get(p)
-      Files.walk(target).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(q => Files.deleteIfExists(q))
-      Files.move(Paths.get(tmp), target)
-      import spark.implicits._
-      Seq((now, evicted)).toDF("ts", "evicted")
-        .write.mode("append").parquet(evictionsPath(tenant, index))
-    } else counted.unpersist()
-    evicted
+    if (!Files.exists(Paths.get(p))) 0L
+    else withManifestLock(tenant, index) {
+      val m = manifest(tenant, index)
+      // live rows sort first, so vrn==1 ∧ live picks the newest LIVE entry
+      // per key — identical to the entry searchCached's probe would serve
+      // (its validity filter runs before its ranking window)
+      val wNewest = Window.partitionBy("cache_key")
+        .orderBy(col("live").desc, col("written_at").desc,
+          xxhash64(to_json(col("hits"))))
+      val counted = cacheEntries(tenant, index)
+        .withColumn("live",
+          col("epoch") === m.epoch && col("expires_at") > now)
+        .withColumn("vrn",
+          row_number().over(wNewest))
+        .withColumn("keep", col("live") && col("vrn") === 1)
+        .cache()
+      val agg = counted.agg(count(lit(1)), count(when(col("keep"), 1))).head
+      val (total, kept) = (agg.getLong(0), agg.getLong(1))
+      val evicted = total - kept
+      // rewrite also when the FILE count (not just the row count) is what
+      // triggered us: 65 one-row appends of live entries evict nothing but
+      // still need coalescing, or the per-call probe scan keeps growing
+      if (evicted > 0 || dirFileCount(p) > CacheGcFileThreshold) {
+        counted.filter(col("keep"))
+          .drop("live", "vrn", "keep")
+          .write.mode("overwrite").parquet(tmpPath(s"entries/$tenant/$index"))
+        counted.unpersist()
+        swapInto(tmpPath(s"entries/$tenant/$index"), Paths.get(p))
+        if (evicted > 0) {
+          import spark.implicits._
+          Seq((now, evicted)).toDF("ts", "evicted")
+            .write.mode("append").parquet(evictionsPath(tenant, index))
+        }
+      } else counted.unpersist()
+      evicted
+    }
+  }
+
+  /** Scratch dir OUTSIDE every enumerated tree (billingUsage lists the
+    * children of metrics/<tenant>; cache/<t>/<i> holds the live tables) —
+    * a crashed compaction must not leave a half-written sibling that a
+    * consumer would pick up as data. */
+  private def tmpPath(sub: String): String = s"$root/tmp/$sub"
+
+  private def swapInto(tmp: String, target: java.nio.file.Path): Unit = {
+    deleteTree(target)
+    Files.createDirectories(target.getParent)
+    Files.move(Paths.get(tmp), target)
   }
 
   /** Resolved plan-time search parameters — VEC.SEARCH steps 8-9
@@ -996,11 +1024,20 @@ class GraftEngine(spark: SparkSession, root: String) {
     // key derivation deduplicated as a side effect). Dedup on the FULL
     // payload, not query_id alone — a query_id reused with a different
     // vector/filter would otherwise keep an arbitrary row and make
-    // results nondeterministic; the uniqueness check below fails fast
-    // on that instead.
-    val dedupCols = Seq("query_id", "qvec") ++
-      (if (queries0.columns.contains("filter_tags")) Seq("filter_tags") else Nil)
-    val queries = queries0.dropDuplicates(dedupCols)
+    // results nondeterministic; the uniqueness check below fails fast on
+    // that instead. Tags dedup on the NORMALIZED (sorted, null=empty)
+    // form — the same normalization the cache keys use — so tag order
+    // never makes two identical requests look conflicting.
+    val queries = {
+      if (!queries0.columns.contains("filter_tags"))
+        queries0.dropDuplicates(Seq("query_id", "qvec"))
+      else
+        queries0
+          .withColumn("_tags_norm", sort_array(
+            coalesce(col("filter_tags"), array().cast("array<string>"))))
+          .dropDuplicates(Seq("query_id", "qvec", "_tags_norm"))
+          .drop("_tags_norm")
+    }
 
     val tagsNorm =
       if (queries.columns.contains("filter_tags"))
@@ -1190,19 +1227,35 @@ class GraftEngine(spark: SparkSession, root: String) {
         lit(m.epoch).as("epoch"),
         (lit(now) + col("e.ttl")).as("expires_at"),
         lit(now).as("written_at"))
-    if (anyMiss && !options.cacheOnly) {
+    if (anyMiss && !options.cacheOnly) withManifestLock(tenant, index) {
       // CacheMemoryMb enforcement (MemoryCacheStorage.cs:59-71): when the
       // entry table has reached the tenant's quota, first lazily evict
       // stale/expired entries (the reference's read-path expiry sweep); if
       // still at quota, REJECT the populate — the miss was served, it just
       // isn't cached. Size checks are driver-side file metadata, no job.
+      // Fruitless sweeps are rate-limited: a steady at-quota tenant must
+      // not pay a full-table compaction job per miss, so re-sweep only
+      // when the table changed or logical time moved past the last
+      // attempt (TTLs may have expired by then).
       val entriesDir = cacheEntriesPath(tenant, index)
       val quotaBytes = options.cacheMemoryMb.toLong << 20
-      val underQuota =
-        dirBytes(entriesDir) < quotaBytes || {
-          compactCacheEntries(tenant, index, now)
-          dirBytes(entriesDir) < quotaBytes
+      val memoKey = s"$tenant/$index"
+      val underQuota = {
+        var cur = dirBytes(entriesDir)
+        // a sweep that freed nothing stays fruitless until the table
+        // changes or TTL-scale logical time passes (entries can't expire
+        // faster than that) — without this, a steadily at-quota tenant
+        // pays a full-table job per miss
+        val skipSweep = fruitlessSweepMemo.get(memoKey).exists {
+          case (sz, t) => sz == cur && now < t + ttlSeconds
         }
+        if (cur >= quotaBytes && !skipSweep) {
+          compactCacheEntries(tenant, index, now)
+          cur = dirBytes(entriesDir)
+          if (cur >= quotaBytes) fruitlessSweepMemo.put(memoKey, (cur, now))
+        }
+        cur < quotaBytes
+      }
       if (underQuota) {
         newEntries.write.mode("append").parquet(entriesDir)
         // bound the file count independently of the quota: every miss
@@ -1230,13 +1283,16 @@ class GraftEngine(spark: SparkSession, root: String) {
     // returns zero hits (selective tags, empty probes) still bills.
     val nMiss = nQ - nHit
     import spark.implicits._
-    Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
-      .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
-    // rotate the per-call metrics log: one tiny file per call is a
-    // small-files generator at serving rates; every consumer (statsText,
-    // billingUsage) only ever SUMS it, so fold history into one row once
-    // the file count crosses the threshold
-    compactMetricsLog(tenant, index)
+    // append + rotation under the per-index lock: a row landing between
+    // another thread's fold-read and its swap would be silently destroyed.
+    // Rotation folds the log into one summed row past the file threshold —
+    // one tiny file per call is a small-files generator at serving rates,
+    // and every consumer (statsText, billingUsage) only ever SUMS it.
+    withManifestLock(tenant, index) {
+      Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
+        .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+      compactMetricsLog(tenant, index)
+    }
 
     keyed.unpersist()
     out.orderBy("query_id", "rank")
@@ -1244,22 +1300,25 @@ class GraftEngine(spark: SparkSession, root: String) {
 
   /** Fold the append-only hit/miss metrics log into a single summed row
     * when its part-file count exceeds [[CacheGcFileThreshold]] (all
-    * consumers aggregate it, so the fold is lossless for them). */
-  private def compactMetricsLog(tenant: String, index: String): Unit = {
-    val p = s"$root/metrics/$tenant/$index"
-    if (dirFileCount(p) <= CacheGcFileThreshold) return
-    val r = spark.read.parquet(p)
-      .agg(max("ts"), sum("hits"), sum("misses")).head
-    import spark.implicits._
-    val tmp = s"$p.compact"
-    Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toDF("ts", "hits", "misses")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(p)
-    Files.walk(target).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(q => Files.deleteIfExists(q))
-    Files.move(Paths.get(tmp), target)
-  }
+    * consumers aggregate it, so the fold is lossless for them). Takes the
+    * per-index lock: a concurrent call's append must not land between
+    * the read and the swap (it would be silently destroyed), and the tmp
+    * dir lives under root/tmp so billingUsage's enumeration of the
+    * metrics/<tenant> children can never pick up a half-written fold. */
+  private def compactMetricsLog(tenant: String, index: String): Unit =
+    withManifestLock(tenant, index) {
+      val p = s"$root/metrics/$tenant/$index"
+      if (dirFileCount(p) > CacheGcFileThreshold) {
+        val r = spark.read.parquet(p)
+          .agg(max("ts"), sum("hits"), sum("misses")).head
+        import spark.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("ts", "hits", "misses")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(tmpPath(s"metrics/$tenant/$index"))
+        swapInto(tmpPath(s"metrics/$tenant/$index"), Paths.get(p))
+      }
+    }
 
   /** VEC.STATS Prometheus-text dump for an index: cumulative hit/miss
     * counters from the cached-search metrics log + the latency histogram

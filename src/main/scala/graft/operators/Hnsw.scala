@@ -238,6 +238,12 @@ object Hnsw {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Dataset[(Int, Graph)] = {
     import spark.implicits._
     implicit val enc = Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Graph])
+    // a snapshot from before the columnar format (java-serialized blob
+    // rows directly at `path`) has no meta/ table — fail with the remedy
+    // instead of a path-not-found from the parquet reader
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta")),
+      s"HNSW snapshot at $path has no meta/ table (pre-columnar blob " +
+        "format, or not an HNSW snapshot); rebuild the index")
     // driver-sized: one row per graph partition
     val meta = spark.read.parquet(s"$path/meta").collect().map { r =>
       r.getAs[Int]("part_id") ->

@@ -548,6 +548,23 @@ class EngineSpec extends SparkSpec {
     assert(warm.forall(_.getAs[Boolean]("cache_hit")))
   }
 
+  test("searchCached collapses duplicates whose tags differ only in order") {
+    val root = Files.createTempDirectory("engine_tagorder").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 10).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq("x", "y"), 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    // same request twice, tag order flipped — the key normalization sorts
+    // tags, so this is ONE query, not a payload conflict
+    val batch = q(1L, Seq(3f, 1f, 0f), Seq("x", "y"))
+      .unionByName(q(1L, Seq(3f, 1f, 0f), Seq("y", "x")))
+    val res = eng.searchCached("t1", "idx", batch, k = 3, nprobe = 2, now = 1000L)
+      .collect()
+    assert(res.nonEmpty)
+    val mlog = spark.read.parquet(s"$root/metrics/t1/idx").collect()
+    assert(mlog.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
+  }
+
   test("searchCached rejects a query_id reused with different payloads") {
     val root = Files.createTempDirectory("engine_dupbad").toString
     val eng = new GraftEngine(spark, root)
