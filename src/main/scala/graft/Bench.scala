@@ -178,7 +178,7 @@ object Bench {
         .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
       val nq = qs.count().toDouble
       eng.searchCached("t0", "emb", qs, 10, nprobe = 4, now = 1000L).count() // cold populate
-      val tWarm = time {
+      val tWarm = timeRuns("cached_warm_20000q", 3) {
         eng.searchCached("t0", "emb", qs, 10, nprobe = 4, now = 1010L).count()
       }
       qs.unpersist()

@@ -286,6 +286,15 @@ class Management(spark: SparkSession, val root: String) {
     engine.invalidateCache(tenantId, indexName)
   }
 
+  /** Entry-table GC on demand (the maintenance form of the lazy sweep —
+    * reference: MemoryCacheStorage eviction surfaced through stats).
+    * Returns the number of evicted entries. */
+  def compactCache(tenantId: String, indexName: String, now: Long,
+                   actingUser: String = Management.SystemUser): Long = {
+    authorize(tenantId, actingUser, "writer")
+    engine.compactCacheEntries(tenantId, indexName, now)
+  }
+
   // -------------------------------------------------------------------
   // billing (BillingController.cs:26-46): usage rollup per tenant/index
   // from the engine's metrics log

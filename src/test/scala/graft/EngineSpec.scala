@@ -522,6 +522,36 @@ class EngineSpec extends SparkSpec {
     assert(eng.compactCacheEntries("t1", "idx", now = 2015L) == 0L)
   }
 
+  test("cache GC equivalence: every warm result is identical before and after compaction") {
+    val root = Files.createTempDirectory("engine_gceq").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 30).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 3)
+
+    // a mixed-history table: early entries (some will expire), an epoch
+    // bump invalidating them, then a fresh population at varied ks
+    (0 until 3).foreach { i =>
+      eng.searchCached("t1", "idx", q(i.toLong, Seq(i.toFloat, 1f, 0f)),
+        k = 3, nprobe = 3, now = 500L + i).collect()
+    }
+    eng.invalidateCache("t1", "idx")
+    val batch = (10 until 15).map(i =>
+      q(i.toLong, Seq(i.toFloat, 1f, 0f))).reduce(_ unionByName _)
+    eng.searchCached("t1", "idx", batch, k = 4, nprobe = 3, now = 2000L).collect()
+
+    def warmView() = eng.searchCached("t1", "idx", batch, k = 4, nprobe = 3,
+        now = 2010L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getBoolean(4), r.getString(5))).toSeq
+    val before = warmView()
+    assert(before.nonEmpty && before.forall(_._4), "fixture must be fully warm")
+    val evicted = eng.compactCacheEntries("t1", "idx", now = 2010L)
+    assert(evicted > 0) // the stale-epoch history went away
+    val after = warmView()
+    assert(after == before) // GC must be invisible to every served result
+  }
+
   test("CacheMemoryMb quota: at-quota populate is rejected, the miss still serves") {
     val root = Files.createTempDirectory("engine_quota").toString
     val eng = new GraftEngine(spark, root)
