@@ -322,10 +322,23 @@ class GraftEngine(spark: SparkSession, root: String) {
         keyed.select("id", "id_str").write.mode("overwrite")
           .parquet(s"$dir/idmap")
       case "IVF_PQ" =>
-        // PQ is L2-trained like the reference (IvfPqVectorIndex.cs:55-116)
-        require(metric.equalsIgnoreCase("L2"),
-          s"IVF_PQ tails are L2-trained; cannot build with metric=$metric")
-        val cached = keyed.cache()
+        // PQ codes are L2-trained like the reference (IvfPqVectorIndex.cs:
+        // 55-116). COSINE rides the normalization identity: on unit vectors
+        // ‖a−b‖² = 2 − 2·cos(a,b), so L2-training + ADC over unit-normalized
+        // copies ranks exactly like cosine — the rank-correct form of the
+        // reference's raw L2-proxy-for-any-metric (IvfPqVectorIndex.cs:
+        // 163-199 comments). Only the coded tail is normalized; `records`
+        // keeps raw vectors (hydration/export and the exact rerank, which
+        // scores cosine directly — normalization-invariant).
+        val metricU = metric.toUpperCase
+        require(metricU == "L2" || metricU == "COSINE",
+          s"IVF_PQ tails are L2-trained (COSINE via unit normalization); " +
+            s"cannot build with metric=$metric")
+        val forPq =
+          if (metricU == "COSINE")
+            keyed.withColumn("vec", graft.functions.vector_unit(col("vec")))
+          else keyed
+        val cached = forPq.cache()
         val idx = graft.operators.IvfPq.build(
           cached.select("id", "vec"),
           nlist, m = pqM, k = math.min(pqK, 256), seed = seed)
@@ -486,14 +499,24 @@ class GraftEngine(spark: SparkSession, root: String) {
       case "IVF_PQ" =>
         // ADC-scored candidates from the probed inverted lists (approximate
         // scores vs the head's exact ones — the reference's delta merge has
-        // the same asymmetry, DeltaVectorIndex.cs:76-122). IVF_PQ is
-        // L2-scored by construction: a different head metric would merge
-        // incomparable score scales, so reject it up front.
-        require(metric.equalsIgnoreCase("L2"),
-          s"IVF_PQ index is L2-scored; cannot search with metric=$metric")
+        // the same asymmetry, DeltaVectorIndex.cs:76-122). The codes are
+        // L2-scored by construction; COSINE tails were built over unit
+        // vectors (see build), so the ADC score is −‖q̂−v̂‖² and folds onto
+        // the cosine scale as 1 + score/2 = cos(q,v) — the head's exact
+        // cosine rows then merge on one comparable scale (the conversion
+        // the reference derives but skips, IvfPqVectorIndex.cs:178-195).
+        require(metric.equalsIgnoreCase("L2") || metric.equalsIgnoreCase("COSINE"),
+          s"IVF_PQ index serves L2 or COSINE; cannot search with metric=$metric")
+        val cosinePq = metric.equalsIgnoreCase("COSINE")
+        val pqQueries =
+          if (cosinePq)
+            baseQueries.withColumn("qvec", graft.functions.vector_unit(col("qvec")))
+          else baseQueries
         val pqIdx = graft.operators.IvfPq.load(
           spark, s"$snap/ivfpq")
         val strMap = pqIdx.assigned.select("id", "id_str")
+        val adcScore =
+          if (cosinePq) (lit(1.0) + col("score") / 2).as("score") else col("score")
         val adcCands = capScans(
           maskHead(
             graft.operators.IvfPq
@@ -501,9 +524,9 @@ class GraftEngine(spark: SparkSession, root: String) {
                 graft.operators.IvfPq.Index(
                   pqIdx.assigned.select("id", "cluster_id", "codes"),
                   pqIdx.centroids, pqIdx.cb),
-                baseQueries, nprobe)
+                pqQueries, nprobe)
               .join(strMap, Seq("id")))
-            .select("query_id", "id_str", "score"),
+            .select(col("query_id"), col("id_str"), adcScore),
           maxScans)
         if (refine <= 0) adcCands
         else {
@@ -524,10 +547,12 @@ class GraftEngine(spark: SparkSession, root: String) {
             .select("query_id", "id")
           val snapVecs = snapshot.select(col("id_str"), col("vec"))
             .withColumn("id", xxhash64(col("id_str")))
+          // raw qvec + raw snapshot vec: cosine is normalization-invariant,
+          // so the rerank scores the TRUE metric exactly for both tails
           snapVecs.join(broadcast(cut), Seq("id"))
             .join(broadcast(baseQueries), Seq("query_id"))
             .select(col("query_id"), col("id_str"),
-              graft.functions.vector_score("L2", col("qvec"), col("vec"))
+              graft.functions.vector_score(metric, col("qvec"), col("vec"))
                 .as("score"))
         }
       case _ => // IVF_FLAT / FLAT share the inverted-list layout

@@ -76,6 +76,11 @@ object Queries {
   val knnCosineSql: String =
     knnSql("list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[])", withScore = true)
 
+  /** Rank-only variant for exact-by-construction ANN configs whose score
+    * column is float-summed in a different order than DuckDB's. */
+  val knnCosineRankSql: String =
+    knnSql("list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[])", withScore = false)
+
   /** The same query through `spark.sql` with the REGISTERED vector
     * functions (graft.functions.registerAll) — the SQL-first face of the
     * engine. The SQL uses the registered `vector_topk` bounded aggregate,
@@ -238,13 +243,15 @@ object Queries {
     * content-deterministic, so repeated invocations (bench reruns) measure
     * query work, not rebuilds — like any warm serving engine. */
   private val engineMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), GraftEngine]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, String), GraftEngine]
 
-  private def engineOn(s: SparkSession, dir: String, algo: String): GraftEngine =
-    engineMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, algo),
-      buildEngine(s, dir, algo))
+  private def engineOn(s: SparkSession, dir: String, algo: String,
+                       metric: String = "L2"): GraftEngine =
+    engineMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, algo, metric),
+      buildEngine(s, dir, algo, metric))
 
-  private def buildEngine(s: SparkSession, dir: String, algo: String): GraftEngine = {
+  private def buildEngine(s: SparkSession, dir: String, algo: String,
+                          metric: String): GraftEngine = {
     val root = java.nio.file.Files.createTempDirectory("graft_engine").toString
     val eng = new GraftEngine(s, root)
     val recs = t(s, dir, "embeddings").select(
@@ -256,7 +263,8 @@ object Queries {
       .withColumn("tags", lit(null).cast("array<string>"))
       .withColumn("updated_at", lit(100L))
     eng.add(recs)
-    eng.build("t0", "emb", nlist = 10, algo = algo, pqM = 8, pqK = 32)
+    eng.build("t0", "emb", nlist = 10, metric = metric, algo = algo,
+      pqM = 8, pqK = 32)
     eng
   }
 
@@ -272,6 +280,20 @@ object Queries {
     val n = eng.manifest("t0", "emb").nVectors
     eng.search("t0", "emb", queriesOf(s, dir), K, nprobe = 10,
         refine = ((n + K - 1) / K).toInt)
+      .select(col("query_id"), col("rank"), col("id").cast("long").as("id"))
+  }
+
+  /** COSINE over an IVF_PQ tail: L2-trained codes over unit-normalized
+    * vectors (‖a−b‖² = 2 − 2cos ⇒ L2 rank ≡ cosine rank — the rank-correct
+    * form of the reference's serve-any-metric-over-L2-codes proxy,
+    * IvfPqVectorIndex.cs:163-199). Exhaustive probes + rerank-all make it
+    * exactly brute-force cosine ⇒ shares that oracle (rank-only: refine
+    * scores are exact but float-summed in a different order than DuckDB). */
+  val enginePqCosine: QueryFn = (s, dir) => {
+    val eng = engineOn(s, dir, "IVF_PQ", "COSINE")
+    val n = eng.manifest("t0", "emb").nVectors
+    eng.search("t0", "emb", queriesOf(s, dir), K, metric = "COSINE",
+        nprobe = 10, refine = ((n + K - 1) / K).toInt)
       .select(col("query_id"), col("rank"), col("id").cast("long").as("id"))
   }
 
@@ -1148,6 +1170,7 @@ object Queries {
     "sq8_search" -> sq8Search,
     "hnsw_search" -> hnswSearch,
     "engine_pq_search" -> enginePqSearch,
+    "engine_pq_cosine" -> enginePqCosine,
     "engine_cached_search" -> engineCachedSearch,
     "engine_prefetch_hit" -> enginePrefetchHit,
     "delta_merge_knn" -> deltaMergeKnn,
@@ -1202,6 +1225,7 @@ object Queries {
     "ivf_cosine_search" -> knnCosineSql,
     "ivf_pq_search" -> knnL2Sql,
     "engine_pq_search" -> knnL2Sql,
+    "engine_pq_cosine" -> knnCosineRankSql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
     "engine_prefetch_hit" -> enginePrefetchHitSql,

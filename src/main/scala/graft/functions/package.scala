@@ -19,6 +19,17 @@ package object functions {
   def vector_cosine(a: Column, b: Column): Column = mkCol(VectorCosine(mkExpr(a), mkExpr(b)))
   def vector_norm(a: Column): Column = mkCol(VectorNorm(mkExpr(a)))
 
+  /** Unit-normalized copy of the vector (zero vectors pass through
+    * unchanged, matching the cosine kernel's zero-norm guard). On unit
+    * vectors ‖a−b‖² = 2 − 2·cos(a,b), so L2 machinery over normalized
+    * copies ranks exactly like cosine — the transform behind the engine's
+    * COSINE IVF_PQ tails. */
+  def vector_unit(v: Column): Column = {
+    import org.apache.spark.sql.functions.{transform, when}
+    val n = vector_norm(v)
+    when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
+  }
+
   /** Metric-aware score, uniformly "higher is better"
     * (L2 → -distance², InnerProduct → dot, Cosine → cosine). */
   def vector_score(metric: String, query: Column, v: Column): Column =

@@ -482,6 +482,56 @@ class EngineSpec extends SparkSpec {
     assert(eng.search("t1", "idx", q(2L, qv), k = 5, nprobe = 4).count() == 5)
   }
 
+  test("engine IVF_PQ COSINE: normalized codes rank by cosine; head merges on the same scale") {
+    val root = Files.createTempDirectory("engine_pq_cos").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(13)
+    // wildly varying norms: cosine ranking must diverge from L2 ranking,
+    // so a tail accidentally serving raw L2 would fail the oracle
+    val recs = (0 until 80).map { i =>
+      val scale = 0.1f + 10f * rng.nextFloat()
+      (s"v$i", Seq.fill(8)(rng.nextFloat() * scale), null: String,
+        Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4, metric = "COSINE", algo = "IVF_PQ",
+      pqM = 4, pqK = 16)
+    val qv = Seq.fill(8)(rng.nextFloat())
+    def cos(v: Seq[Float]): Double = {
+      val dot = v.zip(qv).map { case (a, b) => a.toDouble * b }.sum
+      val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val expected = recs.map { case (id, v, _, _, _) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    // rerank-all: exact cosine top-k (rank equality with the local oracle)
+    val got = eng.search("t1", "idx", q(1L, qv), k = 5, metric = "COSINE",
+        nprobe = 4, refine = 16)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(got == expected)
+    // ADC-only scores fold onto the cosine scale (1 + adc/2 ∈ ~[-1, 1])
+    val adcScores = eng.search("t1", "idx", q(2L, qv), k = 5,
+        metric = "COSINE", nprobe = 4)
+      .collect().map(_.getAs[Double]("score"))
+    assert(adcScores.length == 5)
+    assert(adcScores.forall(s => s >= -1.05 && s <= 1.05), adcScores.toSeq)
+    // head merge on one scale: a post-build write aligned with the query
+    // but at 100× norm has cos = 1 and must outrank every tail row
+    val aligned = qv.map(_ * 100f)
+    eng.add(mkRecords(Seq(("vnew", aligned, null, Seq.empty[String], 200L))))
+    val merged = eng.search("t1", "idx", q(3L, qv), k = 3, metric = "COSINE",
+      nprobe = 4, refine = 32).collect()
+    assert(merged.head.getAs[String]("id") == "vnew", merged.toSeq)
+    // unsupported combos still fail fast
+    intercept[IllegalArgumentException] {
+      eng.build("t1", "idx", nlist = 4, metric = "IP", algo = "IVF_PQ")
+    }
+    intercept[IllegalArgumentException] {
+      eng.search("t1", "idx", q(4L, qv), k = 3, metric = "L2")
+    }
+  }
+
   test("cache-entry GC: compaction bounds the table, preserves live hits, counts evictions") {
     val root = Files.createTempDirectory("engine_gc").toString
     val eng = new GraftEngine(spark, root)
