@@ -100,11 +100,12 @@ object Bench {
     // float32, dim 128, 100 queries, topK 10): deterministic synthetic
     // table, brute + IVF search, load throughput.
     val dim = 128
-    val synth = spark.range(100000)
+    def synthVecs(n: Long) = spark.range(n)
       .select(col("id"), transform(sequence(lit(1), lit(dim)),
         i => (pmod(xxhash64(col("id") * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0)
           .cast("float")).as("vec"))
-      .repartition(nCpus).cache()
+      .repartition(nCpus)
+    val synth = synthVecs(100000).cache()
     synth.count()
     val q100 = synth.filter(col("id") < 100)
       .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
@@ -185,11 +186,61 @@ object Bench {
       nq / tWarm
     }
 
+    // Scale ladder past the reference's published ceiling: its 500k
+    // IVF-Flat row serves 192.7 QPS and its 1M load "stalled at 93%" is a
+    // documented known limit (BASELINE.md; benchmark_500k_ivf.md:38-44).
+    // Same serving shape as the 100k runs. Everything from the 100k step
+    // is released first so the ladder measures the step, not leftover
+    // storage pressure; KMeans gets fewer iterations (serving QPS at fixed
+    // nprobe is insensitive to the last drops of centroid quality, and the
+    // build row reports the honest cost of what serving actually uses).
+    q100.unpersist(); q2000.unpersist(); synth.unpersist()
+    flatIdx.packed.unpersist()
+    idx100k.assigned.unpersist(); idx100k.packed.unpersist()
+
+    val synth500 = synthVecs(500000).cache()
+    synth500.count()
+    val tLoad500 = timeOnce {
+      val dir = java.nio.file.Files.createTempDirectory("bench_load500").toString
+      synth500.write.mode("overwrite").parquet(dir + "/vectors")
+    }
+    val tB0 = System.nanoTime()
+    val idx500 = IvfFlat.build(synth500.select(col("id"), col("vec")),
+      nlist = 100, metric = "L2", seed = 42L, maxIter = 5)
+    idx500.assigned.cache().count()
+    val tBuild500 = (System.nanoTime() - tB0) / 1e9
+    idx500.centroidsLocal
+    idx500.packed.count()
+    val q100x500 = synth500.filter(col("id") < 100)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    (0 until 3).foreach { _ =>
+      IvfFlat.searchLocalRows(idx500, q100x500, "L2", 10, nprobe = 10, spark).length
+    }
+    val tIvf500k = timeRuns("ivf_500k_dim128_100q", 3) {
+      require(IvfFlat.searchLocalRows(idx500, q100x500, "L2", 10, nprobe = 10, spark).nonEmpty)
+    }
+    synth500.unpersist()
+    idx500.assigned.unpersist(); idx500.packed.unpersist()
+
+    // 1M load — the exact operation the reference documents as failing
+    val synth1m = synthVecs(1000000).cache()
+    synth1m.count()
+    val tLoad1m = timeOnce {
+      val dir = java.nio.file.Files.createTempDirectory("bench_load1m").toString
+      synth1m.write.mode("overwrite").parquet(dir + "/vectors")
+    }
+    synth1m.unpersist()
+
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused
     results("ivf_100k_dim128_100q_sec") = tIvf100k
     results("ivf_100k_dim128_2000q_sec") = tIvf100k2k
     results("load_100k_sec") = tLoad
+    results("load_500k_sec") = tLoad500
+    results("ivf_500k_build_sec") = tBuild500
+    results("ivf_500k_dim128_100q_sec") = tIvf500k
+    results("load_1m_sec") = tLoad1m
 
     // throughput metrics (not wall-seconds — excluded from "total")
     val rates = Map(
@@ -200,7 +251,10 @@ object Bench {
       "ivf_100k_qps" -> 100.0 / tIvf100k,
       "ivf_100k_2000q_qps" -> 2000.0 / tIvf100k2k,
       "cached_warm_20000q_qps" -> cachedQps,
-      "load_vecs_per_sec" -> 100000.0 / tLoad)
+      "load_vecs_per_sec" -> 100000.0 / tLoad,
+      "ivf_500k_qps" -> 100.0 / tIvf500k,
+      "load_500k_vecs_per_sec" -> 500000.0 / tLoad500,
+      "load_1m_vecs_per_sec" -> 1000000.0 / tLoad1m)
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }

@@ -182,18 +182,49 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** HNSW per-partition graph search (rows-only; recall covered by
-    * HnswSpec against the brute-force oracle). */
+  /** HNSW through a PROVABLY-EXACT configuration, so the whole graph
+    * machinery (partitioned build → columnar snapshot layout → beam
+    * traversal → chunked broadcast fan-out → bounded global merge) sits
+    * under the driver's DuckDB gate: with m = efConstruction ≥ partition
+    * rows neighbor shrink never triggers and every layer-0 adjacency list
+    * is COMPLETE, and with efSearch ≥ partition rows the beam keeps every
+    * node — each per-partition graph returns its partition's exact top-k
+    * and the bounded merge is exactly brute-force L2 over the corpus
+    * subset (same gating pattern as the IVF family's nprobe = nlist).
+    * The fixed 2000-vector subset bounds the O(rows²/partition) complete-
+    * graph build at every SF; realistic-parameter recall stays covered by
+    * HnswSpec/AnnRecallSpec. Rank-only compare (DuckDB's list_distance
+    * takes a sqrt we don't). */
   val hnswSearch: QueryFn = (s, dir) => {
-    val graphs = built(s, s"$dir:hnsw") {
+    val graphs = built(s, s"$dir:hnsw_exact") {
       graft.operators.Hnsw.build(
-        vectorsOf(s, dir), "L2", m = 16, efConstruction = 200, numPartitions = 4)
+        vectorsOf(s, dir).filter(col("id") < HnswExactN), "L2",
+        m = HnswExactN, efConstruction = HnswExactN, numPartitions = 16)
         .persist()
     }
-    graft.operators.Hnsw.search(graphs, queriesOf(s, dir), K, efSearch = 100)
-      .withColumn("score", round(col("score"), 6))
+    graft.operators.Hnsw.search(graphs, queriesOf(s, dir), K,
+        efSearch = HnswExactN)
+      .select("query_id", "rank", "id")
       .orderBy("query_id", "rank")
   }
+
+  private val HnswExactN = 2000
+
+  val hnswExactSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |         -list_distance(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id < $HnswExactN
+       |), r AS (
+       |  SELECT query_id, id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 
   /** SQ8 quantized brute-force search (uint8 fast path). Oracle-checked:
     * half-up quantization codes are bit-exact across engines and the score
@@ -1226,6 +1257,7 @@ object Queries {
     "ivf_pq_search" -> knnL2Sql,
     "engine_pq_search" -> knnL2Sql,
     "engine_pq_cosine" -> knnCosineRankSql,
+    "hnsw_search" -> hnswExactSql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
     "engine_prefetch_hit" -> enginePrefetchHitSql,
