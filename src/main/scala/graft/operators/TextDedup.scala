@@ -180,18 +180,40 @@ object TextDedup {
     (result, sh)
   }
 
-  /** MinHash signature of the shingle set: k independent hash functions,
-    * h_j(S) = min over shingles of mix(hash(s) ^ mix(j)). */
+  /** MinHash signature via ONE-PERMUTATION HASHING (Li, Owen, Zhang 2012;
+    * densification per Shrivastava & Li 2014): each shingle is hashed
+    * once, routed to bin `hash mod k`, and the bin keeps the min of a
+    * fixed bijective remix of the hash — the min over a bin's members IS
+    * the min-hash of that sub-permutation, so per-bin collision
+    * probability ≈ Jaccard exactly as with k independent permutations.
+    * Empty bins borrow from the nearest populated bin to the right
+    * (circular), offset by the borrow distance so borrowed equality also
+    * requires matching borrow patterns. Identical sets still produce
+    * identical signatures (the planted-dup gating argument is untouched).
+    *
+    * Why: the classic k-rehash loop is O(k·|S|) per document — at k=128
+    * that is 128 mixes per shingle and dominates dedup CPU at corpus
+    * scale; OPH is O(|S| + k), ~100× less signature work at |S|≈200. */
   private def minhashUdf(numHashes: Int) = udf { (shingles: Seq[String]) =>
     val sig = Array.fill(numHashes)(Long.MaxValue)
     shingles.foreach { s =>
       val h = StableHash.hashString(s)
-      var j = 0
-      while (j < numHashes) {
-        val hj = StableHash.rehash(h, j)
-        if (hj < sig(j)) sig(j) = hj
-        j += 1
+      val bin = java.lang.Math.floorMod(h, numHashes.toLong).toInt
+      val v = StableHash.mix64(h)
+      if (v < sig(bin)) sig(bin) = v
+    }
+    val empty = Array.tabulate(numHashes)(j => sig(j) == Long.MaxValue)
+    var j = 0
+    while (j < numHashes) {
+      if (empty(j)) {
+        // borrow from ORIGINALLY-populated bins only (never a densified
+        // copy); docShingleTable guarantees ≥ 1 shingle ⇒ ≥ 1 such bin
+        var d = 1
+        var src = (j + 1) % numHashes
+        while (empty(src)) { src = (src + 1) % numHashes; d += 1 }
+        sig(j) = sig(src) + d // wrap-around is fine: deterministic both sides
       }
+      j += 1
     }
     sig.toSeq
   }
@@ -209,26 +231,50 @@ object TextDedup {
         minhashUdf(numHashes)(col("shingles")).as("sig")),
       numHashes, bands)
 
-  /** Exact-Jaccard verify from a precomputed (doc_id, shingles) table. */
+  /** Exact-Jaccard verify from a precomputed (doc_id, shingles) table.
+    *
+    * Uncapped route: PAIR-LOCAL verify — the LSH candidate list is
+    * already pruned to ≈ true-dup size, so hydrate both shingle arrays
+    * per pair (two equi-joins; AQE broadcasts the pair side while it is
+    * small, shuffle-hash otherwise — either way the moved volume is
+    * |pairs|·|S|, comparable to the exploded form's candidate-doc
+    * volume) and intersect in place. No explode, no g-self-join, no
+    * aggregation — at driver SF this removes ~2/3 of the verify jobs,
+    * and over strings directly it is exact with no hash-collision caveat.
+    * The df-capped route must still drop hub shingles from the SETS
+    * themselves, which only the exploded form expresses. */
   private def verifyFromShingles(docShingles: DataFrame, pairs: DataFrame,
                                  maxDocFreq: Int): DataFrame = {
+    if (maxDocFreq <= 0) {
+      // bare pair ids broadcast into the cached doc table twice (map-side
+      // hydration — the corpus-sized side never shuffles), then the two
+      // slim hydrated streams equi-join: total shuffle = 2·|pairs|·|S|,
+      // the minimum any pair-local verify can move
+      val p = pairs.select("id1", "id2")
+      val h1 = docShingles.join(broadcast(p), col("doc_id") === col("id1"))
+        .select(col("id1"), col("id2"), col("shingles").as("sh1"))
+      val h2 = docShingles.join(broadcast(p), col("doc_id") === col("id2"))
+        .select(col("id1"), col("id2"), col("shingles").as("sh2"))
+      return h1.join(h2, Seq("id1", "id2"))
+        .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn("jaccard",
+          col("c") / (size(col("sh1")) + size(col("sh2")) - col("c")))
+        .select("id1", "id2", "jaccard")
+        .localCheckpoint() // small result; lets the caller's caches go
+    }
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2"))).distinct()
     val candDocs = docShingles.join(ids, "doc_id")
     val shAll = candDocs
       .select(col("doc_id"), explode(col("shingles")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
-    val sh = (if (maxDocFreq > 0) {
+    val sh = {
       val hubs = shAll.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select("g")
       shAll.join(broadcast(hubs), Seq("g"), "left_anti")
-    } else shAll).persist()
-    // uncapped set sizes come straight off the (distinct) shingle arrays —
-    // no aggregation over the exploded table; the df-cap changes the sets,
-    // so the capped route must re-count post-cap
-    val sizes =
-      if (maxDocFreq > 0) sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      else candDocs.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    }.persist()
+    // the df-cap changes the sets, so the capped route re-counts post-cap
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     try jaccardOfShingleTable(sh, pairs, sizes)
     finally sh.unpersist()
   }
