@@ -189,14 +189,16 @@ object Bench {
     // Scale ladder past the reference's published ceiling: its 500k
     // IVF-Flat row serves 192.7 QPS and its 1M load "stalled at 93%" is a
     // documented known limit (BASELINE.md; benchmark_500k_ivf.md:38-44).
-    // Same serving shape as the 100k runs. Everything from the 100k step
-    // is released first so the ladder measures the step, not leftover
-    // storage pressure; KMeans gets fewer iterations (serving QPS at fixed
-    // nprobe is insensitive to the last drops of centroid quality, and the
-    // build row reports the honest cost of what serving actually uses).
-    q100.unpersist(); q2000.unpersist(); synth.unpersist()
-    flatIdx.packed.unpersist()
-    idx100k.assigned.unpersist(); idx100k.packed.unpersist()
+    // Same serving shape as the 100k runs; KMeans gets fewer iterations
+    // (serving QPS at fixed nprobe is insensitive to the last drops of
+    // centroid quality, and the build row reports the honest cost of what
+    // serving actually uses). Full clean-room boundary first — the same
+    // sweep as before the 100k runs, because the cachedQps engine above
+    // leaves its packed tail RDD and cache-table localCheckpoint blocks
+    // pinned, and manual unpersists of the named frames would miss those.
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 
     val synth500 = synthVecs(500000).cache()
     synth500.count()

@@ -508,6 +508,12 @@ class GraftEngine(spark: SparkSession, root: String) {
         require(metric.equalsIgnoreCase("L2") || metric.equalsIgnoreCase("COSINE"),
           s"IVF_PQ index serves L2 or COSINE; cannot search with metric=$metric")
         val cosinePq = metric.equalsIgnoreCase("COSINE")
+        // the general metric-match check above skips unknown ("") manifest
+        // metrics; a COSINE fold over codes NOT built normalized would be
+        // meaningless, so pin it to an explicitly COSINE-built tail
+        require(!cosinePq || m.metric.equalsIgnoreCase("COSINE"),
+          s"COSINE IVF_PQ search needs a COSINE-built tail (normalized " +
+            s"codes); this index's build metric is '${m.metric}'")
         val pqQueries =
           if (cosinePq)
             baseQueries.withColumn("qvec", graft.functions.vector_unit(col("qvec")))
@@ -515,6 +521,12 @@ class GraftEngine(spark: SparkSession, root: String) {
         val pqIdx = graft.operators.IvfPq.load(
           spark, s"$snap/ivfpq")
         val strMap = pqIdx.assigned.select("id", "id_str")
+        // Edge: a ZERO corpus vector passes vector_unit unchanged, so its
+        // ADC distance to a unit query is ≈1 and the fold scores it ≈0.5
+        // where exact cosine says 0 — a bounded mid-scale misplacement in
+        // ADC-only serving only (the head path and the refine rerank both
+        // score true cosine 0; the reference's raw any-metric proxy is
+        // wronger for every row, IvfPqVectorIndex.cs:163-199).
         val adcScore =
           if (cosinePq) (lit(1.0) + col("score") / 2).as("score") else col("score")
         val adcCands = capScans(

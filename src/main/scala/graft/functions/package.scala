@@ -23,12 +23,33 @@ package object functions {
     * unchanged, matching the cosine kernel's zero-norm guard). On unit
     * vectors ‖a−b‖² = 2 − 2·cos(a,b), so L2 machinery over normalized
     * copies ranks exactly like cosine — the transform behind the engine's
-    * COSINE IVF_PQ tails. */
-  def vector_unit(v: Column): Column = {
-    import org.apache.spark.sql.functions.{transform, when}
-    val n = vector_norm(v)
-    when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
+    * COSINE IVF_PQ tails.
+    *
+    * A UDF on purpose: a `transform(v, x => x / vector_norm(v))` HOF
+    * form re-evaluates the captured norm subtree once PER ELEMENT
+    * (O(dim²) per vector — the same Catalyst lambda-capture pitfall
+    * documented at TextDedup.shinglesOfTokens), and projecting the norm
+    * to a column first is fragile under CollapseProject re-inlining.
+    * The UDF computes the norm exactly once per row. */
+  private lazy val unitUdf = {
+    import org.apache.spark.sql.functions.udf
+    udf { (v: Seq[Float]) =>
+      val a = floatArray(v)
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+      if (s == 0) v
+      else {
+        val n = math.sqrt(s)
+        val out = new Array[Float](a.length)
+        i = 0
+        while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
   }
+
+  def vector_unit(v: Column): Column = unitUdf(v)
 
   /** Metric-aware score, uniformly "higher is better"
     * (L2 → -distance², InnerProduct → dot, Cosine → cosine). */

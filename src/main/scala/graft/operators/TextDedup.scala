@@ -180,42 +180,32 @@ object TextDedup {
     (result, sh)
   }
 
-  /** MinHash signature via ONE-PERMUTATION HASHING (Li, Owen, Zhang 2012;
-    * densification per Shrivastava & Li 2014): each shingle is hashed
-    * once, routed to bin `hash mod k`, and the bin keeps the min of a
-    * fixed bijective remix of the hash — the min over a bin's members IS
-    * the min-hash of that sub-permutation, so per-bin collision
-    * probability ≈ Jaccard exactly as with k independent permutations.
-    * Empty bins borrow from the nearest populated bin to the right
-    * (circular), offset by the borrow distance so borrowed equality also
-    * requires matching borrow patterns. Identical sets still produce
-    * identical signatures (the planted-dup gating argument is untouched).
+  /** MinHash signature of the shingle set: k independent hash functions,
+    * h_j(S) = min over shingles of mix(hash(s) ^ mix(j)).
     *
-    * Why: the classic k-rehash loop is O(k·|S|) per document — at k=128
-    * that is 128 mixes per shingle and dominates dedup CPU at corpus
-    * scale; OPH is O(|S| + k), ~100× less signature work at |S|≈200. */
-  private def minhashUdf(numHashes: Int) = udf { (shingles: Seq[String]) =>
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { s =>
-      val h = StableHash.hashString(s)
-      val bin = java.lang.Math.floorMod(h, numHashes.toLong).toInt
-      val v = StableHash.mix64(h)
-      if (v < sig(bin)) sig(bin) = v
-    }
-    val empty = Array.tabulate(numHashes)(j => sig(j) == Long.MaxValue)
-    var j = 0
-    while (j < numHashes) {
-      if (empty(j)) {
-        // borrow from ORIGINALLY-populated bins only (never a densified
-        // copy); docShingleTable guarantees ≥ 1 shingle ⇒ ≥ 1 such bin
-        var d = 1
-        var src = (j + 1) % numHashes
-        while (empty(src)) { src = (src + 1) % numHashes; d += 1 }
-        sig(j) = sig(src) + d // wrap-around is fine: deterministic both sides
+    * Deliberately the CLASSIC k-permutation scheme, not one-permutation
+    * hashing: OPH's O(|S|+k) signature is cheaper, but for short documents
+    * (|S| ≪ k) most bins are densified copies and a true pair's band-miss
+    * probability degrades from the (1−τ^r)^b S-curve to ≈(1−J)^|S| —
+    * orders of magnitude worse recall exactly where dedup corpora are
+    * short. The classic scheme keeps the documented gating bound;
+    * `mix(j)` is hoisted out of the shingle loop (it only depends on j),
+    * which is most of the classic scheme's constant factor anyway. */
+  private def minhashUdf(numHashes: Int) = {
+    val mixedJ = Array.tabulate(numHashes)(j => StableHash.mix64(j.toLong))
+    udf { (shingles: Seq[String]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h = StableHash.hashString(s)
+        var j = 0
+        while (j < numHashes) {
+          val hj = StableHash.mix64(h ^ mixedJ(j))
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
       }
-      j += 1
+      sig.toSeq
     }
-    sig.toSeq
   }
 
   /** Signatures table: (doc_id, sig ARRAY<BIGINT>). */
@@ -235,10 +225,8 @@ object TextDedup {
     *
     * Uncapped route: PAIR-LOCAL verify — the LSH candidate list is
     * already pruned to ≈ true-dup size, so hydrate both shingle arrays
-    * per pair (two equi-joins; AQE broadcasts the pair side while it is
-    * small, shuffle-hash otherwise — either way the moved volume is
-    * |pairs|·|S|, comparable to the exploded form's candidate-doc
-    * volume) and intersect in place. No explode, no g-self-join, no
+    * per pair (two equi-joins, no forced broadcast — see inline note)
+    * and intersect in place. No explode, no g-self-join, no
     * aggregation — at driver SF this removes ~2/3 of the verify jobs,
     * and over strings directly it is exact with no hash-collision caveat.
     * The df-capped route must still drop hub shingles from the SETS
@@ -246,14 +234,18 @@ object TextDedup {
   private def verifyFromShingles(docShingles: DataFrame, pairs: DataFrame,
                                  maxDocFreq: Int): DataFrame = {
     if (maxDocFreq <= 0) {
-      // bare pair ids broadcast into the cached doc table twice (map-side
-      // hydration — the corpus-sized side never shuffles), then the two
-      // slim hydrated streams equi-join: total shuffle = 2·|pairs|·|S|,
-      // the minimum any pair-local verify can move
+      // bare pair ids joined into the cached doc table twice, then the two
+      // slim hydrated streams equi-join: total shuffle bounded by
+      // 2·|pairs|·|S|, the minimum any pair-local verify can move. The
+      // pair side is localCheckpoint-materialized so its stats are exact —
+      // Spark broadcasts it while it is small (map-side hydration, the
+      // corpus-sized side never moves) and falls back to a shuffle join
+      // for candidate sets too big to broadcast; no forced hint, so the
+      // fallback stays available at corpus scale.
       val p = pairs.select("id1", "id2")
-      val h1 = docShingles.join(broadcast(p), col("doc_id") === col("id1"))
+      val h1 = docShingles.join(p, col("doc_id") === col("id1"))
         .select(col("id1"), col("id2"), col("shingles").as("sh1"))
-      val h2 = docShingles.join(broadcast(p), col("doc_id") === col("id2"))
+      val h2 = docShingles.join(p, col("doc_id") === col("id2"))
         .select(col("id1"), col("id2"), col("shingles").as("sh2"))
       return h1.join(h2, Seq("id1", "id2"))
         .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
