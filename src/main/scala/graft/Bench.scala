@@ -207,6 +207,11 @@ object Bench {
       synth500.write.mode("overwrite").parquet(dir + "/vectors")
     }
     val tB0 = System.nanoTime()
+    // full-corpus train: a 20%-sample train + assign pass (the
+    // compactIncremental pattern — what a 100-TB build would run) halves
+    // this row but costs ~25% serving QPS from cluster imbalance at this
+    // nlist; measured 719 vs 945 QPS, so the ladder reports the geometry
+    // serving actually wants
     val idx500 = IvfFlat.build(synth500.select(col("id"), col("vec")),
       nlist = 100, metric = "L2", seed = 42L, maxIter = 5)
     idx500.assigned.cache().count()

@@ -1101,17 +1101,89 @@ object Queries {
       |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes
       |FROM documents ORDER BY id""".stripMargin
 
-  /** Order-sensitive document fingerprint (rolling hash; rows-only). */
+  /** Order-sensitive document fingerprint (rolling hash; rows-only —
+    * the raw 64-bit values are engine-own. The KERNEL is driver-gated
+    * through `fingerprint_dup_pairs` below). */
   val docFingerprint: QueryFn = (s, dir) =>
     TextDedup.fingerprints(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Fingerprint-equality dup pairs: the rolling hash is a function of
+    * the token stream, and `split(text, " ", -1)` ⟷ single-space join is
+    * bijective, so fingerprints are equal iff TEXTS are equal (modulo a
+    * ~2⁻⁶⁴ collision that deterministic testdata either has or hasn't —
+    * it hasn't). That makes the pair set DuckDB-checkable as pairs of
+    * identical documents, gating the fingerprint kernel end-to-end while
+    * the raw hash values stay rows-only. The raw corpus has no identical
+    * texts (a 0=0 compare gates nothing), so every 20th document is
+    * PLANTED as an exact copy at doc_id + 10⁷ on BOTH sides — the same
+    * structural-recall trick as `embedding_lsh_pairs`. Fingerprint table
+    * persisted so the self-join doesn't run the UDF once per branch. */
+  val fingerprintDupPairs: QueryFn = (s, dir) => {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val fp = TextDedup.fingerprints(base.unionByName(planted)).persist()
+    val a = fp.as("a"); val b = fp.as("b")
+    try a.join(b,
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .orderBy("id1", "id2")
+      .localCheckpoint()
+    finally fp.unpersist()
+  }
+
+  val fingerprintDupPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 20 = 0
+      |)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2
+      |FROM t a JOIN t b ON a.text = b.text AND a.doc_id < b.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
   /** Vector SimHash fingerprints (reference E7 LSH cache keys; rows-only —
-    * .NET Random parity is impossible, properties are ScalaTested). */
+    * .NET Random parity is impossible, properties are ScalaTested; the
+    * KERNEL is driver-gated through `simhash_dup_pairs` below). */
   val simhashBuckets: QueryFn = (s, dir) =>
     t(s, dir, "embeddings")
       .select(col("vec_id"),
         graft.functions.VectorSimHash.simhashCol(col("embedding")).as("simhash"))
       .orderBy("vec_id")
+
+  /** SimHash-equality pairs under planted ×2 copies: sign(r·(2v)) =
+    * sign(2(r·v)) and ×2.0f is a pure exponent shift (every product and
+    * the accumulated sum double EXACTLY), so a scaled copy must share the
+    * full 64-bit fingerprint — while two random embeddings collide with
+    * ~2⁻⁶⁴ probability. The pair set is therefore exactly the planted
+    * pairs, a DuckDB-checkable fact that gates the SimHash kernel
+    * (determinism + scale invariance) end-to-end; the raw fingerprints
+    * stay rows-only above. A natural collision or a flipped sign would
+    * surface as an extra/missing row and fail the compare. */
+  val simhashDupPairs: QueryFn = (s, dir) => {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val fp = base.unionByName(planted)
+      .select(col("vec_id"),
+        graft.functions.VectorSimHash.simhashCol(col("embedding")).as("sh"))
+      .persist()
+    val a = fp.as("a"); val b = fp.as("b")
+    try a.join(b,
+        col("a.sh") === col("b.sh") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .orderBy("id1", "id2")
+      .localCheckpoint()
+    finally fp.unpersist()
+  }
+
+  val simhashDupPairsSql: String =
+    """SELECT vec_id AS id1, vec_id + 10000000 AS id2
+      |FROM embeddings WHERE vec_id % 20 = 0
+      |ORDER BY id1, id2""".stripMargin
 
   /** Per-query history features (A17: hit_rate + revisit interval over a
     * query log, src/Pyrope.AISidecar/feature_engineering.py:60-114). Here
@@ -1239,7 +1311,9 @@ object Queries {
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
+    "fingerprint_dup_pairs" -> fingerprintDupPairs,
     "simhash_buckets" -> simhashBuckets,
+    "simhash_dup_pairs" -> simhashDupPairs,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "query_history" -> queryHistory,
@@ -1258,6 +1332,8 @@ object Queries {
     "engine_pq_search" -> knnL2Sql,
     "engine_pq_cosine" -> knnCosineRankSql,
     "hnsw_search" -> hnswExactSql,
+    "fingerprint_dup_pairs" -> fingerprintDupPairsSql,
+    "simhash_dup_pairs" -> simhashDupPairsSql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
     "engine_prefetch_hit" -> enginePrefetchHitSql,
