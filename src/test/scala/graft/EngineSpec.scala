@@ -532,6 +532,35 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("engine IVF_FLAT IP metric: exhaustive probes reproduce the exact dot-product top-k") {
+    val root = Files.createTempDirectory("engine_ip").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(17)
+    // varying norms again: IP ranking differs from both L2 and cosine,
+    // so a path silently scoring another metric fails the oracle
+    val recs = (0 until 60).map { i =>
+      val scale = 0.1f + 5f * rng.nextFloat()
+      (s"v$i", Seq.fill(6)(rng.nextFloat() * scale), null: String,
+        Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4, metric = "IP")
+    val qv = Seq.fill(6)(rng.nextFloat())
+    val expected = recs.map { case (id, v, _, _, _) =>
+      (id, v.zip(qv).map { case (a, b) => a.toDouble * b }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    val got = eng.search("t1", "idx", q(1L, qv), k = 5, metric = "IP",
+        nprobe = 4)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(got == expected)
+    // head merge stays on the IP scale: a post-build write with a huge
+    // aligned vector has the largest dot product and must rank first
+    eng.add(mkRecords(Seq(("vbig", qv.map(_ * 50f), null, Seq.empty[String], 200L))))
+    val merged = eng.search("t1", "idx", q(2L, qv), k = 3, metric = "IP",
+      nprobe = 4).collect()
+    assert(merged.head.getAs[String]("id") == "vbig", merged.toSeq)
+  }
+
   test("cache-entry GC: compaction bounds the table, preserves live hits, counts evictions") {
     val root = Files.createTempDirectory("engine_gc").toString
     val eng = new GraftEngine(spark, root)
