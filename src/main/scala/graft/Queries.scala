@@ -1118,19 +1118,30 @@ object Queries {
     * PLANTED as an exact copy at doc_id + 10⁷ on BOTH sides — the same
     * structural-recall trick as `embedding_lsh_pairs`. Fingerprint table
     * persisted so the self-join doesn't run the UDF once per branch. */
+  /** Shared scaffold of the planted-dup kernel gates: self-join a keyed
+    * table on key equality, emit ordered id pairs. Persisted so the
+    * self-join doesn't run the keying kernel once per branch (same
+    * discipline as bandedCandidates); localCheckpoint materializes the
+    * (tiny) pair set so the cache can be released immediately. */
+  private def equalityPairs(keyed: DataFrame, idCol: String,
+                            keyCol: String): DataFrame = {
+    val fp = keyed.persist()
+    val a = fp.as("a"); val b = fp.as("b")
+    try a.join(b,
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .orderBy("id1", "id2")
+      .localCheckpoint()
+    finally fp.unpersist()
+  }
+
   val fingerprintDupPairs: QueryFn = (s, dir) => {
     val base = t(s, dir, "documents").select("doc_id", "text")
     val planted = base.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-    val fp = TextDedup.fingerprints(base.unionByName(planted)).persist()
-    val a = fp.as("a"); val b = fp.as("b")
-    try a.join(b,
-        col("a.fingerprint") === col("b.fingerprint") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .orderBy("id1", "id2")
-      .localCheckpoint()
-    finally fp.unpersist()
+    equalityPairs(TextDedup.fingerprints(base.unionByName(planted)),
+      "doc_id", "fingerprint")
   }
 
   val fingerprintDupPairsSql: String =
@@ -1167,22 +1178,31 @@ object Queries {
     val planted = base.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 10000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-    val fp = base.unionByName(planted)
-      .select(col("vec_id"),
-        graft.functions.VectorSimHash.simhashCol(col("embedding")).as("sh"))
-      .persist()
-    val a = fp.as("a"); val b = fp.as("b")
-    try a.join(b,
-        col("a.sh") === col("b.sh") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-      .orderBy("id1", "id2")
-      .localCheckpoint()
-    finally fp.unpersist()
+    equalityPairs(
+      base.unionByName(planted).select(col("vec_id"),
+        graft.functions.VectorSimHash.simhashCol(col("embedding")).as("sh")),
+      "vec_id", "sh")
   }
 
+  // DERIVED oracle, not a hardcoded planted list: simhash-equal pairs in
+  // this construction are exactly the identical-or-×2-scaled embedding
+  // pairs (×2 is exact in both engines — pure exponent shift), so the
+  // oracle joins on that property and stays correct if a future testdata
+  // set happens to contain naturally identical embedding rows.
   val simhashDupPairsSql: String =
-    """SELECT vec_id AS id1, vec_id + 10000000 AS id2
-      |FROM embeddings WHERE vec_id % 20 = 0
+    """WITH t AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000 AS vec_id,
+      |         list_transform(embedding, x -> x * 2) AS embedding
+      |  FROM embeddings WHERE vec_id % 20 = 0
+      |)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2
+      |FROM t a JOIN t b
+      |  ON (a.embedding = b.embedding
+      |      OR a.embedding = list_transform(b.embedding, x -> x * 2)
+      |      OR list_transform(a.embedding, x -> x * 2) = b.embedding)
+      | AND a.vec_id < b.vec_id
       |ORDER BY id1, id2""".stripMargin
 
   /** Per-query history features (A17: hit_rate + revisit interval over a
