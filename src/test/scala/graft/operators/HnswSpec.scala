@@ -40,6 +40,22 @@ class HnswSpec extends SparkSpec {
     assert(r > 0.9, s"HNSW recall $r")
   }
 
+  test("exact configuration: m = efC = ef >= partition rows reproduces brute force exactly") {
+    // pins the claim behind the driver-gated hnsw_search oracle: a
+    // complete layer-0 (no neighbor shrink) searched with a full beam
+    // returns each partition's exact top-k, so the merge IS brute force
+    val n = 1000
+    val exact = BruteForceKnn.knn(vectors, queries, "L2", 10)
+      .select("query_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val graphs = Hnsw.build(vectors, "L2", m = n, efConstruction = n,
+      numPartitions = 8)
+    val got = Hnsw.search(graphs, queries, 10, efSearch = n)
+      .select("query_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
+
   test("deterministic: same build twice gives identical results") {
     val g1 = Hnsw.build(vectors, "L2", numPartitions = 3)
     val g2 = Hnsw.build(vectors, "L2", numPartitions = 3)

@@ -78,6 +78,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(result.count() > 0)
   }
 
+  test("minhashLshPairs serves from materialized pairs: verify ran inside the checkpoint") {
+    val docs = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, s"the quick brown fox jumps over the lazy dog tail $i")
+      else (i.toLong, s"completely different text body number $i with many other words")
+    }.toDF("doc_id", "text")
+    val result = TextDedup.minhashLshPairs(docs, n = 3, tau = 0.5)
+    val plan = result.queryExecution.executedPlan.toString
+    // band join + pair-local verify both ran eagerly inside localCheckpoints;
+    // the returned frame must scan the checkpoint, not re-plan any join
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("top-k over scored candidates shuffles only aggregated buffers, not raw rows") {
     val df = (0 until 1000).map(i => (i % 7L, i.toLong, i * 0.5))
       .toDF("query_id", "id", "score").repartition(8)
