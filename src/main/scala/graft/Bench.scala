@@ -140,6 +140,17 @@ object Bench {
     val tIvf100k = timeRuns("ivf_100k_dim128_100q", 5) {
       require(IvfFlat.searchLocalRows(idx100k, q100Local, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
+    // per-call serving latency distribution (the reference reports P50/P99
+    // per RESP query, BASELINE.md: 5.595/9.745 ms at this config; one
+    // query per searchLocalRows call = one fused job, so the per-call
+    // wall time is the honest analog). Runs after the batch warmups.
+    val ivfLat = q100Local.map { q =>
+      val t0 = System.nanoTime()
+      IvfFlat.searchLocalRows(idx100k, Array(q), "L2", 10, nprobe = 10, spark)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    System.err.println(
+      f"# bench-runs ivf_100k_single_query_ms p50=${ivfLat(49)}%.3f p99=${ivfLat(98)}%.3f")
     // same 100k corpus, 2000-query batch: fixed job overhead amortizes —
     // the batch-engine regime the reference (one query per RESP round
     // trip) cannot reach
@@ -261,7 +272,9 @@ object Bench {
       "load_vecs_per_sec" -> 100000.0 / tLoad,
       "ivf_500k_qps" -> 100.0 / tIvf500k,
       "load_500k_vecs_per_sec" -> 500000.0 / tLoad500,
-      "load_1m_vecs_per_sec" -> 1000000.0 / tLoad1m)
+      "load_1m_vecs_per_sec" -> 1000000.0 / tLoad1m,
+      "ivf_100k_p50_ms" -> ivfLat(49),
+      "ivf_100k_p99_ms" -> ivfLat(98))
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }

@@ -90,7 +90,35 @@ object IvfFlat {
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd
     }
+
+    /** Driver-RESIDENT packed lists for the zero-job serving tier, or
+      * None when the corpus exceeds [[IvfFlat.PackedDriverMaxBytes]].
+      * The reference's whole engine is one process's heap — for indexes
+      * that fit the explicit byte bound, holding the packed arrays on
+      * the driver serves single queries with no job submission at all
+      * (the ~25 ms local scheduling floor dominates per-call latency
+      * otherwise). Bound checked BEFORE collecting, from row count ×
+      * vector bytes; oversized indexes keep the distributed path. */
+    @transient lazy val packedDriver: Option[Array[PackedLists]] = {
+      val row = assigned
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.first(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col("vec"))))
+        .head
+      if (row.isNullAt(1)) Some(Array.empty[PackedLists]) // empty corpus
+      else {
+        val bytes = row.getLong(0) * (4L * row.getInt(1) + 16L)
+        if (bytes > PackedDriverMaxBytes) None else Some(packed.collect())
+      }
+    }
   }
+
+  /** Residency bound for [[Index.packedDriver]]: ~256 MB of packed
+    * vectors — a deliberately small slice of driver heap; everything
+    * bigger serves through the executor-side packed RDD. */
+  val PackedDriverMaxBytes: Long = 256L << 20
 
   /** Train the coarse codebook and assign every vector to its inverted list.
     * Cosine metric uses MLlib's cosine distance measure; L2/IP use
