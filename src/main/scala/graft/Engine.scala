@@ -331,13 +331,31 @@ class GraftEngine(spark: SparkSession, root: String) {
         // keeps raw vectors (hydration/export and the exact rerank, which
         // scores cosine directly — normalization-invariant).
         val metricU = metric.toUpperCase
-        require(metricU == "L2" || metricU == "COSINE",
-          s"IVF_PQ tails are L2-trained (COSINE via unit normalization); " +
-            s"cannot build with metric=$metric")
-        val forPq =
-          if (metricU == "COSINE")
+        require(metricU == "L2" || metricU == "COSINE" || metricU == "IP",
+          s"IVF_PQ tails are L2-trained (COSINE via unit normalization, " +
+            s"IP via MIPS augmentation); cannot build with metric=$metric")
+        // IP rides the MIPS→L2 reduction (see functions.vector_mips_augment):
+        // codes are trained over [x, sqrt(M²−‖x‖²), 0…] — zero-padded to
+        // the next multiple of M for PQ subspace divisibility — so L2
+        // geometry ranks by inner product. M² is persisted next to the
+        // codebooks; search folds ADC distances back onto the dot scale.
+        val (mipsMaxSq, mipsDim) =
+          if (metricU == "IP") {
+            val r = keyed.agg(
+              max(graft.functions.vector_dot(col("vec"), col("vec"))),
+              max(size(col("vec")))).head
+            val rawDim = r.getInt(1)
+            (r.getDouble(0), ((rawDim + 1 + pqM - 1) / pqM) * pqM)
+          } else (0.0, 0)
+        val forPq = metricU match {
+          case "COSINE" =>
             keyed.withColumn("vec", graft.functions.vector_unit(col("vec")))
-          else keyed
+          case "IP" =>
+            keyed.withColumn("vec",
+              graft.functions.vector_mips_augment(col("vec"), lit(mipsMaxSq),
+                lit(mipsDim)))
+          case _ => keyed
+        }
         val cached = forPq.cache()
         val idx = graft.operators.IvfPq.build(
           cached.select("id", "vec"),
@@ -347,6 +365,11 @@ class GraftEngine(spark: SparkSession, root: String) {
           .parquet(s"$dir/ivfpq/codes")
         idx.centroids.write.mode("overwrite").parquet(s"$dir/ivfpq/centroids")
         graft.operators.Pq.saveCodebook(idx.cb, spark, s"$dir/ivfpq/codebooks")
+        if (metricU == "IP") {
+          import spark.implicits._
+          Seq(mipsMaxSq).toDF("max_sq")
+            .write.mode("overwrite").parquet(s"$dir/ivfpq/mips")
+        }
         // centroids also at the IVF location so the cache's L2 layer can
         // probe them without knowing the algo
         idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -505,21 +528,35 @@ class GraftEngine(spark: SparkSession, root: String) {
         // the cosine scale as 1 + score/2 = cos(q,v) — the head's exact
         // cosine rows then merge on one comparable scale (the conversion
         // the reference derives but skips, IvfPqVectorIndex.cs:178-195).
-        require(metric.equalsIgnoreCase("L2") || metric.equalsIgnoreCase("COSINE"),
-          s"IVF_PQ index serves L2 or COSINE; cannot search with metric=$metric")
         val cosinePq = metric.equalsIgnoreCase("COSINE")
+        val ipPq = metric.equalsIgnoreCase("IP") ||
+          metric.equalsIgnoreCase("INNERPRODUCT")
+        require(metric.equalsIgnoreCase("L2") || cosinePq || ipPq,
+          s"IVF_PQ index serves L2, COSINE or IP; cannot search with metric=$metric")
         // the general metric-match check above skips unknown ("") manifest
-        // metrics; a COSINE fold over codes NOT built normalized would be
-        // meaningless, so pin it to an explicitly COSINE-built tail
+        // metrics; a COSINE fold over codes NOT built normalized (or an IP
+        // fold over codes NOT built augmented) would be meaningless, so pin
+        // each to an explicitly matching build metric
         require(!cosinePq || m.metric.equalsIgnoreCase("COSINE"),
           s"COSINE IVF_PQ search needs a COSINE-built tail (normalized " +
             s"codes); this index's build metric is '${m.metric}'")
+        require(!ipPq || m.metric.equalsIgnoreCase("IP"),
+          s"IP IVF_PQ search needs an IP-built tail (MIPS-augmented " +
+            s"codes); this index's build metric is '${m.metric}'")
+        val pqIdx = graft.operators.IvfPq.load(
+          spark, s"$snap/ivfpq")
         val pqQueries =
           if (cosinePq)
             baseQueries.withColumn("qvec", graft.functions.vector_unit(col("qvec")))
-          else baseQueries
-        val pqIdx = graft.operators.IvfPq.load(
-          spark, s"$snap/ivfpq")
+          else if (ipPq) {
+            // query side of the MIPS reduction: q' = [q, 0…] zero-padded to
+            // the codebook's trained dim — the appended coordinates add
+            // nothing to ‖q'−x'‖² beyond the constant M² (folded back below)
+            val cbDim = pqIdx.cb.m * pqIdx.cb.dsub
+            baseQueries.withColumn("qvec",
+              concat(col("qvec"),
+                array_repeat(lit(0.0f), lit(cbDim) - size(col("qvec")))))
+          } else baseQueries
         val strMap = pqIdx.assigned.select("id", "id_str")
         // Edge: a ZERO corpus vector passes vector_unit unchanged, so its
         // ADC distance to a unit query is ≈1 and the fold scores it ≈0.5
@@ -529,7 +566,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         // wronger for every row, IvfPqVectorIndex.cs:163-199).
         val adcScore =
           if (cosinePq) (lit(1.0) + col("score") / 2).as("score") else col("score")
-        val adcCands = capScans(
+        val adcRaw = capScans(
           maskHead(
             graft.operators.IvfPq
               .scoredCandidates(
@@ -540,6 +577,22 @@ class GraftEngine(spark: SparkSession, root: String) {
               .join(strMap, Seq("id")))
             .select(col("query_id"), col("id_str"), adcScore),
           maxScans)
+        val adcCands =
+          if (!ipPq) adcRaw
+          else {
+            // fold the augmented-space ADC distance back onto the dot
+            // scale: score = −‖q'−x'‖² = −(‖q‖² + M² − 2⟨q,x⟩) ⇒
+            // ⟨q,x⟩ = (score + ‖q‖² + M²)/2. ‖q‖² is per-query (tiny
+            // broadcast join); M² was persisted at build. The head's exact
+            // dot rows then merge on the same comparable scale.
+            val maxSq = spark.read.parquet(s"$snap/ivfpq/mips")
+              .head.getDouble(0)
+            val qn = baseQueries.select(col("query_id"),
+              graft.functions.vector_dot(col("qvec"), col("qvec")).as("qn2"))
+            adcRaw.join(broadcast(qn), Seq("query_id"))
+              .select(col("query_id"), col("id_str"),
+                ((col("score") + col("qn2") + lit(maxSq)) / 2).as("score"))
+          }
         if (refine <= 0) adcCands
         else {
           // raw vectors are only retained in refine-era snapshots; an

@@ -328,6 +328,24 @@ object Queries {
       .select(col("query_id"), col("rank"), col("id").cast("long").as("id"))
   }
 
+  /** Inner product over an IVF_PQ tail: the MIPS→L2 reduction (append
+    * sqrt(M²−‖x‖²) at build, [q,0] at query — Bachrach et al. RecSys'14)
+    * makes L2-trained codes rank by dot product, where the reference's
+    * raw L2-proxy is rank-incorrect (IvfPqVectorIndex.cs:163-199).
+    * Exhaustive probes + rerank-all make the output exactly brute-force
+    * dot ⇒ shares knn_dot's full-score oracle (the rerank scores true
+    * ⟨q,x⟩ over raw vectors with the same double-accumulation order as
+    * DuckDB's list_dot_product — the kernel knn_dot already hash-matches
+    * with). ADC-only IP ranks are covered by EngineSpec's fold test. */
+  val enginePqIp: QueryFn = (s, dir) => {
+    val eng = engineOn(s, dir, "IVF_PQ", "IP")
+    val n = eng.manifest("t0", "emb").nVectors
+    eng.search("t0", "emb", queriesOf(s, dir), K, metric = "IP",
+        nprobe = 10, refine = ((n + K - 1) / K).toInt)
+      .select(col("query_id"), col("rank"), col("id").cast("long").as("id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** The assembled cache cascade as observables: cold call misses and
     * populates, warm call hits at L0 — deterministic, so fully oracled
     * (reference behaviorally: VectorCommandSet.cs:206-537). */
@@ -1294,6 +1312,7 @@ object Queries {
     "hnsw_search" -> hnswSearch,
     "engine_pq_search" -> enginePqSearch,
     "engine_pq_cosine" -> enginePqCosine,
+    "engine_pq_ip" -> enginePqIp,
     "engine_cached_search" -> engineCachedSearch,
     "engine_prefetch_hit" -> enginePrefetchHit,
     "delta_merge_knn" -> deltaMergeKnn,
@@ -1351,6 +1370,7 @@ object Queries {
     "ivf_pq_search" -> knnL2Sql,
     "engine_pq_search" -> knnL2Sql,
     "engine_pq_cosine" -> knnCosineRankSql,
+    "engine_pq_ip" -> knnDotSql,
     "hnsw_search" -> hnswExactSql,
     "fingerprint_dup_pairs" -> fingerprintDupPairsSql,
     "simhash_dup_pairs" -> simhashDupPairsSql,

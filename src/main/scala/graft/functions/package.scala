@@ -51,6 +51,37 @@ package object functions {
 
   def vector_unit(v: Column): Column = unitUdf(v)
 
+  /** MIPS→L2 augmentation (Bachrach et al., RecSys 2014 "Speeding up the
+    * Xbox recommender"): append sqrt(M² − ‖x‖²) to each corpus vector,
+    * where M = max corpus norm. Every augmented vector then has norm
+    * exactly M, and for an augmented query q' = [q, 0]:
+    * ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩ — so L2 ranking over the augmented
+    * space IS inner-product ranking over the raw space. This is the
+    * transform behind the engine's IP IVF_PQ tails (the reference serves
+    * IP over untransformed L2 codes as a raw proxy,
+    * IvfPqVectorIndex.cs:163-199 — rank-incorrect; this is the correct
+    * reduction). Same single-pass-UDF rationale as [[vector_unit]].
+    * The max(0, ·) clamp absorbs float rounding at the max-norm vector. */
+  private lazy val mipsAugmentUdf = {
+    import org.apache.spark.sql.functions.udf
+    udf { (v: Seq[Float], maxSq: Double, targetLen: Int) =>
+      val a = floatArray(v)
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+      val out = new Array[Float](math.max(targetLen, a.length + 1))
+      System.arraycopy(a, 0, out, 0, a.length)
+      out(a.length) = math.sqrt(math.max(0.0, maxSq - s)).toFloat
+      // positions past a.length + 1 stay 0f: zero pads keep every L2
+      // distance and dot product unchanged while restoring the PQ
+      // subspace divisibility (dim+1 is rarely divisible by M)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  def vector_mips_augment(v: Column, maxSq: Column, targetLen: Column): Column =
+    mipsAugmentUdf(v, maxSq, targetLen)
+
   /** Metric-aware score, uniformly "higher is better"
     * (L2 → -distance², InnerProduct → dot, Cosine → cosine). */
   def vector_score(metric: String, query: Column, v: Column): Column =

@@ -523,12 +523,68 @@ class EngineSpec extends SparkSpec {
     val merged = eng.search("t1", "idx", q(3L, qv), k = 3, metric = "COSINE",
       nprobe = 4, refine = 32).collect()
     assert(merged.head.getAs[String]("id") == "vnew", merged.toSeq)
-    // unsupported combos still fail fast
+    // metric mismatches still fail fast
     intercept[IllegalArgumentException] {
-      eng.build("t1", "idx", nlist = 4, metric = "IP", algo = "IVF_PQ")
+      eng.search("t1", "idx", q(4L, qv), k = 3, metric = "IP")
     }
     intercept[IllegalArgumentException] {
       eng.search("t1", "idx", q(4L, qv), k = 3, metric = "L2")
+    }
+  }
+
+  test("engine IVF_PQ IP: MIPS-augmented codes rank by dot product; head merges on the same scale") {
+    val root = Files.createTempDirectory("engine_pq_ip").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(19)
+    // wildly varying norms: IP ranking diverges from both L2 and cosine,
+    // so a tail silently serving either would fail the oracle
+    val recs = (0 until 80).map { i =>
+      val scale = 0.1f + 10f * rng.nextFloat()
+      (s"v$i", Seq.fill(8)(rng.nextFloat() * scale), null: String,
+        Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4, metric = "IP", algo = "IVF_PQ",
+      pqM = 4, pqK = 16)
+    val qv = Seq.fill(8)(rng.nextFloat())
+    def dot(v: Seq[Float]): Double =
+      v.zip(qv).map { case (a, b) => a.toDouble * b }.sum
+    val expected = recs.map { case (id, v, _, _, _) => (id, dot(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    // rerank-all: exact dot top-k (rank + score equality with the oracle)
+    val got = eng.search("t1", "idx", q(1L, qv), k = 5, metric = "IP",
+        nprobe = 4, refine = 16)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+    assert(got.map(_._1).toSeq == expected)
+    val exactByIds = recs.map { case (id, v, _, _, _) => id -> dot(v) }.toMap
+    got.foreach { case (id, s) => assert(math.abs(s - exactByIds(id)) < 1e-9) }
+    // ADC-only: the fold (score + ‖q‖² + M²)/2 must land ON the dot scale,
+    // not merely rank by it — a wrong persisted M² shifts every score by a
+    // constant (≈ M²/2) that ranks identically but fails this closeness
+    // check. The tolerance is the PQ-quantization scale (this corpus has
+    // deliberately huge norm spread, so codes are coarse): M²/6 ≈ 65 here,
+    // well under the ≈ M²/2 ≈ 195 shift a wrong constant produces.
+    val maxSq = recs.map { case (_, v, _, _, _) =>
+      v.map(x => x.toDouble * x).sum }.max
+    val adc = eng.search("t1", "idx", q(2L, qv), k = 5, metric = "IP",
+        nprobe = 4)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+    assert(adc.length == 5)
+    adc.foreach { case (id, s) =>
+      assert(math.abs(s - exactByIds(id)) < maxSq / 6,
+        s"$id folded=$s exact=${exactByIds(id)} maxSq=$maxSq") }
+    // head merge on one scale: a post-build write with a huge aligned
+    // vector has the largest dot product and must outrank every tail row
+    eng.add(mkRecords(Seq(("vbig", qv.map(_ * 50f), null, Seq.empty[String], 200L))))
+    val merged = eng.search("t1", "idx", q(3L, qv), k = 3, metric = "IP",
+      nprobe = 4).collect()
+    assert(merged.head.getAs[String]("id") == "vbig", merged.toSeq)
+    // cross-metric searches of the augmented tail fail fast
+    intercept[IllegalArgumentException] {
+      eng.search("t1", "idx", q(4L, qv), k = 3, metric = "L2")
+    }
+    intercept[IllegalArgumentException] {
+      eng.search("t1", "idx", q(4L, qv), k = 3, metric = "COSINE")
     }
   }
 
