@@ -190,7 +190,10 @@ object Bench {
         .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
       val nq = qs.count().toDouble
       eng.searchCached("t0", "emb", qs, 10, nprobe = 4, now = 1000L).count() // cold populate
-      val tWarm = timeRuns("cached_warm_20000q", 3) {
+      // best-of-5: the first warm call still pays plan compilation +
+      // shuffle-file creation, and co-tenant noise windows have shown up
+      // spanning a whole best-of-3 (runs printed above make either visible)
+      val tWarm = timeRuns("cached_warm_20000q", 5) {
         eng.searchCached("t0", "emb", qs, 10, nprobe = 4, now = 1010L).count()
       }
       qs.unpersist()

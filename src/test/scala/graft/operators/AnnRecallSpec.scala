@@ -136,6 +136,42 @@ class AnnRecallSpec extends SparkSpec {
     assert(refined > 0.6, s"IVF-PQ refined recall $refined")
   }
 
+  test("engine IVF_PQ IP (MIPS augmentation): realistic-parameter recall vs brute dot") {
+    // norm spread makes IP ranking diverge from L2/cosine — the regime the
+    // augmentation exists for. Exact-config correctness is pinned in
+    // EngineSpec/engine_pq_ip; this measures the honest approximate path
+    // (pruned probes + modest refine) against the brute-dot oracle.
+    val rng = new Random(7)
+    val scaled = vectors.as[(Long, Seq[Float])].collect().map { case (id, v) =>
+      val s = 0.5f + (id % 7) * 0.5f // deterministic 0.5x-3.5x norm spread
+      (id, v.map(_ * s))
+    }.toSeq.toDF("id", "vec").cache()
+    val exactIp = hitSets(BruteForceKnn.knn(scaled, queries, "IP", K))
+    val root = java.nio.file.Files.createTempDirectory("ann_ip").toString
+    val eng = new graft.GraftEngine(spark, root)
+    eng.add(scaled.select(col("id").cast("string").as("id"),
+        col("vec").as("vector"))
+      .withColumn("tenant_id", lit("t0"))
+      .withColumn("index_name", lit("ip"))
+      .withColumn("meta", lit(null).cast("string"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .withColumn("updated_at", lit(100L)))
+    eng.build("t0", "ip", nlist = 16, metric = "IP", algo = "IVF_PQ",
+      pqM = 8, pqK = 16)
+    def engineHits(nprobe: Int, refine: Int): Map[Long, Set[Long]] =
+      eng.search("t0", "ip", queries, K, metric = "IP", nprobe = nprobe,
+          refine = refine)
+        .select(col("query_id"), col("id").cast("long").as("id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // exhaustive probes + rerank-all: exact (the gate config)
+    assert(recallVs(exactIp, engineHits(16, 200)) == 1.0)
+    // pruned probes + modest refine: the serving config
+    val serving = recallVs(exactIp, engineHits(4, 4))
+    assert(serving > 0.7, s"IP serving recall $serving")
+    scaled.unpersist()
+  }
+
   test("IvfFlat.assign is metric-aware: cosine argmax differs from L2 argmin") {
     // non-unit centroid makes the two geometries disagree: v=(0.5,0.4) is
     // angle-closest to (10,0) but position-closest to (0,1)
