@@ -99,7 +99,10 @@ object IvfFlat {
       * (the ~25 ms local scheduling floor dominates per-call latency
       * otherwise). Bound checked BEFORE collecting, from row count ×
       * vector bytes; oversized indexes keep the distributed path. */
-    @transient lazy val packedDriver: Option[Array[PackedLists]] = {
+    /** (rows, dim) of the assigned table — one tiny job, memoized per
+      * Index handle; feeds the serving-tier dispatch and the residency
+      * bound. dim = 0 marks an empty corpus. */
+    @transient lazy val sizeStats: (Long, Int) = {
       val row = assigned
         .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)),
@@ -107,9 +110,14 @@ object IvfFlat {
             org.apache.spark.sql.functions.size(
               org.apache.spark.sql.functions.col("vec"))))
         .head
-      if (row.isNullAt(1)) Some(Array.empty[PackedLists]) // empty corpus
+      if (row.isNullAt(1)) (0L, 0) else (row.getLong(0), row.getInt(1))
+    }
+
+    @transient lazy val packedDriver: Option[Array[PackedLists]] = {
+      val (rows, dim) = sizeStats
+      if (rows == 0L) Some(Array.empty[PackedLists]) // empty corpus
       else {
-        val bytes = row.getLong(0) * (4L * row.getInt(1) + 16L)
+        val bytes = rows * (4L * dim + 16L)
         if (bytes > PackedDriverMaxBytes) None else Some(packed.collect())
       }
     }
@@ -119,6 +127,16 @@ object IvfFlat {
     * vectors — a deliberately small slice of driver heap; everything
     * bigger serves through the executor-side packed RDD. */
   val PackedDriverMaxBytes: Long = 256L << 20
+
+  /** Work bound for dispatching a call to the driver-resident tier:
+    * estimated scanned float elements (nq × nprobe × rows/nlist × dim).
+    * The driver scan is single-threaded — it wins exactly when the work
+    * is small enough that the ~25 ms per-job local scheduler floor
+    * dominates (single/few-query serving, ~1 ms scans); past this bound
+    * the 32-way distributed scan wins despite the floor (measured: the
+    * 2000-query and full-corpus-fused batches are 2-10× faster
+    * distributed). ~32M mul-adds ≈ 10-20 ms single-core. */
+  val DriverServeMaxScanElems: Long = 32L << 20
 
   /** Train the coarse codebook and assign every vector to its inverted list.
     * Cosine metric uses MLlib's cosine distance measure; L2/IP use
@@ -289,11 +307,25 @@ object IvfFlat {
   /** [[searchLocal]] returning the answer as a driver-local array —
     * the true serving form (the reference's RESP reply is exactly this
     * list). The DataFrame wrapper above costs ~100-150 ms of per-call
-    * encoder + Catalyst planning, which dwarfs the ~35 ms search job;
-    * latency-sensitive callers and the benchmark use this entry. */
+    * encoder + Catalyst planning, which dwarfs the search itself;
+    * latency-sensitive callers and the benchmark use this entry.
+    * Indexes inside [[PackedDriverMaxBytes]] serve from the
+    * driver-resident packed tier — no job submission, so per-call
+    * latency is the scan, not the ~25 ms local scheduler floor. */
   def searchLocalRows(index: Index, queries: Array[(Long, Array[Float])],
                       metric: String, k: Int, nprobe: Int,
-                      spark: org.apache.spark.sql.SparkSession): Array[(Long, Int, Long, Double)] = {
+                      spark: org.apache.spark.sql.SparkSession): Array[(Long, Int, Long, Double)] =
+    searchLocalRowsPath(index, queries, metric, k, nprobe, spark,
+      forceDistributed = false)
+
+  /** [[searchLocalRows]] with the tier dispatch exposed for path-equality
+    * tests: `forceDistributed = true` always runs the packed-RDD job even
+    * when the index fits the driver-resident tier. */
+  private[graft] def searchLocalRowsPath(
+      index: Index, queries: Array[(Long, Array[Float])],
+      metric: String, k: Int, nprobe: Int,
+      spark: org.apache.spark.sql.SparkSession,
+      forceDistributed: Boolean): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -319,50 +351,83 @@ object IvfFlat {
       qi += 1
     }
     val probeMap = byCluster.map { case (c, qs) => (c, qs.toArray) }.toMap
-    val bq = spark.sparkContext.broadcast((qvecs, probeMap))
     val kLoc = k
-    val partials = index.packed.mapPartitions { pit =>
-      val (qv, probes) = bq.value
-      val bufs = Array.fill(qv.length)(new TopKBuf(kLoc))
-      while (pit.hasNext) {
-        val p = pit.next()
-        val dim = p.dim
-        probes.foreach { case (cid, probing) =>
-          val range = p.ranges.get(cid)
-          if (range != null) {
-            val isL2 = metricU == "L2"
-            var r = range(0); val end = range(0) + range(1)
-            while (r < end) {
-              val off = r * dim
-              var i = 0
-              while (i < probing.length) {
-                val q = probing(i)
-                val score =
-                  if (isL2)
-                    // early-abandon: stop accumulating d² once it exceeds
-                    // the query's current k-th-best (the reference's scan
-                    // budget idea applied per candidate)
-                    l2ScoreBounded(qv(q), p.vecs, off,
-                      -bufs(q).admissionThreshold)
-                  else candidateScoreFlat(metricU, qv(q), p.vecs, off)
-                bufs(q).add(p.ids(r), score)
-                i += 1
-              }
-              r += 1
-            }
-          }
-        }
+    // driver tier only in the small-work regime: the in-heap scan is
+    // single-threaded, so it must beat the scheduler floor, not the
+    // 32-way scan (see DriverServeMaxScanElems)
+    val driverEligible = !forceDistributed && {
+      val (rows, dim) = index.sizeStats
+      rows == 0L || {
+        val nlist = math.max(1, cents.length)
+        val scanElems = nq.toLong * math.min(nprobe, nlist) *
+          (rows / nlist) * dim
+        scanElems <= DriverServeMaxScanElems
       }
-      bufs.iterator.zipWithIndex.flatMap { case (b, i) =>
-        b.compact()
-        (0 until b.n).iterator.map(j => (i, b.ids(j), b.scores(j)))
+    }
+    val partials: Array[(Int, Long, Double)] =
+      (if (driverEligible) index.packedDriver else None) match {
+        case Some(parts) =>
+          // zero-job tier: the packed lists live on the driver, so a
+          // serving call is a plain in-heap scan — no job submission,
+          // no broadcast, no scheduler floor (the reference serves every
+          // query from one process's heap; this is the honest analog for
+          // indexes inside the residency bound)
+          scanPacked(parts.iterator, qvecs, probeMap, metricU, kLoc).toArray
+        case None =>
+          val bq = spark.sparkContext.broadcast((qvecs, probeMap))
+          index.packed.mapPartitions { pit =>
+            val (qv, probes) = bq.value
+            scanPacked(pit, qv, probes, metricU, kLoc)
+          }.collect()
       }
-    }.collect()
     // final merge: ≤ partitions·nq·k rows, driver-local
     partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
       rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
         .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
     }.toArray
+  }
+
+  /** Shared scan kernel for the packed serving tiers: probe-pruned ranges
+    * over flat float storage, L2 early-abandonment, one bounded top-k
+    * buffer per query. Runs identically inside an executor task (packed
+    * RDD) and on the driver (resident tier) — path equality is spec-pinned. */
+  private def scanPacked(pit: Iterator[PackedLists], qv: Array[Array[Float]],
+                         probes: Map[Int, Array[Int]], metricU: String,
+                         k: Int): Iterator[(Int, Long, Double)] = {
+    val bufs = Array.fill(qv.length)(new TopKBuf(k))
+    val isL2 = metricU == "L2"
+    while (pit.hasNext) {
+      val p = pit.next()
+      val dim = p.dim
+      probes.foreach { case (cid, probing) =>
+        val range = p.ranges.get(cid)
+        if (range != null) {
+          var r = range(0); val end = range(0) + range(1)
+          while (r < end) {
+            val off = r * dim
+            var i = 0
+            while (i < probing.length) {
+              val q = probing(i)
+              val score =
+                if (isL2)
+                  // early-abandon: stop accumulating d² once it exceeds
+                  // the query's current k-th-best (the reference's scan
+                  // budget idea applied per candidate)
+                  l2ScoreBounded(qv(q), p.vecs, off,
+                    -bufs(q).admissionThreshold)
+                else candidateScoreFlat(metricU, qv(q), p.vecs, off)
+              bufs(q).add(p.ids(r), score)
+              i += 1
+            }
+            r += 1
+          }
+        }
+      }
+    }
+    bufs.iterator.zipWithIndex.flatMap { case (b, i) =>
+      b.compact()
+      (0 until b.n).iterator.map(j => (i, b.ids(j), b.scores(j)))
+    }
   }
 
   /** -L2² with early abandonment: once the partial sum exceeds `bound`

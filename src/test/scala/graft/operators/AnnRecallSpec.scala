@@ -79,6 +79,30 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("driver-resident packed tier == distributed packed path, including exact score ties") {
+    // integer coordinates + duplicated vectors force exact float ties at
+    // the k-boundary: both tiers must resolve them identically
+    // ((score desc, id asc) — TopKBuf compaction and the partial merge
+    // use the same order)
+    val tied = (0 until 400).map { i =>
+      (i.toLong, Seq((i % 5).toFloat, ((i / 5) % 4).toFloat, 1f))
+    }.toDF("id", "vec").cache()
+    val tq = (0 until 4).map(i => (i.toLong, Seq(i.toFloat, 1f, 1f)))
+      .toDF("query_id", "qvec")
+    val idx = IvfFlat.build(tied, nlist = 4)
+    assert(idx.packedDriver.isDefined, "test corpus must fit the driver tier")
+    val qsLocal = tq.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (metric <- Seq("L2", "COSINE", "IP")) {
+      val a = IvfFlat.searchLocalRowsPath(idx, qsLocal, metric, K, 2, spark,
+        forceDistributed = false)
+      val b = IvfFlat.searchLocalRowsPath(idx, qsLocal, metric, K, 2, spark,
+        forceDistributed = true)
+      assert(a.sortBy(r => (r._1, r._2)).toSeq == b.sortBy(r => (r._1, r._2)).toSeq,
+        s"metric=$metric")
+    }
+    tied.unpersist()
+  }
+
   test("IVF-Flat save/load roundtrip preserves search results") {
     val idx = IvfFlat.build(vectors, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
