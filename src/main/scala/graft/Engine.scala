@@ -111,7 +111,10 @@ class GraftEngine(spark: SparkSession, root: String) {
       // absent field (pre-upgrade manifest) → UNKNOWN, not L2: defaulting
       // to a concrete metric would reject the index's true metric and
       // accept the wrong one; unknown skips validation instead
-      val metric = raw""""metric"\s*:\s*"([A-Za-z_]+)"""".r.findFirstMatchIn(s)
+      // [A-Za-z0-9_]: "L2" has a digit — a letters-only class silently
+      // parsed every L2-built manifest as unknown-metric, wiping the
+      // cross-metric gate for the most common build
+      val metric = raw""""metric"\s*:\s*"([A-Za-z0-9_]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse("")
       // absent field (older manifest) → assume dirty: correctness over speed
       val headDirty = raw""""headDirty"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
@@ -343,8 +346,15 @@ class GraftEngine(spark: SparkSession, root: String) {
           if (metricU == "IP") {
             val r = keyed.agg(
               max(graft.functions.vector_dot(col("vec"), col("vec"))),
-              max(size(col("vec")))).head
+              max(size(col("vec"))), min(size(col("vec")))).head
             val rawDim = r.getInt(1)
+            // mixed dims would land the augmentation coordinate at a
+            // different subspace position per row — silently wrong IP
+            // ranks, so fail loudly (L2/COSINE paths fail in kernel
+            // alignment instead; IP would not)
+            require(rawDim == r.getInt(2),
+              s"IP IVF_PQ build needs uniform vector dims, " +
+                s"got ${r.getInt(2)}..$rawDim")
             (r.getDouble(0), ((rawDim + 1 + pqM - 1) / pqM) * pqM)
           } else (0.0, 0)
         val forPq = metricU match {
@@ -455,6 +465,44 @@ class GraftEngine(spark: SparkSession, root: String) {
       refine)
       .orderBy("query_id", "rank")
 
+  /** Low-latency serving entry: driver-local query batch in, answer rows
+    * out — (query_id, rank, id, score), the reference's RESP reply shape
+    * (VectorCommandSet.cs:457-480) without per-call DataFrame planning.
+    *
+    * Serves straight off the packed tail (IvfFlat.searchLocalRows, which
+    * itself dispatches small-work calls to the zero-job driver-resident
+    * tier) when the manifest PROVES that is the whole answer: inverted-
+    * list algo, head clean (no post-watermark log rows — the steady
+    * serving state after a build), and an id map inside the driver
+    * residency bound. Anything else — dirty head, HNSW/IVF_PQ tails,
+    * oversized corpus — falls back to the full [[search]] plan and
+    * collects it, so the entry is always correct, just not always
+    * zero-job. Tag filters / meta hydration stay on the DataFrame API. */
+  def searchRows(tenant: String, index: String,
+                 queries: Array[(Long, Array[Float])], k: Int,
+                 metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] = {
+    val m = manifest(tenant, index)
+    val servable = m.headDirty == 0 &&
+      (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
+      m.nVectors <= IdMapMaxRows
+    if (!servable) {
+      import spark.implicits._
+      val qDf = queries.toSeq
+        .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
+      search(tenant, index, qDf, k, metric, nprobe).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    } else {
+      // same metric gate as searchImpl (FLAT tails are metric-agnostic)
+      require(m.algo == "FLAT" || m.metric.isEmpty ||
+          metric.equalsIgnoreCase(m.metric),
+        s"index built with metric=${m.metric}; cannot search with metric=$metric")
+      val tailIdx = tailIndexOf(tenant, index, m)
+      val idMap = idStrMapOf(tenant, index, m)
+      IvfFlat.searchLocalRows(tailIdx, queries, metric, k, nprobe, spark)
+        .map { case (qid, rank, id, score) => (qid, rank, idMap(id), score) }
+    }
+  }
+
   /** [[search]] without the final cosmetic sort — internal callers
     * (the cached cascade) re-order once at their own output, and the
     * range-sort costs a sampling pass per call. */
@@ -529,8 +577,10 @@ class GraftEngine(spark: SparkSession, root: String) {
         // cosine rows then merge on one comparable scale (the conversion
         // the reference derives but skips, IvfPqVectorIndex.cs:178-195).
         val cosinePq = metric.equalsIgnoreCase("COSINE")
-        val ipPq = metric.equalsIgnoreCase("IP") ||
-          metric.equalsIgnoreCase("INNERPRODUCT")
+        // no INNERPRODUCT alias here: the manifest stores "IP", so the
+        // generic metric-match check above already rejects any other
+        // spelling before this branch is reached
+        val ipPq = metric.equalsIgnoreCase("IP")
         require(metric.equalsIgnoreCase("L2") || cosinePq || ipPq,
           s"IVF_PQ index serves L2, COSINE or IP; cannot search with metric=$metric")
         // the general metric-match check above skips unknown ("") manifest
@@ -583,10 +633,10 @@ class GraftEngine(spark: SparkSession, root: String) {
             // fold the augmented-space ADC distance back onto the dot
             // scale: score = −‖q'−x'‖² = −(‖q‖² + M² − 2⟨q,x⟩) ⇒
             // ⟨q,x⟩ = (score + ‖q‖² + M²)/2. ‖q‖² is per-query (tiny
-            // broadcast join); M² was persisted at build. The head's exact
-            // dot rows then merge on the same comparable scale.
-            val maxSq = spark.read.parquet(s"$snap/ivfpq/mips")
-              .head.getDouble(0)
+            // broadcast join); M² was persisted at build (memoized per
+            // snapshot — constant, keep the read job off the hot path).
+            // The head's exact dot rows then merge on the same scale.
+            val maxSq = mipsMaxSqOf(tenant, index, m)
             val qn = baseQueries.select(col("query_id"),
               graft.functions.vector_dot(col("qvec"), col("qvec")).as("qn2"))
             adcRaw.join(broadcast(qn), Seq("query_id"))
@@ -713,6 +763,28 @@ class GraftEngine(spark: SparkSession, root: String) {
         spark.read.parquet(s"$snap/centroids"))
     })
 
+  // MIPS fold constant M² for IP-built IVF_PQ snapshots — immutable per
+  // version like the handles above; reading it per search call would put
+  // a parquet-listing + head job on the serving hot path
+  private val mipsMaxSqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+  private def mipsMaxSqOf(tenant: String, index: String, m: Manifest): Double =
+    mipsMaxSqCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
+      spark.read.parquet(s"${snapDir(tenant, index, m)}/ivfpq/mips")
+        .head.getDouble(0))
+
+  // surrogate → user-facing string id for the rows serving entry —
+  // immutable per snapshot; bounded by the searchRows manifest gate
+  // (nVectors ≤ IdMapMaxRows) before it is ever materialized
+  private val idStrMapCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
+  private def idStrMapOf(tenant: String, index: String,
+                         m: Manifest): Map[Long, String] =
+    idStrMapCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
+      spark.read.parquet(s"${snapDir(tenant, index, m)}/vectors")
+        .select("id", "id_str").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
   // layer), while constructing an IvfFlat.Index eagerly resolves the
@@ -742,6 +814,12 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
     centroidCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) centroidCache.remove(k)
+    }
+    mipsMaxSqCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) mipsMaxSqCache.remove(k)
+    }
+    idStrMapCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) idStrMapCache.remove(k)
     }
   }
 
@@ -901,6 +979,12 @@ class GraftEngine(spark: SparkSession, root: String) {
     * compaction pass: the per-call validity probe scans every entry file,
     * so unbounded appends would grow per-call cost with serving duration. */
   private val CacheGcFileThreshold = 64L
+
+  /** Row bound for the driver-resident surrogate→string id map behind
+    * [[searchRows]]: ~1M entries is tens of MB of driver heap; bigger
+    * corpora fall back to the DataFrame plan, which resolves ids with a
+    * broadcast semi-join instead of a resident map. */
+  private val IdMapMaxRows = 1000000L
 
   private def cacheEntriesPath(tenant: String, index: String) =
     s"$root/cache/$tenant/$index/entries"

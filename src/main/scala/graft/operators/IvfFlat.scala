@@ -121,6 +121,16 @@ object IvfFlat {
         if (bytes > PackedDriverMaxBytes) None else Some(packed.collect())
       }
     }
+
+    /** Per-cluster row counts (≤ nlist entries — driver-sized), memoized
+      * per Index handle: the serving-tier dispatch computes EXACT probed
+      * work from these, so skewed inverted lists can't slip a large scan
+      * onto the single-threaded driver path via a mean-size estimate. */
+    @transient lazy val clusterCounts: Map[Int, Long] =
+      assigned.groupBy("cluster_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** Residency bound for [[Index.packedDriver]]: ~256 MB of packed
@@ -129,11 +139,12 @@ object IvfFlat {
   val PackedDriverMaxBytes: Long = 256L << 20
 
   /** Work bound for dispatching a call to the driver-resident tier:
-    * estimated scanned float elements (nq × nprobe × rows/nlist × dim).
-    * The driver scan is single-threaded — it wins exactly when the work
-    * is small enough that the ~25 ms per-job local scheduler floor
-    * dominates (single/few-query serving, ~1 ms scans); past this bound
-    * the 32-way distributed scan wins despite the floor (measured: the
+    * exact scanned float elements (Σ over probed clusters of real list
+    * length × probing queries × dim). The driver scan is
+    * single-threaded — it wins exactly when the work is small enough
+    * that the ~25 ms per-job local scheduler floor dominates
+    * (single/few-query serving, ~1 ms scans); past this bound the
+    * 32-way distributed scan wins despite the floor (measured: the
     * 2000-query and full-corpus-fused batches are 2-10× faster
     * distributed). ~32M mul-adds ≈ 10-20 ms single-core. */
   val DriverServeMaxScanElems: Long = 32L << 20
@@ -354,13 +365,19 @@ object IvfFlat {
     val kLoc = k
     // driver tier only in the small-work regime: the in-heap scan is
     // single-threaded, so it must beat the scheduler floor, not the
-    // 32-way scan (see DriverServeMaxScanElems)
+    // 32-way scan (see DriverServeMaxScanElems). Work is EXACT — per
+    // probed cluster, its real row count × probing-query count × dim —
+    // so skewed inverted lists can't route a big scan to the driver
+    // (a rows/nlist mean estimate underestimates by up to nlist/nprobe×
+    // when the probed clusters are the heavy ones).
     val driverEligible = !forceDistributed && {
       val (rows, dim) = index.sizeStats
       rows == 0L || {
-        val nlist = math.max(1, cents.length)
-        val scanElems = nq.toLong * math.min(nprobe, nlist) *
-          (rows / nlist) * dim
+        val counts = index.clusterCounts
+        var scanElems = 0L
+        probeMap.foreach { case (cid, probing) =>
+          scanElems += counts.getOrElse(cid, 0L) * probing.length * dim
+        }
         scanElems <= DriverServeMaxScanElems
       }
     }

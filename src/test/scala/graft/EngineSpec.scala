@@ -588,6 +588,40 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("engine searchRows: zero-job serving equals the DataFrame plan; head-dirty falls back") {
+    val root = Files.createTempDirectory("engine_rows").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(23)
+    val recs = (0 until 60).map(i =>
+      (s"v$i", Seq.fill(6)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4)
+    val qs = (0 until 3).map(i =>
+      (i.toLong, Array.fill(6)(rng.nextFloat()))).toArray
+    def slow(k: Int): Seq[(Long, Int, String, Double)] = {
+      val qDf = qs.toSeq.map { case (q, v) => (q, v.toSeq) }
+        .toDF("query_id", "qvec")
+      eng.search("t1", "idx", qDf, k, nprobe = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+    }
+    // head-clean: the packed fast path IS the whole answer — exact
+    // equality with the DataFrame plan, scores included (same kernels,
+    // same surrogate tie-break)
+    val fast = eng.searchRows("t1", "idx", qs, k = 5, nprobe = 4)
+    assert(fast.sortBy(r => (r._1, r._2)).toSeq == slow(5))
+    // a post-build write dirties the head: searchRows must fall back to
+    // the full plan and serve the fresh row (here an exact query match)
+    eng.add(mkRecords(Seq(
+      ("vnew", qs(0)._2.toSeq, null, Seq.empty[String], 200L))))
+    val merged = eng.searchRows("t1", "idx", qs, k = 1, nprobe = 4)
+    assert(merged.find(_._1 == 0L).map(_._3).contains("vnew"), merged.toSeq)
+    // metric gate matches the DataFrame entry
+    intercept[IllegalArgumentException] {
+      eng.searchRows("t1", "idx", qs, k = 1, metric = "COSINE")
+    }
+  }
+
   test("engine IVF_FLAT IP metric: exhaustive probes reproduce the exact dot-product top-k") {
     val root = Files.createTempDirectory("engine_ip").toString
     val eng = new GraftEngine(spark, root)
