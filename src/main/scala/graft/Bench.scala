@@ -206,6 +206,35 @@ object Bench {
       nq / tWarm
     }
 
+    // Engine-level per-call serving latency on the reference's own 100k
+    // config — the PRODUCT path (manifest gate → packed tail → zero-job
+    // driver tier → surrogate→string resolution), not just the operator:
+    // a user of Engine.searchRows gets this number, comparable 1:1 with
+    // the reference's in-process per-query P50/P99 (5.595/9.745 ms).
+    val (engP50, engP99) = {
+      val eng = new GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("bench_eng_rows").toString)
+      eng.add(synth
+        .select(col("id").cast("string").as("id"), col("vec").as("vector"))
+        .withColumn("tenant_id", lit("t0"))
+        .withColumn("index_name", lit("emb100k"))
+        .withColumn("meta", lit(null).cast("string"))
+        .withColumn("tags", lit(null).cast("array<string>"))
+        .withColumn("updated_at", lit(100L)))
+      eng.build("t0", "emb100k", nlist = 100)
+      (0 until 8).foreach { _ => // JIT + one-time resident materialization
+        eng.searchRows("t0", "emb100k", q100Local.take(8), 10, nprobe = 10)
+      }
+      val lat = q100Local.map { q =>
+        val t0 = System.nanoTime()
+        eng.searchRows("t0", "emb100k", Array(q), 10, nprobe = 10)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      System.err.println(
+        f"# bench-runs engine_rows_single_query_ms p50=${lat(49)}%.3f p99=${lat(98)}%.3f")
+      (lat(49), lat(98))
+    }
+
     // Scale ladder past the reference's published ceiling: its 500k
     // IVF-Flat row serves 192.7 QPS and its 1M load "stalled at 93%" is a
     // documented known limit (BASELINE.md; benchmark_500k_ivf.md:38-44).
@@ -283,7 +312,9 @@ object Bench {
       "load_500k_vecs_per_sec" -> 500000.0 / tLoad500,
       "load_1m_vecs_per_sec" -> 1000000.0 / tLoad1m,
       "ivf_100k_p50_ms" -> ivfLat(49),
-      "ivf_100k_p99_ms" -> ivfLat(98))
+      "ivf_100k_p99_ms" -> ivfLat(98),
+      "engine_100k_p50_ms" -> engP50,
+      "engine_100k_p99_ms" -> engP99)
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }
