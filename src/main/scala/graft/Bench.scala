@@ -235,6 +235,69 @@ object Bench {
       (lat(49), lat(98))
     }
 
+    // Write-heavy delta serving (reference: 5k vectors dim 32, load then
+    // concurrent search 1,860.8 QPS / P99 5.7 ms over Head+Tail,
+    // 20260112_phase6_summary.md:17-25). Batch analog: build over 5k,
+    // land a fresh-write burst in the head, then serve single queries
+    // through the driver-side delta merge (epoch-memoized head + packed
+    // tail + mask) — the same Head+Tail shape, measured per call.
+    val (deltaP50, deltaP99, deltaQps) = {
+      val dim32 = 32
+      val synth5k = spark.range(5000)
+        .select(col("id"), transform(sequence(lit(1), lit(dim32)),
+          i => (pmod(xxhash64(col("id") * lit(dim32) + i), lit(2000000)) / 1000000.0 - 1.0)
+            .cast("float")).as("vec"))
+        .repartition(nCpus).cache()
+      synth5k.count()
+      val eng = new GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("bench_delta").toString)
+      def recsOf(df: org.apache.spark.sql.DataFrame, ts: Long) = df
+        .select(col("id").cast("string").as("id"), col("vec").as("vector"))
+        .withColumn("tenant_id", lit("t0"))
+        .withColumn("index_name", lit("d"))
+        .withColumn("meta", lit(null).cast("string"))
+        .withColumn("tags", lit(null).cast("array<string>"))
+        .withColumn("updated_at", lit(ts))
+      eng.add(recsOf(synth5k.filter(col("id") < 4500), 100L))
+      eng.build("t0", "d", nlist = 16)
+      // the write burst: 500 fresh rows land in the head (no rebuild)
+      eng.add(recsOf(synth5k.filter(col("id") >= 4500), 200L))
+      val qsDelta = synth5k.filter(col("id") < 100)
+        .select(col("id"), col("vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      (0 until 8).foreach { _ =>
+        eng.searchRows("t0", "d", qsDelta.take(8), 10, nprobe = 4)
+      }
+      val lat = qsDelta.map { q =>
+        val t0 = System.nanoTime()
+        eng.searchRows("t0", "d", Array(q), 10, nprobe = 4)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      // throughput at the reference's concurrency=4 (its 1,860.8 QPS row):
+      // 4 caller threads × 250 sequential single-query calls — the serving
+      // path is zero-job and in-heap, so threads don't contend on a
+      // scheduler
+      val callsPerThread = 250
+      val tC0 = System.nanoTime()
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (i < callsPerThread) {
+            eng.searchRows("t0", "d",
+              Array(qsDelta((t * callsPerThread + i) % qsDelta.length)),
+              10, nprobe = 4)
+            i += 1
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val qps = 4.0 * callsPerThread / ((System.nanoTime() - tC0) / 1e9)
+      synth5k.unpersist()
+      System.err.println(
+        f"# bench-runs delta_head_single_query_ms p50=${lat(49)}%.3f p99=${lat(98)}%.3f conc4_qps=$qps%.0f")
+      (lat(49), lat(98), qps)
+    }
+
     // Scale ladder past the reference's published ceiling: its 500k
     // IVF-Flat row serves 192.7 QPS and its 1M load "stalled at 93%" is a
     // documented known limit (BASELINE.md; benchmark_500k_ivf.md:38-44).
@@ -276,6 +339,19 @@ object Bench {
     val tIvf500k = timeRuns("ivf_500k_dim128_100q", 3) {
       require(IvfFlat.searchLocalRows(idx500, q100x500, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
+    // per-call latency at the reference's published 500k ceiling (its
+    // P50/P99: 18.755/32.001 ms). Single-query probed work (~6.4M floats)
+    // fits the driver tier and the 264 MB packed corpus fits residency;
+    // one throwaway call pays the one-time resident materialization.
+    IvfFlat.searchLocalRows(idx500, Array(q100x500.head), "L2", 10,
+      nprobe = 10, spark)
+    val lat500 = q100x500.map { q =>
+      val t0 = System.nanoTime()
+      IvfFlat.searchLocalRows(idx500, Array(q), "L2", 10, nprobe = 10, spark)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    System.err.println(
+      f"# bench-runs ivf_500k_single_query_ms p50=${lat500(49)}%.3f p99=${lat500(98)}%.3f")
     synth500.unpersist()
     idx500.assigned.unpersist(); idx500.packed.unpersist()
 
@@ -314,7 +390,12 @@ object Bench {
       "ivf_100k_p50_ms" -> ivfLat(49),
       "ivf_100k_p99_ms" -> ivfLat(98),
       "engine_100k_p50_ms" -> engP50,
-      "engine_100k_p99_ms" -> engP99)
+      "engine_100k_p99_ms" -> engP99,
+      "ivf_500k_p50_ms" -> lat500(49),
+      "ivf_500k_p99_ms" -> lat500(98),
+      "delta_head_p50_ms" -> deltaP50,
+      "delta_head_p99_ms" -> deltaP99,
+      "delta_head_qps" -> deltaQps)
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }

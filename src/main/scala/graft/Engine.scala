@@ -469,22 +469,33 @@ class GraftEngine(spark: SparkSession, root: String) {
     * out — (query_id, rank, id, score), the reference's RESP reply shape
     * (VectorCommandSet.cs:457-480) without per-call DataFrame planning.
     *
-    * Serves straight off the packed tail (IvfFlat.searchLocalRows, which
-    * itself dispatches small-work calls to the zero-job driver-resident
-    * tier) when the manifest PROVES that is the whole answer: inverted-
-    * list algo, head clean (no post-watermark log rows — the steady
-    * serving state after a build), and an id map inside the driver
-    * residency bound. Anything else — dirty head, HNSW/IVF_PQ tails,
-    * oversized corpus — falls back to the full [[search]] plan and
-    * collects it, so the entry is always correct, just not always
-    * zero-job. Tag filters / meta hydration stay on the DataFrame API. */
+    * Routes per the manifest: a clean head serves straight off the packed
+    * tail (IvfFlat.searchLocalRows, which itself dispatches small-work
+    * calls to the zero-job driver-resident tier); a dirty head inside
+    * [[HeadServeMaxRows]] serves the delta merge driver-side — epoch-
+    * memoized LWW head state, exact head scan, tail over-fetch + mask,
+    * one bounded merge (the reference's Head+Tail serving shape,
+    * DeltaVectorIndex.cs:76-122). HNSW/IVF_PQ tails, oversized corpora
+    * or heads, and big batches fall back to the full [[search]] plan and
+    * collect it — always correct, just not always zero-job. Tag filters /
+    * meta hydration stay on the DataFrame API. */
   def searchRows(tenant: String, index: String,
                  queries: Array[(Long, Array[Float])], k: Int,
                  metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] = {
     val m = manifest(tenant, index)
-    val servable = m.headDirty == 0 &&
-      (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
-      m.nVectors <= IdMapMaxRows
+    val metricU = metric.toUpperCase
+    // the head path below is exact-scan; the reference's RESP serving has
+    // the same shape (fresh delta head scanned per query,
+    // DeltaVectorIndex.cs:76-122)
+    val headState: Option[HeadServeState] =
+      if (m.headDirty == 0) Some(HeadServeState.empty)
+      else headStateOf(tenant, index, m)
+    val headWork = headState.map(hs =>
+      queries.length.toLong * hs.liveVecs.length *
+        queries.headOption.map(_._2.length).getOrElse(0)).getOrElse(Long.MaxValue)
+    val servable = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
+      m.nVectors <= IdMapMaxRows && headState.isDefined &&
+      headWork <= IvfFlat.DriverServeMaxScanElems
     if (!servable) {
       import spark.implicits._
       val qDf = queries.toSeq
@@ -496,10 +507,101 @@ class GraftEngine(spark: SparkSession, root: String) {
       require(m.algo == "FLAT" || m.metric.isEmpty ||
           metric.equalsIgnoreCase(m.metric),
         s"index built with metric=${m.metric}; cannot search with metric=$metric")
+      val hs = headState.get
       val tailIdx = tailIndexOf(tenant, index, m)
       val idMap = idStrMapOf(tenant, index, m)
-      IvfFlat.searchLocalRows(tailIdx, queries, metric, k, nprobe, spark)
-        .map { case (qid, rank, id, score) => (qid, rank, idMap(id), score) }
+      // over-fetch from the tail so masking re-written/tombstoned ids
+      // can't leave a query short (≤ |head ids| tail rows can be masked)
+      val kTail = k + hs.maskSurrogates.size
+      val tailRows = IvfFlat
+        .searchLocalRows(tailIdx, queries, metric, kTail, nprobe, spark)
+      val byQuery = tailRows.groupBy(_._1)
+      queries.flatMap { case (qid, qv) =>
+        val tailCands = byQuery.getOrElse(qid, Array.empty)
+          .filter(r => !hs.maskSurrogates.contains(r._3))
+          .map(r => (r._3, r._4)) // (surrogate, score)
+        // exact head scan — the same kernel both tiers score with
+        val headCands = Array.tabulate(hs.liveVecs.length) { i =>
+          (hs.liveSurrogates(i),
+            IvfFlat.candidateScore(metricU, qv, hs.liveVecs(i)))
+        }
+        // merged bounded top-k, same (score desc, surrogate asc) order as
+        // the DataFrame plan's TopKHits — exact-tie parity included
+        (tailCands ++ headCands)
+          .sortBy { case (surr, s) => (-s, surr) }.take(k).zipWithIndex
+          .map { case ((surr, s), r) =>
+            (qid, r + 1, hs.liveIdOf.getOrElse(surr, idMap(surr)), s)
+          }
+      }
+    }
+  }
+
+  /** Driver-resident fresh-head state for [[searchRows]]: the post-
+    * watermark log reduced to LWW per id — mask surrogates (every
+    * re-written or tombstoned id) plus live vectors. Memoized per epoch:
+    * every write bumps the epoch, so a cached copy is provably current;
+    * re-read cost after a write burst is one bounded job on next read. */
+  private case class HeadServeState(
+      maskSurrogates: java.util.HashSet[java.lang.Long],
+      liveSurrogates: Array[Long],
+      liveVecs: Array[Array[Float]],
+      liveIdOf: Map[Long, String])
+  private object HeadServeState {
+    val empty: HeadServeState = HeadServeState(
+      new java.util.HashSet[java.lang.Long](),
+      Array.empty, Array.empty, Map.empty)
+  }
+
+  /** Head rows ceiling for the driver-served path: bigger fresh heads
+    * fall back to the DataFrame plan (and should be compacted anyway). */
+  private val HeadServeMaxRows = 10000
+
+  private val headStateCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, HeadServeState)]
+
+  private def headStateOf(tenant: String, index: String,
+                          m: Manifest): Option[HeadServeState] = {
+    val key = s"$tenant/$index"
+    headStateCache.get(key).filter(_._1 == m.epoch).map(_._2).orElse {
+      if (!recordsLogExists) Some(HeadServeState.empty)
+      else {
+        val rows = readLog()
+          .filter(col("tenant_id") === tenant && col("index_name") === index &&
+            col("updated_at") > m.buildWatermark)
+          .select(col("id"), col("vector"), col("deleted"), col("updated_at"))
+          .limit(HeadServeMaxRows + 1).collect()
+        if (rows.length > HeadServeMaxRows) None
+        else {
+          // LWW reduce (same outcome as searchImpl's row_number window;
+          // duplicate (id, updated_at) pairs are LWW-ambiguous in both)
+          val latest = scala.collection.mutable.HashMap
+            .empty[String, (Long, Boolean, Array[Float])]
+          rows.foreach { r =>
+            val id = r.getString(0); val ts = r.getLong(3)
+            if (latest.get(id).forall(_._1 < ts))
+              latest(id) = (ts, r.getBoolean(2),
+                if (r.isNullAt(1)) Array.empty[Float]
+                else graft.functions.floatArray(r.getSeq[Float](1)))
+          }
+          def surr(s: String): Long =
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType, 42L)
+          val mask = new java.util.HashSet[java.lang.Long]()
+          val live = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Float], String)]
+          latest.foreach { case (id, (_, deleted, vec)) =>
+            val sg = surr(id)
+            mask.add(sg)
+            if (!deleted) live += ((sg, vec, id))
+          }
+          val hs = HeadServeState(mask,
+            live.map(_._1).toArray, live.map(_._2).toArray,
+            live.map(l => l._1 -> l._3).toMap)
+          headStateCache.put(key, (m.epoch, hs))
+          Some(hs)
+        }
+      }
     }
   }
 

@@ -133,10 +133,12 @@ object IvfFlat {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
-  /** Residency bound for [[Index.packedDriver]]: ~256 MB of packed
-    * vectors — a deliberately small slice of driver heap; everything
-    * bigger serves through the executor-side packed RDD. */
-  val PackedDriverMaxBytes: Long = 256L << 20
+  /** Residency bound for [[Index.packedDriver]]: ~512 MB of packed
+    * vectors — a small slice of driver heap (the reference holds its
+    * whole corpus in one process heap; 512 MB covers its published
+    * 500k/dim128 ceiling, 264 MB packed). Everything bigger serves
+    * through the executor-side packed RDD. */
+  val PackedDriverMaxBytes: Long = 512L << 20
 
   /** Work bound for dispatching a call to the driver-resident tier:
     * exact scanned float elements (Σ over probed clusters of real list

@@ -588,7 +588,7 @@ class EngineSpec extends SparkSpec {
     }
   }
 
-  test("engine searchRows: zero-job serving equals the DataFrame plan; head-dirty falls back") {
+  test("engine searchRows: zero-job serving equals the DataFrame plan; dirty head merges driver-side") {
     val root = Files.createTempDirectory("engine_rows").toString
     val eng = new GraftEngine(spark, root)
     val rng = new scala.util.Random(23)
@@ -610,16 +610,33 @@ class EngineSpec extends SparkSpec {
     // same surrogate tie-break)
     val fast = eng.searchRows("t1", "idx", qs, k = 5, nprobe = 4)
     assert(fast.sortBy(r => (r._1, r._2)).toSeq == slow(5))
-    // a post-build write dirties the head: searchRows must fall back to
-    // the full plan and serve the fresh row (here an exact query match)
+    // post-build writes dirty the head: the driver-side delta merge must
+    // serve the fresh row (exact query match), mask the tombstone AND the
+    // re-written id, and stay equal to the DataFrame plan
     eng.add(mkRecords(Seq(
       ("vnew", qs(0)._2.toSeq, null, Seq.empty[String], 200L))))
-    val merged = eng.searchRows("t1", "idx", qs, k = 1, nprobe = 4)
-    assert(merged.find(_._1 == 0L).map(_._3).contains("vnew"), merged.toSeq)
+    eng.upsert(mkRecords(Seq(
+      ("v0", recs(1)._2, null, Seq.empty[String], 205L)))) // re-write v0
+    eng.delete("t1", "idx", Seq("v5"), version = 210L)
+    val merged = eng.searchRows("t1", "idx", qs, k = 5, nprobe = 4)
+    assert(merged.find(r => r._1 == 0L && r._2 == 1).map(_._3).contains("vnew"),
+      merged.toSeq)
+    assert(!merged.exists(_._3 == "v5"), "tombstoned id must be masked")
+    assert(merged.sortBy(r => (r._1, r._2)).toSeq == slow(5))
     // metric gate matches the DataFrame entry
     intercept[IllegalArgumentException] {
       eng.searchRows("t1", "idx", qs, k = 1, metric = "COSINE")
     }
+    // non-inverted-list tails route through the full plan (fallback)
+    eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
+    eng.build("t1", "pq", nlist = 4, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    val viaPlan = eng.searchRows("t1", "pq", qs, k = 3, nprobe = 4)
+    val qDf = qs.toSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("query_id", "qvec")
+    val planRows = eng.search("t1", "pq", qDf, 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(viaPlan.sortBy(r => (r._1, r._2)).toSeq ==
+      planRows.sortBy(r => (r._1, r._2)).toSeq)
   }
 
   test("engine IVF_FLAT IP metric: exhaustive probes reproduce the exact dot-product top-k") {
