@@ -1628,8 +1628,145 @@ class GraftEngine(spark: SparkSession, root: String) {
         val r = spark.read.parquet(evPath).agg(sum("evicted")).head
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
+    // live resident-tier hits (not yet flushed to the log) fold in so
+    // VEC.STATS is current even mid-serving-burst
+    val memHits = servingHitCounters.get(s"$tenant/$index")
+      .map(_.get()).getOrElse(0L)
     Governance.metricsText(
-      Governance.standardCounters(h, m, evictions = ev, fallbacks = 0L), hist)
+      Governance.standardCounters(h + memHits, m, evictions = ev,
+        fallbacks = 0L), hist)
+  }
+
+  // -------------------------------------------------------------------
+  // per-call cached serving (resident L0 probe over the entry table)
+  // -------------------------------------------------------------------
+
+  /** Resident-tier cache hits counted in memory: the hot path must not
+    * append a metrics file per hit (a small-files generator at serving
+    * rates). [[statsText]] folds these in live; [[flushServingMetrics]]
+    * persists + resets them so billing picks them up. Misses are not
+    * counted here — the delegated batch call logs its own metrics row. */
+  private val servingHitCounters = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def servingHitsOf(tenant: String, index: String) =
+    servingHitCounters.getOrElseUpdate(s"$tenant/$index",
+      new java.util.concurrent.atomic.AtomicLong())
+
+  // per-key entries sorted in the batch probe's winner order; probe time
+  // applies the same expiry filter the batch plan applies BEFORE ranking
+  private case class ResidentEntry(expiresAt: Long,
+                                   hits: Array[(Int, String, Double)])
+  private val residentL0Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, java.util.HashMap[java.lang.Long, Array[ResidentEntry]])]
+
+  /** Order-independent content fingerprint of the entry dir (file name,
+    * size, mtime) — cheap driver-side staleness check for the resident
+    * map (the dir is bounded at [[CacheGcFileThreshold]] files). */
+  private def entriesFingerprint(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try {
+        var h = 1125899906842597L
+        s.filter(Files.isRegularFile(_)).forEach { f =>
+          h ^= (f.getFileName.toString.hashCode.toLong * 31 +
+            Files.size(f)) * 1099511628211L +
+            Files.getLastModifiedTime(f).toMillis
+        }
+        h
+      } finally s.close()
+    }
+  }
+
+  private def residentL0Of(tenant: String, index: String, m: Manifest)
+      : java.util.HashMap[java.lang.Long, Array[ResidentEntry]] = {
+    val key = s"$tenant/$index"
+    val dir = cacheEntriesPath(tenant, index)
+    val fp = entriesFingerprint(dir)
+    residentL0Cache.get(key) match {
+      case Some((e, f, map)) if e == m.epoch && f == fp => map
+      case _ =>
+        val map = new java.util.HashMap[java.lang.Long, Array[ResidentEntry]]()
+        if (Files.exists(Paths.get(dir))) {
+          // winner order computed BY Spark (same expression as the batch
+          // probe's tie-break: written_at desc, then content hash) — the
+          // resident map only caches the plan's own ordering; runtime
+          // expiry is applied at probe time like the batch plan's filter
+          cacheEntries(tenant, index)
+            .filter(col("epoch") === m.epoch)
+            .select(col("cache_key"), col("expires_at"), col("hits"),
+              col("written_at"), xxhash64(to_json(col("hits"))).as("jh"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .foreach { case (ck, rows) =>
+              val sorted = rows
+                .sortBy(r => (-r.getLong(3), r.getLong(4)))
+                .map { r =>
+                  val hits = r.getSeq[org.apache.spark.sql.Row](2)
+                    .map(h => (h.getInt(0), h.getString(1), h.getDouble(2)))
+                    .toArray
+                  ResidentEntry(r.getLong(1), hits)
+                }
+              map.put(ck, sorted)
+            }
+        }
+        residentL0Cache.put(key, (m.epoch, fp, map))
+        map
+    }
+  }
+
+  /** Per-call cached serving: the RESP-shaped analog of [[searchCached]]
+    * for a single query — an L0 exact-key probe against a driver-resident
+    * copy of the (GC-bounded) entry table. A valid hit returns in-heap
+    * with no job; anything else delegates to the full batch cascade
+    * (billed, populated, quota-enforced — the resident map refreshes via
+    * the dir fingerprint on the next call). Probe semantics equal the
+    * batch plan's: same key derivation (CachingSpec pins the driver/
+    * Column parity), same epoch gate, same expiry-before-winner rule,
+    * same newest-with-content-hash tie-break (cached from the plan's own
+    * ordering). Reference scenario: repeat-query semantic-cache hits,
+    * 20260112_phase6_summary.md — its P99 14.5 ms is this path's target. */
+  def searchCachedRows(tenant: String, index: String, queryId: Long,
+                       qvec: Array[Float], k: Int, metric: String = "L2",
+                       nprobe: Int = 4, now: Long = 0L, ttlSeconds: Int = 60,
+                       tags: Seq[String] = Nil)
+      : (Boolean, Array[(Int, String, Double)]) = {
+    import graft.operators.Caching
+    val m = manifest(tenant, index)
+    val key = Caching.queryKeyLocal(tenant, index, k, metric, tags,
+      Caching.l0LayerKeyLocal(qvec, k))
+    val cands = residentL0Of(tenant, index, m).get(key)
+    val live = if (cands == null) None else cands.find(_.expiresAt > now)
+    live match {
+      case Some(e) =>
+        servingHitsOf(tenant, index).incrementAndGet()
+        (true, e.hits.filter(_._1 <= k))
+      case None =>
+        import spark.implicits._
+        val base = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
+        val qDf = if (tags.isEmpty) base
+          else base.withColumn("filter_tags", typedLit(tags))
+        val rows = searchCached(tenant, index, qDf, k, metric, nprobe, now,
+            ttlSeconds)
+          .collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
+            r.getAs[Double]("score")))
+        (false, rows)
+    }
+  }
+
+  /** Persist + reset the in-memory resident-tier hit counters into the
+    * metrics log (one summed row) so billing/offline consumers see them;
+    * [[statsText]] already folds the live value in. */
+  def flushServingMetrics(tenant: String, index: String, now: Long = 0L): Unit = {
+    val n = servingHitsOf(tenant, index).getAndSet(0L)
+    if (n > 0) withManifestLock(tenant, index) {
+      import spark.implicits._
+      Seq((now, n, 0L)).toDF("ts", "hits", "misses")
+        .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+      compactMetricsLog(tenant, index)
+    }
   }
 
   /** Current snapshot's centroid table (cluster_id, centroid). */

@@ -28,6 +28,46 @@ object Caching {
                tags: Column, layerKey: Column): Column =
     xxhash64(tenant, index, roundK(k), metric, array_join(sort_array(tags), ","), layerKey)
 
+  /** Driver-side twins of [[roundK]]/[[queryKey]] for the per-call
+    * serving tier: bit-identical to the Column forms (CachingSpec pins
+    * the parity), so resident-map probes and batch-plan populates share
+    * one key space. Spark's multi-arg xxhash64 folds children through
+    * the running hash starting at seed 42. */
+  def roundKLocal(k: Int): Int =
+    if (k <= 5) 5 else if (k <= 10) 10 else if (k <= 20) 20
+    else if (k <= 50) 50 else if (k <= 100) 100 else k
+
+  private def xx(value: Any, dt: org.apache.spark.sql.types.DataType,
+                 seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(value, dt, seed)
+
+  def queryKeyLocal(tenant: String, index: String, k: Int, metric: String,
+                    tags: Seq[String], layerKey: Long): Long = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    var h = 42L
+    h = xx(UTF8String.fromString(tenant), StringType, h)
+    h = xx(UTF8String.fromString(index), StringType, h)
+    h = xx(roundKLocal(k), IntegerType, h)
+    h = xx(UTF8String.fromString(metric), StringType, h)
+    h = xx(UTF8String.fromString(tags.sorted.mkString(",")), StringType, h)
+    h = xx(layerKey, LongType, h)
+    h
+  }
+
+  /** Driver twin of the L0 layer key `xxhash64(xxhash64(qvec), k)`. */
+  def l0LayerKeyLocal(qvec: Array[Float], k: Int): Long = {
+    import org.apache.spark.sql.types._
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      qvec.map(Float.box))
+    val inner = xx(arr, ArrayType(FloatType), 42L)
+    var h = 42L
+    h = xx(inner, LongType, h)
+    h = xx(k, IntegerType, h)
+    h
+  }
+
   /** L2 semantic-cluster admission threshold: base closeness relaxed by
     * log10 of query cost (reference: VectorCommandSet.cs:913-944 —
     * cosine base 0.95 / L2 base 0.05, costlier queries admit looser). */

@@ -639,6 +639,54 @@ class EngineSpec extends SparkSpec {
       planRows.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("searchCachedRows: resident L0 hit parity with the batch cascade; TTL and epoch invalidate") {
+    val root = Files.createTempDirectory("engine_l0rows").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 30).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    val qv = Array(3f, 1f, 0f)
+    val qDf = q(7L, qv.toSeq)
+    // populate via the batch cascade, then capture its warm-hit answer
+    eng.searchCached("t1", "idx", qDf, k = 5, nprobe = 2, now = 1000L)
+    val warm = eng.searchCached("t1", "idx", qDf, k = 5, nprobe = 2, now = 1005L)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
+        r.getAs[Double]("score"))).toSeq
+    // resident probe: HIT, identical rows, no batch machinery
+    val (hit1, rows1) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1010L)
+    assert(hit1, "expected a resident L0 hit")
+    assert(rows1.toSeq == warm)
+    val (hit2, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1015L)
+    assert(hit2)
+    // stats see the in-memory hits live; flush persists them
+    assert(eng.statsText("t1", "idx").contains("cache_hit_total"))
+    eng.flushServingMetrics("t1", "idx", now = 1016L)
+    val (h3, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1017L)
+    assert(h3) // counters flushed, serving unaffected
+    // TTL expiry: past expires_at the probe must MISS (batch semantics),
+    // the delegated call re-populates, and the next probe hits again
+    val (hitExpired, rowsExpired) = eng.searchCachedRows("t1", "idx", 7L, qv,
+      k = 5, nprobe = 2, now = 1100L)
+    assert(!hitExpired, "expired entry must not serve")
+    assert(rowsExpired.toSeq.map(t => (t._1, t._2)) == warm.map(t => (t._1, t._2)))
+    val (hitAfter, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1105L)
+    assert(hitAfter, "re-populated entry must serve")
+    // epoch invalidation flips every resident entry stale
+    eng.invalidateCache("t1", "idx")
+    val (hitStale, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1110L)
+    assert(!hitStale, "epoch bump must invalidate the resident tier")
+    // a different k is a different key — no false sharing
+    val (hitK, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 3,
+      nprobe = 2, now = 1111L)
+    assert(!hitK)
+  }
+
   test("engine IVF_FLAT IP metric: exhaustive probes reproduce the exact dot-product top-k") {
     val root = Files.createTempDirectory("engine_ip").toString
     val eng = new GraftEngine(spark, root)

@@ -98,6 +98,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Caching driver-side key twins are bit-identical to the Column forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, typedLit, xxhash64}
+    val rng = new scala.util.Random(31)
+    val cases = (0 until 25).map { i =>
+      val qv = Array.fill(1 + rng.nextInt(8))(rng.nextFloat() * 10 - 5)
+      val tags = Seq.fill(rng.nextInt(3))(s"t${rng.nextInt(5)}")
+      val k = 1 + rng.nextInt(120)
+      (i.toLong, qv, tags, k)
+    }
+    cases.foreach { case (i, qv, tags, k) =>
+      val df = Seq((i, qv.toSeq, tags)).toDF("id", "qvec", "tags")
+      val row = df.select(
+        graft.operators.Caching.queryKey(lit("ten"), lit("idx"), lit(k),
+          lit("L2"), typedLit(tags),
+          xxhash64(xxhash64(col("qvec")), lit(k))).as("key"),
+        xxhash64(xxhash64(col("qvec")), lit(k)).as("lk")).head
+      assert(graft.operators.Caching.l0LayerKeyLocal(qv, k) == row.getLong(1),
+        s"layer key case $i")
+      assert(graft.operators.Caching.queryKeyLocal("ten", "idx", k, "L2",
+        tags, row.getLong(1)) == row.getLong(0), s"query key case $i")
+    }
+  }
+
   test("production Caching.roundK: correct bucket, monotone, idempotent on 1..500 (exhaustive)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
