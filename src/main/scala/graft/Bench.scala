@@ -180,7 +180,7 @@ object Bench {
     // 6,121 QPS on a repeat query, docs/benchmarks/20260112_phase6_summary).
     // Batch analog: a 20k-query batch fully warm in the result cache —
     // the cascade's L0 probe is one equi-join against the entry table.
-    val (cachedQps, cachedHitP50, cachedHitP99, cachedHitQps) = {
+    val (cachedQps, cachedHitP50, cachedHitP99, cachedHitQps, prefetchHitP50) = {
       val eng = new GraftEngine(spark,
         java.nio.file.Files.createTempDirectory("bench_cache").toString)
       val recs = synth.filter(col("id") < 20000)
@@ -209,7 +209,7 @@ object Bench {
       val qHot = qs.limit(1).collect().head
       val (hotId, hotVec) = (qHot.getLong(0), qHot.getSeq[Float](1).toArray)
       require(eng.searchCachedRows("t0", "emb", hotId, hotVec, 10,
-        nprobe = 4, now = 1020L)._1, "warmup repeat query must hit")
+        nprobe = 4, now = 1020L)._1 == "L0", "warmup repeat query must hit")
       val lat = (0 until 500).map { _ =>
         val t0 = System.nanoTime()
         eng.searchCachedRows("t0", "emb", hotId, hotVec, 10, nprobe = 4,
@@ -231,8 +231,31 @@ object Bench {
       val hitQps = 2000.0 / ((System.nanoTime() - tC0) / 1e9)
       System.err.println(
         f"# bench-runs cached_hit_single_query_ms p50=${lat(249)}%.3f p99=${lat(494)}%.3f conc4_qps=$hitQps%.0f")
+      // prefetch → per-call L2 hit (reference: 0.59 ms hit vs ~25 ms
+      // cold, 20260112_phase6_summary.md:35-42): warm one cluster's
+      // entry, then serve a query AT its centroid (passes the closeness
+      // bound) repeatedly through the resident cascade
+      val cent0: (Int, Array[Float]) = eng.centroids("t0", "emb").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).head
+      // flush first: simhash is locality-sensitive, so a centroid query
+      // can L1-hit an entry populated by a nearby member query — the
+      // prefetch row must measure the PREFETCHED entry, not that luck
+      eng.flushCache("t0", "emb")
+      eng.prefetchIntoCache("t0", "emb",
+        spark.range(1).select(lit(cent0._1).as("cluster_id")),
+        k = 10, now = 1030L)
+      require(eng.searchCachedRows("t0", "emb", -1L, cent0._2, 10,
+        nprobe = 4, now = 1040L)._1 == "L2", "prefetched cluster must L2-hit")
+      val latPf = (0 until 200).map { _ =>
+        val t0 = System.nanoTime()
+        eng.searchCachedRows("t0", "emb", -1L, cent0._2, 10, nprobe = 4,
+          now = 1040L)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      System.err.println(
+        f"# bench-runs prefetch_hit_single_query_ms p50=${latPf(99)}%.3f p99=${latPf(197)}%.3f")
       qs.unpersist()
-      (nq / tWarm, lat(249), lat(494), hitQps)
+      (nq / tWarm, lat(249), lat(494), hitQps, latPf(99))
     }
 
     // Engine-level per-call serving latency on the reference's own 100k
@@ -427,7 +450,8 @@ object Bench {
       "delta_head_qps" -> deltaQps,
       "cached_hit_p50_ms" -> cachedHitP50,
       "cached_hit_p99_ms" -> cachedHitP99,
-      "cached_hit_qps" -> cachedHitQps)
+      "cached_hit_qps" -> cachedHitQps,
+      "prefetch_hit_p50_ms" -> prefetchHitP50)
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }

@@ -1716,32 +1716,91 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
   }
 
+  /** Driver twin of the batch path's L2 admission (`bestU` + the
+    * closeness threshold): nearest centroid by the metric (ties → lowest
+    * cluster id, the iteration order of the same centroid array), admitted
+    * when within the cost-relaxed closeness bound. IP has no bounded
+    * closeness notion — layer off, like the batch path. */
+  private def l2ClusterLocal(metricU: String, qv: Array[Float], cost: Double,
+                             cents: Array[(Int, Array[Float])]): Option[Int] = {
+    if (cents.isEmpty) return None
+    var bcid = -1; var bs = Double.NegativeInfinity
+    cents.foreach { case (cid, cv) =>
+      val s = IvfFlat.candidateScore(metricU, qv, cv)
+      if (s > bs) { bs = s; bcid = cid }
+    }
+    val relax = math.max(0.0, math.log10(math.max(cost, 1e-9))) * 0.01
+    if (metricU == "COSINE") { if (bs >= 0.95 - relax) Some(bcid) else None }
+    else if (metricU == "L2") {
+      if (math.sqrt(-bs) <= 0.05 + relax) Some(bcid) else None
+    } else None
+  }
+
+  // resident alias map (confidence ≥ 0.8, the resolveAlias rule), same
+  // fingerprint-refresh discipline as the entry map
+  private val residentAliasCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Map[Long, Long])]
+  private def residentAliasesOf(tenant: String, index: String): Map[Long, Long] = {
+    val key = s"$tenant/$index"
+    val dir = cacheAliasPath(tenant, index)
+    val fp = entriesFingerprint(dir)
+    residentAliasCache.get(key) match {
+      case Some((f, map)) if f == fp => map
+      case _ =>
+        val map =
+          if (!Files.exists(Paths.get(dir))) Map.empty[Long, Long]
+          else spark.read.parquet(dir).filter(col("confidence") >= 0.8)
+            .select("source_key", "canonical_key").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        residentAliasCache.put(key, (fp, map))
+        map
+    }
+  }
+
   /** Per-call cached serving: the RESP-shaped analog of [[searchCached]]
-    * for a single query — an L0 exact-key probe against a driver-resident
-    * copy of the (GC-bounded) entry table. A valid hit returns in-heap
-    * with no job; anything else delegates to the full batch cascade
-    * (billed, populated, quota-enforced — the resident map refreshes via
-    * the dir fingerprint on the next call). Probe semantics equal the
-    * batch plan's: same key derivation (CachingSpec pins the driver/
-    * Column parity), same epoch gate, same expiry-before-winner rule,
-    * same newest-with-content-hash tie-break (cached from the plan's own
-    * ordering). Reference scenario: repeat-query semantic-cache hits,
-    * 20260112_phase6_summary.md — its P99 14.5 ms is this path's target. */
+    * for a single query — the full L0 → L0.5 → L1 → L2 priority cascade
+    * probed against a driver-resident copy of the (GC-bounded) entry
+    * table. A valid hit returns in-heap with no job, tagged with its
+    * layer; a miss delegates to the full batch cascade (billed,
+    * populated, quota-enforced — the resident maps refresh via dir
+    * fingerprints on the next call) and returns layer "MISS". Probe
+    * semantics equal the batch plan's: same key derivations (the
+    * driver/Column parity is spec-pinned; L1 reuses the simhash kernel
+    * itself; L2 mirrors bestU + the cost-relaxed closeness bound), same
+    * epoch gate, same expiry-before-winner rule, same newest-with-
+    * content-hash tie-break (cached from the plan's own ordering).
+    * Reference scenarios: repeat-query semantic-cache hit (P99 14.5 ms)
+    * and prefetch→L2 hit (0.59 ms), 20260112_phase6_summary.md. */
   def searchCachedRows(tenant: String, index: String, queryId: Long,
                        qvec: Array[Float], k: Int, metric: String = "L2",
                        nprobe: Int = 4, now: Long = 0L, ttlSeconds: Int = 60,
                        tags: Seq[String] = Nil)
-      : (Boolean, Array[(Int, String, Double)]) = {
+      : (String, Array[(Int, String, Double)]) = {
     import graft.operators.Caching
     val m = manifest(tenant, index)
-    val key = Caching.queryKeyLocal(tenant, index, k, metric, tags,
-      Caching.l0LayerKeyLocal(qvec, k))
-    val cands = residentL0Of(tenant, index, m).get(key)
-    val live = if (cands == null) None else cands.find(_.expiresAt > now)
-    live match {
-      case Some(e) =>
+    val metricU = metric.toUpperCase
+    def keyOf(layerKey: Long): Long =
+      Caching.queryKeyLocal(tenant, index, k, metric, tags, layerKey)
+    val l0 = keyOf(Caching.l0LayerKeyLocal(qvec, k))
+    val probes = scala.collection.mutable.ArrayBuffer[(String, Long)](
+      ("L0", l0))
+    residentAliasesOf(tenant, index).get(l0)
+      .filter(_ != l0).foreach(ck => probes += (("L0.5", ck)))
+    probes += (("L1", keyOf(graft.functions.VectorSimHash.simhash64(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(qvec), 42L))))
+    val cost = m.nVectors / 10000.0 * (qvec.length / 128.0)
+    l2ClusterLocal(metricU, qvec, cost, l2CentroidsLocal(tenant, index, m))
+      .foreach(cid => probes += (("L2", keyOf(cid.toLong))))
+    val entries = residentL0Of(tenant, index, m)
+    val hit = probes.iterator.flatMap { case (layer, key) =>
+      val cands = entries.get(key)
+      (if (cands == null) None else cands.find(_.expiresAt > now))
+        .map(e => (layer, e))
+    }.nextOption()
+    hit match {
+      case Some((layer, e)) =>
         servingHitsOf(tenant, index).incrementAndGet()
-        (true, e.hits.filter(_._1 <= k))
+        (layer, e.hits.filter(_._1 <= k))
       case None =>
         import spark.implicits._
         val base = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
@@ -1752,7 +1811,7 @@ class GraftEngine(spark: SparkSession, root: String) {
           .collect()
           .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
             r.getAs[Double]("score")))
-        (false, rows)
+        ("MISS", rows)
     }
   }
 

@@ -653,38 +653,69 @@ class EngineSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
         r.getAs[Double]("score"))).toSeq
-    // resident probe: HIT, identical rows, no batch machinery
+    // resident probe: L0 HIT, identical rows, no batch machinery
     val (hit1, rows1) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
       nprobe = 2, now = 1010L)
-    assert(hit1, "expected a resident L0 hit")
+    assert(hit1 == "L0", s"expected a resident L0 hit, got $hit1")
     assert(rows1.toSeq == warm)
-    val (hit2, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
-      nprobe = 2, now = 1015L)
-    assert(hit2)
+    // L1: a perturbed query shares the SimHash bucket (same sign pattern)
+    // but not the exact L0 key
+    val qvNear = Array(3.0000005f, 1f, 0f)
+    assert(graft.functions.VectorSimHash.simhash64(qvNear.toSeq, 42L) ==
+      graft.functions.VectorSimHash.simhash64(qv.toSeq, 42L))
+    val (hitL1, rowsL1) = eng.searchCachedRows("t1", "idx", 8L, qvNear, k = 5,
+      nprobe = 2, now = 1012L)
+    assert(hitL1 == "L1", s"expected an L1 hit, got $hitL1")
+    assert(rowsL1.toSeq == warm)
     // stats see the in-memory hits live; flush persists them
     assert(eng.statsText("t1", "idx").contains("cache_hit_total"))
     eng.flushServingMetrics("t1", "idx", now = 1016L)
     val (h3, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
       nprobe = 2, now = 1017L)
-    assert(h3) // counters flushed, serving unaffected
+    assert(h3 == "L0") // counters flushed, serving unaffected
     // TTL expiry: past expires_at the probe must MISS (batch semantics),
     // the delegated call re-populates, and the next probe hits again
     val (hitExpired, rowsExpired) = eng.searchCachedRows("t1", "idx", 7L, qv,
       k = 5, nprobe = 2, now = 1100L)
-    assert(!hitExpired, "expired entry must not serve")
+    assert(hitExpired == "MISS", "expired entry must not serve")
     assert(rowsExpired.toSeq.map(t => (t._1, t._2)) == warm.map(t => (t._1, t._2)))
     val (hitAfter, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
       nprobe = 2, now = 1105L)
-    assert(hitAfter, "re-populated entry must serve")
+    assert(hitAfter == "L0", "re-populated entry must serve")
     // epoch invalidation flips every resident entry stale
     eng.invalidateCache("t1", "idx")
     val (hitStale, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
       nprobe = 2, now = 1110L)
-    assert(!hitStale, "epoch bump must invalidate the resident tier")
-    // a different k is a different key — no false sharing
-    val (hitK, _) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 3,
+    assert(hitStale == "MISS", "epoch bump must invalidate the resident tier")
+    // k=3 misses the exact-k L0 key but roundKs into the k=5 bucket, so
+    // the L1 layer serves it (batch semantics: L1/L2 keys bucket k) —
+    // trimmed to the REQUESTED k
+    val (hitK, rowsK) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 3,
       nprobe = 2, now = 1111L)
-    assert(!hitK)
+    assert(hitK == "L1", s"roundK bucket sharing should L1-hit, got $hitK")
+    assert(rowsK.forall(_._1 <= 3) && rowsK.length == 3, rowsK.toSeq)
+  }
+
+  test("searchCachedRows: prefetch-warmed L2 entries serve per-call cluster hits") {
+    val root = Files.createTempDirectory("engine_l2rows").toString
+    val eng = new GraftEngine(spark, root)
+    // two tight clusters far apart; centroids land ~on the cluster means
+    val recs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0f else 100f
+      (s"v$i", Seq(base + (i / 2) * 1e-3f, 1f, 0f), null: String,
+        Seq.empty[String], 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2)
+    val cents = eng.centroids("t1", "idx").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    eng.prefetchIntoCache("t1", "idx",
+      cents.map(_._1).toSeq.toDF("cluster_id"), k = 5, now = 1000L)
+    // a query AT a centroid passes the closeness bound → per-call L2 hit
+    val (layer, rows) = eng.searchCachedRows("t1", "idx", 9L, cents.head._2,
+      k = 5, nprobe = 2, now = 1010L)
+    assert(layer == "L2", s"expected a prefetch-warmed L2 hit, got $layer")
+    assert(rows.nonEmpty)
   }
 
   test("engine IVF_FLAT IP metric: exhaustive probes reproduce the exact dot-product top-k") {
