@@ -482,20 +482,33 @@ class GraftEngine(spark: SparkSession, root: String) {
   def searchRows(tenant: String, index: String,
                  queries: Array[(Long, Array[Float])], k: Int,
                  metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
+    // cheap manifest gates FIRST: a dirty-head HNSW/IVF_PQ/oversized
+    // index must not pay the bounded head-read job just to fall back
+    val algoOk = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
+      m.nVectors <= IdMapMaxRows
     // the head path below is exact-scan; the reference's RESP serving has
     // the same shape (fresh delta head scanned per query,
     // DeltaVectorIndex.cs:76-122)
     val headState: Option[HeadServeState] =
-      if (m.headDirty == 0) Some(HeadServeState.empty)
+      if (!algoOk) None
+      else if (m.headDirty == 0) Some(HeadServeState.empty)
       else headStateOf(tenant, index, m)
+    val dim = queries.headOption.map(_._2.length).getOrElse(0)
+    // scan-work gate counts the FULL head (tombstone-only heads still
+    // mask-scan), and the over-fetch k is bounded below before sizing
     val headWork = headState.map(hs =>
-      queries.length.toLong * hs.liveVecs.length *
-        queries.headOption.map(_._2.length).getOrElse(0)).getOrElse(Long.MaxValue)
-    val servable = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
-      m.nVectors <= IdMapMaxRows && headState.isDefined &&
-      headWork <= IvfFlat.DriverServeMaxScanElems
+      queries.length.toLong * hs.maskSurrogates.size * dim)
+      .getOrElse(Long.MaxValue)
+    // only ids that exist in the TAIL can mask tail rows — fresh adds
+    // never do, so they must not inflate the per-query over-fetch
+    val kTail = headState.map(k + _.maskInTail).getOrElse(k)
+    val servable = algoOk && headState.isDefined &&
+      headWork <= IvfFlat.DriverServeMaxScanElems &&
+      queries.length.toLong * kTail <= 4_000_000L // top-k buffer budget
     if (!servable) {
       import spark.implicits._
       val qDf = queries.toSeq
@@ -511,8 +524,7 @@ class GraftEngine(spark: SparkSession, root: String) {
       val tailIdx = tailIndexOf(tenant, index, m)
       val idMap = idStrMapOf(tenant, index, m)
       // over-fetch from the tail so masking re-written/tombstoned ids
-      // can't leave a query short (≤ |head ids| tail rows can be masked)
-      val kTail = k + hs.maskSurrogates.size
+      // can't leave a query short (≤ maskInTail tail rows can be masked)
       val tailRows = IvfFlat
         .searchLocalRows(tailIdx, queries, metric, kTail, nprobe, spark)
       val byQuery = tailRows.groupBy(_._1)
@@ -545,11 +557,12 @@ class GraftEngine(spark: SparkSession, root: String) {
       maskSurrogates: java.util.HashSet[java.lang.Long],
       liveSurrogates: Array[Long],
       liveVecs: Array[Array[Float]],
-      liveIdOf: Map[Long, String])
+      liveIdOf: Map[Long, String],
+      maskInTail: Int) // head ids that exist in the tail (only those mask)
   private object HeadServeState {
     val empty: HeadServeState = HeadServeState(
       new java.util.HashSet[java.lang.Long](),
-      Array.empty, Array.empty, Map.empty)
+      Array.empty, Array.empty, Map.empty, 0)
   }
 
   /** Head rows ceiling for the driver-served path: bigger fresh heads
@@ -590,14 +603,17 @@ class GraftEngine(spark: SparkSession, root: String) {
           val mask = new java.util.HashSet[java.lang.Long]()
           val live = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Array[Float], String)]
+          val tailIds = idStrMapOf(tenant, index, m)
+          var maskInTail = 0
           latest.foreach { case (id, (_, deleted, vec)) =>
             val sg = surr(id)
             mask.add(sg)
+            if (tailIds.contains(sg)) maskInTail += 1
             if (!deleted) live += ((sg, vec, id))
           }
           val hs = HeadServeState(mask,
             live.map(_._1).toArray, live.map(_._2).toArray,
-            live.map(l => l._1 -> l._3).toMap)
+            live.map(l => l._1 -> l._3).toMap, maskInTail)
           headStateCache.put(key, (m.epoch, hs))
           Some(hs)
         }
@@ -1662,21 +1678,32 @@ class GraftEngine(spark: SparkSession, root: String) {
   /** Order-independent content fingerprint of the entry dir (file name,
     * size, mtime) — cheap driver-side staleness check for the resident
     * map (the dir is bounded at [[CacheGcFileThreshold]] files). */
+  // forces a reload (and mismatches any cached value) when a concurrent
+  // GC-swap/flush deletes files mid-walk — monotonically unique
+  private val fpRaceMarker = new java.util.concurrent.atomic.AtomicLong(
+    Long.MinValue)
   private def entriesFingerprint(dir: String): Long = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) 0L
-    else {
-      val s = Files.walk(p)
+    else
       try {
-        var h = 1125899906842597L
-        s.filter(Files.isRegularFile(_)).forEach { f =>
-          h ^= (f.getFileName.toString.hashCode.toLong * 31 +
-            Files.size(f)) * 1099511628211L +
-            Files.getLastModifiedTime(f).toMillis
-        }
-        h
-      } finally s.close()
-    }
+        val s = Files.walk(p)
+        try {
+          var h = 1125899906842597L
+          s.filter(Files.isRegularFile(_)).forEach { f =>
+            h ^= (f.getFileName.toString.hashCode.toLong * 31 +
+              Files.size(f)) * 1099511628211L +
+              Files.getLastModifiedTime(f).toMillis
+          }
+          h
+        } finally s.close()
+      } catch {
+        // compactCacheEntries' swapInto (deleteTree + move) or flushCache
+        // can delete files mid-walk; serving must degrade to a reload or
+        // a batch-path miss, never crash
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          fpRaceMarker.incrementAndGet()
+      }
   }
 
   private def residentL0Of(tenant: String, index: String, m: Manifest)
@@ -1688,31 +1715,39 @@ class GraftEngine(spark: SparkSession, root: String) {
       case Some((e, f, map)) if e == m.epoch && f == fp => map
       case _ =>
         val map = new java.util.HashMap[java.lang.Long, Array[ResidentEntry]]()
-        if (Files.exists(Paths.get(dir))) {
-          // winner order computed BY Spark (same expression as the batch
-          // probe's tie-break: written_at desc, then content hash) — the
-          // resident map only caches the plan's own ordering; runtime
-          // expiry is applied at probe time like the batch plan's filter
-          cacheEntries(tenant, index)
-            .filter(col("epoch") === m.epoch)
-            .select(col("cache_key"), col("expires_at"), col("hits"),
-              col("written_at"), xxhash64(to_json(col("hits"))).as("jh"))
-            .collect()
-            .groupBy(_.getLong(0))
-            .foreach { case (ck, rows) =>
-              val sorted = rows
-                .sortBy(r => (-r.getLong(3), r.getLong(4)))
-                .map { r =>
-                  val hits = r.getSeq[org.apache.spark.sql.Row](2)
-                    .map(h => (h.getInt(0), h.getString(1), h.getDouble(2)))
-                    .toArray
-                  ResidentEntry(r.getLong(1), hits)
-                }
-              map.put(ck, sorted)
-            }
+        try {
+          if (Files.exists(Paths.get(dir))) {
+            // winner order computed BY Spark (same expression as the batch
+            // probe's tie-break: written_at desc, then content hash) — the
+            // resident map only caches the plan's own ordering; runtime
+            // expiry is applied at probe time like the batch plan's filter
+            cacheEntries(tenant, index)
+              .filter(col("epoch") === m.epoch)
+              .select(col("cache_key"), col("expires_at"), col("hits"),
+                col("written_at"), xxhash64(to_json(col("hits"))).as("jh"))
+              .collect()
+              .groupBy(_.getLong(0))
+              .foreach { case (ck, rows) =>
+                val sorted = rows
+                  .sortBy(r => (-r.getLong(3), r.getLong(4)))
+                  .map { r =>
+                    val hits = r.getSeq[org.apache.spark.sql.Row](2)
+                      .map(h => (h.getInt(0), h.getString(1), h.getDouble(2)))
+                      .toArray
+                    ResidentEntry(r.getLong(1), hits)
+                  }
+                map.put(ck, sorted)
+              }
+          }
+          residentL0Cache.put(key, (m.epoch, fp, map))
+          map
+        } catch {
+          // a GC-swap racing the read: serve this call as a batch-path
+          // miss (correct, just slower) and retry the load next call —
+          // the failed load is NOT cached
+          case _: Exception =>
+            new java.util.HashMap[java.lang.Long, Array[ResidentEntry]]()
         }
-        residentL0Cache.put(key, (m.epoch, fp, map))
-        map
     }
   }
 
@@ -1747,13 +1782,17 @@ class GraftEngine(spark: SparkSession, root: String) {
     residentAliasCache.get(key) match {
       case Some((f, map)) if f == fp => map
       case _ =>
-        val map =
-          if (!Files.exists(Paths.get(dir))) Map.empty[Long, Long]
-          else spark.read.parquet(dir).filter(col("confidence") >= 0.8)
-            .select("source_key", "canonical_key").collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        residentAliasCache.put(key, (fp, map))
-        map
+        try {
+          val map =
+            if (!Files.exists(Paths.get(dir))) Map.empty[Long, Long]
+            else spark.read.parquet(dir).filter(col("confidence") >= 0.8)
+              .select("source_key", "canonical_key").collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          residentAliasCache.put(key, (fp, map))
+          map
+        } catch { // concurrent flushCache delete: no aliases this call
+          case _: Exception => Map.empty[Long, Long]
+        }
     }
   }
 
@@ -1819,12 +1858,19 @@ class GraftEngine(spark: SparkSession, root: String) {
     * metrics log (one summed row) so billing/offline consumers see them;
     * [[statsText]] already folds the live value in. */
   def flushServingMetrics(tenant: String, index: String, now: Long = 0L): Unit = {
-    val n = servingHitsOf(tenant, index).getAndSet(0L)
-    if (n > 0) withManifestLock(tenant, index) {
-      import spark.implicits._
-      Seq((now, n, 0L)).toDF("ts", "hits", "misses")
-        .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
-      compactMetricsLog(tenant, index)
+    // write FIRST, subtract only after the append commits — a getAndSet
+    // before a failed write would silently drop billable hits (hits that
+    // land during the write stay in the counter for the next flush)
+    val counter = servingHitsOf(tenant, index)
+    val n = counter.get()
+    if (n > 0) {
+      withManifestLock(tenant, index) {
+        import spark.implicits._
+        Seq((now, n, 0L)).toDF("ts", "hits", "misses")
+          .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+        compactMetricsLog(tenant, index)
+      }
+      counter.addAndGet(-n)
     }
   }
 

@@ -46,12 +46,20 @@ object Caching {
                     tags: Seq[String], layerKey: Long): Long = {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
+    // sort as UTF8String (UTF-8 byte / code-point order) — Scala's
+    // String ordering is UTF-16 code-unit order, which diverges from
+    // sort_array for supplementary characters (an emoji tag would
+    // silently land on a different key than the batch populate)
+    val sortedTags = tags.map(UTF8String.fromString)
+      .sorted(Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[UTF8String]()))
+      .map(_.toString)
     var h = 42L
     h = xx(UTF8String.fromString(tenant), StringType, h)
     h = xx(UTF8String.fromString(index), StringType, h)
     h = xx(roundKLocal(k), IntegerType, h)
     h = xx(UTF8String.fromString(metric), StringType, h)
-    h = xx(UTF8String.fromString(tags.sorted.mkString(",")), StringType, h)
+    h = xx(UTF8String.fromString(sortedTags.mkString(",")), StringType, h)
     h = xx(layerKey, LongType, h)
     h
   }

@@ -118,7 +118,17 @@ object IvfFlat {
       if (rows == 0L) Some(Array.empty[PackedLists]) // empty corpus
       else {
         val bytes = rows * (4L * dim + 16L)
-        if (bytes > PackedDriverMaxBytes) None else Some(packed.collect())
+        // per-index AND global budget: a multi-index engine must not pin
+        // N × 512 MB of driver heap. The registry is weak-keyed by the
+        // Index handle, so dropping a handle (evictStaleHandles, engine
+        // GC) frees its share of the budget automatically.
+        if (bytes > PackedDriverMaxBytes ||
+            residentBudgetUsed + bytes > PackedDriverGlobalMaxBytes) None
+        else {
+          val parts = packed.collect()
+          residentRegistry.put(this, java.lang.Long.valueOf(bytes))
+          Some(parts)
+        }
       }
     }
 
@@ -139,6 +149,21 @@ object IvfFlat {
     * 500k/dim128 ceiling, 264 MB packed). Everything bigger serves
     * through the executor-side packed RDD. */
   val PackedDriverMaxBytes: Long = 512L << 20
+
+  /** JVM-wide ceiling across ALL resident indexes (the per-index bound
+    * alone would let a multi-tenant engine pin N × 512 MB). Weak-keyed
+    * accounting: a dropped Index handle frees its share on GC. */
+  val PackedDriverGlobalMaxBytes: Long = 2048L << 20
+  private val residentRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Index, java.lang.Long]())
+  private def residentBudgetUsed: Long = {
+    val it = residentRegistry.synchronized {
+      new java.util.ArrayList(residentRegistry.values())
+    }
+    var s = 0L
+    it.forEach(v => s += v.longValue())
+    s
+  }
 
   /** Work bound for dispatching a call to the driver-resident tier:
     * exact scanned float elements (Σ over probed clusters of real list

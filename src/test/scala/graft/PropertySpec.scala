@@ -107,7 +107,11 @@ class PropertySpec extends SparkSpec {
       val tags = Seq.fill(rng.nextInt(3))(s"t${rng.nextInt(5)}")
       val k = 1 + rng.nextInt(120)
       (i.toLong, qv, tags, k)
-    }
+    } :+
+      // supplementary characters: UTF-16 code-unit order (Scala .sorted)
+      // and UTF-8 byte order (sort_array) DISAGREE here — pins the twin's
+      // UTF8String sort
+      ((99L, Array(1f, 2f), Seq("￿", "😀", "zz"), 10))
     cases.foreach { case (i, qv, tags, k) =>
       val df = Seq((i, qv.toSeq, tags)).toDF("id", "qvec", "tags")
       val row = df.select(
