@@ -53,9 +53,14 @@ object Bench {
     SparkEntry.entry(spark).count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
-    }
+    // SPARK_GRAFT_ONLY=<substring>[,<substring>...] narrows the per-query
+    // loop for local iteration; unset (the driver) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
+        results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      }
 
     // Throughput runs: the full embeddings table as the query batch.
     // (local-bench note: the tiny parquet is one row group → explicit

@@ -147,6 +147,14 @@ object TextDedup {
             .withColumn("n_sh", count(lit(1)).over(wDoc))
             .filter(col("rn") <=
               col("n_sh") - ceil(lit(tau) * col("n_sh")) + lit(1))
+            // a globally-unique shingle (df = 1) exists in exactly one
+            // document, so it can never be the SHARED prefix shingle that
+            // surfaces a candidate pair — dropping it from the join input
+            // is lossless. On long-tail corpora most shingles are df = 1,
+            // so this prunes the candidate join's dominant input for free
+            // (the df is already attached; the prefix RANKS still counted
+            // them, so the prefix-length guarantee is untouched).
+            .filter(col("df") >= 2)
             .select("doc_id", "g")
         }
       val a = prefix.as("a"); val b = prefix.as("b")
