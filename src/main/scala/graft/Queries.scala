@@ -953,6 +953,52 @@ object Queries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id1", "id2")
 
+  /** Near-dup pairs → duplicate clusters → keep-set over the whole
+    * corpus: exact-Jaccard pairs at τ=0.5 chained into connected
+    * components (large-star/small-star, Kiveris et al. SoCC'14), every
+    * document annotated with its component's canonical id and a keep
+    * flag. Fully oracled: DuckDB computes the same components with a
+    * recursive CTE over the same pair set. */
+  val dedupComponents: QueryFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = TextDedup.jaccardPairs(docs, n = 3, tau = 0.5,
+      prefixFilter = false)
+    TextDedup.keepCanonical(docs.select("doc_id"), pairs).orderBy("doc_id")
+  }
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2]
+      |  ))) AS g
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2
+      |  FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE c * 1.0 / (s1.n_sh + s2.n_sh - c) >= 0.5
+      |), edges AS (
+      |  SELECT id1 AS a, id2 AS b FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs
+      |), reach(node, root) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+      |), comp AS (
+      |  SELECT node AS doc_id, min(root) AS canonical_id FROM reach GROUP BY node
+      |)
+      |SELECT d.doc_id,
+      |       coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+      |       coalesce(c.canonical_id, d.doc_id) = d.doc_id AS keep
+      |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** SimHash near-dup pairs at Hamming ≤ 12 (rows-only + ScalaTest). */
   val dedupSimhash: QueryFn = (s, dir) =>
     TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 12)
@@ -1344,6 +1390,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_rarefirst" -> dedupJaccardRareFirst,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_components" -> dedupComponents,
     "dedup_simhash" -> dedupSimhash,
     "embedding_top_pairs" -> embeddingTopPairs,
     "embedding_lsh_pairs" -> embeddingLshPairs,
@@ -1410,6 +1457,7 @@ object Queries {
     // LSH candidates + exact verify = the exact pair set (recall argument
     // in the query's scaladoc), so minhash shares the same oracle too
     "dedup_minhash" -> dedupNgramJaccardSql,
+    "dedup_components" -> dedupComponentsSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,
     "embedding_lsh_pairs" -> embeddingLshPairsSql,
     "text_quality" -> textQualitySql,

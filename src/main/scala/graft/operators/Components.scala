@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair table — the step a
+  * training-data dedup pipeline needs between "near-dup PAIRS" and "keep
+  * one document per duplicate CLUSTER": pairs chain (A~B, B~C ⇒ A,B,C are
+  * one group even when A~C was never emitted), so the keep-set is one
+  * canonical per component, not per pair.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", SoCC'14), which converges in O(log² n) rounds on any
+  * graph — unlike naive min-label propagation whose round count is the
+  * component DIAMETER (a 1M-link chain would need 1M rounds). Each round
+  * is two shuffles (a min-aggregation and an equi-join); neighbor sets are
+  * never collected into a single row, so a hub node / giant component
+  * cannot OOM a task — the 100-TB-safe formulation.
+  *
+  * Reference analog: the reference has no cluster-grouping operator (its
+  * dedup surface stops at pairwise candidates); this is part of the
+  * training-pipeline surface built on top of the same pair generators.
+  */
+object Components {
+
+  /** (doc_id, canonical_id = minimum doc_id of the connected component),
+    * one row per node appearing in `pairs` (a singleton document is its
+    * own canonical by definition and is absent here — left-join and
+    * coalesce to doc_id for the full corpus view, see
+    * [[TextDedup.keepCanonical]]).
+    *
+    * `pairs` needs `id1`/`id2` columns; self-loops and duplicate /
+    * reversed pairs are tolerated.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint() // truncate lineage before iterating
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges))
+      // fixed point ⇒ every edge is (node, component-min) — a star. The
+      // count guard makes the exact set-equality check (two anti-joins)
+      // run only on candidate fixed points.
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // stars point child -> center; the center itself is its own canonical
+    edges.select(col("dst").as("doc_id"), col("src").as("canonical_id"))
+      .union(edges.select(col("src").as("doc_id"), col("src").as("canonical_id")))
+      .groupBy("doc_id").agg(min("canonical_id").as("canonical_id"))
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood. Join-based — no adjacency collection. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val bidir = bidirectional(edges)
+    val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    bidir.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(least(col("v"), col("m")).as("src"),
+        greatest(col("v"), col("m")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Small-star: every node connects its SMALLER-OR-EQUAL neighbors (and
+    * itself) to the minimum of its closed neighborhood. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val bidir = bidirectional(edges)
+    val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    val smaller = bidir.join(mins, "u")
+      .filter(col("v") <= col("u"))
+      .select(col("v"), col("m"))
+    val self = mins.select(col("u").as("v"), col("m"))
+    smaller.union(self)
+      .select(least(col("v"), col("m")).as("src"),
+        greatest(col("v"), col("m")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  private def bidirectional(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+}

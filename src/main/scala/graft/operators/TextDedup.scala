@@ -433,6 +433,20 @@ object TextDedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Pairs → duplicate CLUSTERS → keep-set: annotate every document with
+    * the canonical (minimum) doc_id of its near-dup connected component
+    * and a `keep` flag (true = this IS the canonical). Pairs chain —
+    * A~B, B~C puts A,B,C in one group even when A~C was never emitted —
+    * so the keep-set is one document per COMPONENT, not per pair; this is
+    * the final step of every dedup recipe built from the pair generators
+    * above. Components via the O(log² n)-round star algorithm
+    * ([[Components.connectedComponents]]); the corpus side is one
+    * left join (singletons are their own canonical). */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(Components.connectedComponents(pairs), Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("keep", col("canonical_id") === col("doc_id"))
+
   /** Whole-document fingerprint: polynomial rolling hash over tokens
     * (order-sensitive, unlike the simhash). */
   private val fingerprintUdf = udf { (toks: Seq[String]) =>
