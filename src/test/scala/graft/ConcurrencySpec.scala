@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Races between the driver-resident serving tiers and the maintenance
+  * paths that rewrite their on-disk sources: [[GraftEngine.searchCachedRows]]
+  * probes a resident copy of the entry table while flushCache /
+  * compactCacheEntries delete-and-swap the directory under it, and
+  * [[GraftEngine.searchRows]] serves the packed tail + memoized head while
+  * upserts bump the epoch. The serving contract under every interleaving:
+  * NEVER an exception, ALWAYS correct rows (a probe that loses its race
+  * degrades to a batch-path miss — correct, just slower); once writers
+  * quiesce, the fast path equals the DataFrame plan again. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRecords(rows: Seq[(String, Seq[Float], Long)]): DataFrame =
+    rows.toDF("id", "vector", "updated_at")
+      .withColumn("meta", lit(null).cast("string"))
+      .withColumn("tags", typedLit(Seq.empty[String]))
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("index_name", lit("idx"))
+      .withColumn("deleted", lit(false))
+
+  private def runAll(threads: Seq[Thread]): Seq[Throwable] = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    threads.foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    errs.asScala.toSeq
+  }
+
+  test("searchCachedRows stays correct while flush/compact rewrite the entry dir") {
+    val root = Files.createTempDirectory("conc_cached").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 30).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    val qv = Array(3f, 1f, 0f)
+    val qDf = Seq((7L, qv.toSeq)).toDF("query_id", "qvec")
+    // the deterministic answer every call must return, hit or miss
+    eng.searchCached("t1", "idx", qDf, k = 5, nprobe = 2, now = 1000L)
+    val expected = eng
+      .searchCached("t1", "idx", qDf, k = 5, nprobe = 2, now = 1001L)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
+        r.getAs[Double]("score"))).toSeq
+
+    val start = new CountDownLatch(1)
+    val layers = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 3).map { t =>
+      new Thread(() => {
+        start.await(60, TimeUnit.SECONDS)
+        (1 to 12).foreach { i =>
+          val (layer, rows) = eng.searchCachedRows("t1", "idx", 7L, qv,
+            k = 5, nprobe = 2, now = 1000L + i)
+          layers.add(layer)
+          assert(rows.toSeq == expected,
+            s"reader $t iter $i (layer $layer) returned wrong rows")
+        }
+      }, s"reader-$t")
+    }
+    val writer = new Thread(() => {
+      start.await(60, TimeUnit.SECONDS)
+      (1 to 4).foreach { i =>
+        eng.flushCache("t1", "idx")
+        // re-populate so later probes can hit again, then force a GC swap
+        eng.searchCached("t1", "idx", qDf, k = 5, nprobe = 2,
+          now = 1000L + i)
+        eng.compactCacheEntries("t1", "idx", now = 1000L + i)
+      }
+    }, "writer")
+
+    start.countDown()
+    val errs = runAll(readers :+ writer)
+    assert(errs.isEmpty, s"concurrent serving threw: ${errs.map(_.toString)}")
+    import scala.jdk.CollectionConverters._
+    // liveness of both outcomes over the run as a whole: the resident
+    // probe actually served (some hit) and the maintenance races actually
+    // pushed some calls onto the batch path or were absorbed — either
+    // way, every call already returned `expected`
+    assert(layers.asScala.nonEmpty)
+    assert(layers.asScala.forall(Set("L0", "L0.5", "L1", "L2", "MISS")))
+    // quiesced: the probe serves in-heap again after the last rewrite
+    val (_, finalRows) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1006L)
+    assert(finalRows.toSeq == expected)
+  }
+
+  test("searchRows stays well-formed under concurrent upserts, equals the plan at quiescence") {
+    val root = Files.createTempDirectory("conc_rows").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(7)
+    eng.add(mkRecords((0 until 40).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    val qs = Array((0L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+
+    val start = new CountDownLatch(1)
+    val readers = (1 to 3).map { t =>
+      new Thread(() => {
+        start.await(60, TimeUnit.SECONDS)
+        (1 to 10).foreach { _ =>
+          val rows = eng.searchRows("t1", "idx", qs, k = 5, nprobe = 2)
+          // mid-flight the answer legitimately changes as writes land;
+          // well-formedness is the invariant: k rows, dense ranks, no
+          // duplicate ids, scores non-increasing
+          assert(rows.length == 5)
+          assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to 5))
+          assert(rows.map(_._3).distinct.length == 5)
+          assert(rows.sortBy(_._2).map(_._4).sliding(2)
+            .forall(w => w.length < 2 || w(0) >= w(1)))
+        }
+      }, s"rows-reader-$t")
+    }
+    val writer = new Thread(() => {
+      start.await(60, TimeUnit.SECONDS)
+      (1 to 5).foreach { i =>
+        eng.upsert(mkRecords(Seq(
+          (s"v$i", Seq.fill(4)(rng.nextFloat()), 200L + i))))
+      }
+    }, "rows-writer")
+
+    start.countDown()
+    val errs = runAll(readers :+ writer)
+    assert(errs.isEmpty, s"concurrent searchRows threw: ${errs.map(_.toString)}")
+    // quiesced: driver fast path == DataFrame plan, scores included
+    val fast = eng.searchRows("t1", "idx", qs, k = 5, nprobe = 2)
+    val slow = eng.search("t1", "idx",
+        Seq((0L, qs(0)._2.toSeq)).toDF("query_id", "qvec"), 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(fast.sortBy(_._2).toSeq == slow.sortBy(_._2).toSeq)
+  }
+}
