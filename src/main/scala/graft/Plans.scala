@@ -48,6 +48,18 @@ object Plans {
     lshPlan.explain("formatted")
     lshBanded.unpersist()
 
+    println("==== PLAN: stratified sample quota via bounded top-k aggregate ====")
+    graft.operators.Sampling.stratified(
+      spark.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", 50)
+      .explain("formatted")
+
+    println("==== PLAN: decontamination (hashed-shingle equi-join vs eval grams) ====")
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    TextDedup.contaminated(
+      docsAll.filter(col("doc_id") % 10 =!= 0),
+      docsAll.filter(col("doc_id") % 10 === 0), nGram = 5)
+      .explain("formatted")
+
     spark.stop()
   }
 }

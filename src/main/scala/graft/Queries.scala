@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions._
 import graft.model.Tables
-import graft.operators.{BruteForceKnn, Caching, DeltaIndex, EmbeddingDedup, Governance, IvfFlat, IvfPq, Pq, ScalarQuant, TextAnalysis, TextDedup, TopK}
+import graft.operators.{BruteForceKnn, Caching, DeltaIndex, EmbeddingDedup, Governance, IvfFlat, IvfPq, Pq, Sampling, ScalarQuant, TextAnalysis, TextDedup, TopK}
 
 /** The operator inventory exposed through [[SparkEntry]]: each entry is a
   * named DataFrame plan over the driver testdata plus (where ANSI-SQL
@@ -999,6 +999,60 @@ object Queries {
       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Benchmark decontamination: training docs (doc_id % 10 ≠ 0) sharing
+    * ≥ 1 distinct 5-gram with the held-out pseudo-benchmark slice
+    * (doc_id % 10 = 0) — the train/test-leakage sweep of an LLM data
+    * pipeline, as (doc_id, shared-gram count). */
+  val decontamination: QueryFn = (s, dir) => {
+    val all = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    TextDedup.contaminated(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0), nGram = 5)
+      .orderBy("doc_id")
+  }
+
+  val decontaminationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 3),
+      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' ||
+      |         string_split(text,' ')[i+2] || '_' || string_split(text,' ')[i+3] || '_' ||
+      |         string_split(text,' ')[i+4]
+      |  ))) AS g
+      |  FROM documents WHERE len(string_split(text,' ')) >= 5
+      |), ev AS (
+      |  SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0
+      |)
+      |SELECT s.doc_id, count(*) AS n_hits
+      |FROM sh s JOIN ev ON s.g = ev.g
+      |WHERE s.doc_id % 10 <> 0
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Deterministic seeded stratified sample: 50 docs per language, ranked
+    * by the seeded md5 prefix — the per-source quota step of a corpus
+    * mixing recipe. Selection is a pure function of (seed, doc_id), so
+    * DuckDB replicates it exactly; the Spark side runs through the
+    * bounded top-k aggregate (map-side partial, no full window sort). */
+  val corpusSample: QueryFn = (s, dir) =>
+    Sampling.stratified(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "lang", "doc_id", n = 50)
+      .orderBy("lang", "rank")
+
+  val corpusSampleSql: String =
+    """WITH keyed AS (
+      |  SELECT lang, doc_id,
+      |         substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13) AS hk
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rank
+      |  FROM keyed
+      |)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
+      |FROM ranked WHERE rank <= 50 ORDER BY lang, rank""".stripMargin
+
   /** SimHash near-dup pairs at Hamming ≤ 12 (rows-only + ScalaTest). */
   val dedupSimhash: QueryFn = (s, dir) =>
     TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 12)
@@ -1391,6 +1445,8 @@ object Queries {
     "dedup_jaccard_rarefirst" -> dedupJaccardRareFirst,
     "dedup_minhash" -> dedupMinhash,
     "dedup_components" -> dedupComponents,
+    "corpus_sample" -> corpusSample,
+    "decontamination" -> decontamination,
     "dedup_simhash" -> dedupSimhash,
     "embedding_top_pairs" -> embeddingTopPairs,
     "embedding_lsh_pairs" -> embeddingLshPairs,
@@ -1458,6 +1514,8 @@ object Queries {
     // in the query's scaladoc), so minhash shares the same oracle too
     "dedup_minhash" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
+    "corpus_sample" -> corpusSampleSql,
+    "decontamination" -> decontaminationSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,
     "embedding_lsh_pairs" -> embeddingLshPairsSql,
     "text_quality" -> textQualitySql,

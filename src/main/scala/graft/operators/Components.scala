@@ -41,19 +41,21 @@ object Components {
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
       .localCheckpoint() // truncate lineage before iterating
+    // converged ⟺ star forest ⟺ no node is both a center (src) and a
+    // child (dst) — with edges normalized src < dst, one semi-join
+    // emptiness test; at the fixed point large-star and small-star are
+    // both identities (Kiveris et al. §3), so testing BEFORE iterating
+    // is exact and costs one action per round instead of a count plus a
+    // set-equality check
+    def isStarForest(e: DataFrame): Boolean =
+      e.join(e.select(col("src").as("dst")), Seq("dst"), "left_semi").isEmpty
     var round = 0
-    var converged = edges.isEmpty
-    while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges))
-      // fixed point ⇒ every edge is (node, component-min) — a star. The
-      // count guard makes the exact set-equality check (two anti-joins)
-      // run only on candidate fixed points.
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
-      edges = next
+    while (!isStarForest(edges) && round < maxRounds) {
+      edges = smallStar(largeStar(edges))
       round += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    require(round < maxRounds || isStarForest(edges),
+      s"connectedComponents did not converge in $maxRounds rounds")
     // stars point child -> center; the center itself is its own canonical
     edges.select(col("dst").as("doc_id"), col("src").as("canonical_id"))
       .union(edges.select(col("src").as("doc_id"), col("src").as("canonical_id")))

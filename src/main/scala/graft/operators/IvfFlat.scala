@@ -193,13 +193,30 @@ object IvfFlat {
         vectors.withColumn("cluster_id", lit(0)),
         Seq((0, Seq.fill(dim)(0.0f))).toDF("cluster_id", "centroid"))
     }
+    // Train the coarse codebook on a bounded DETERMINISTIC sample and
+    // assign the full corpus in one pass — 10 Lloyd iterations over all
+    // of a 100-TB corpus is the classic IVF-build scale trap; sampled
+    // coarse training is the standard answer (faiss trains coarse
+    // quantizers on a bounded sample for exactly this reason), and
+    // centroid quality saturates at a few hundred points per centroid.
+    // The sample is selected by seeded id-hash order (a pure function of
+    // (seed, id), independent of partition layout), so builds are
+    // reproducible across cluster layouts. Corpora at or under the cap
+    // train on every row, as before.
+    val trainCap = math.max(nlist * 256, 16384)
+    val train = vectors
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(trainCap)
+      // a global limit lands in ONE partition — spread the (small)
+      // sample back out or Lloyd's runs single-threaded
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     val feat = vectors.withColumn("features", array_to_vector(col("vec")))
     val km = new KMeans()
       .setK(nlist)
       .setSeed(seed)
       .setMaxIter(maxIter)
       .setDistanceMeasure(if (metric.equalsIgnoreCase("COSINE")) "cosine" else "euclidean")
-    val model = km.fit(feat)
+    val model = km.fit(train.withColumn("features", array_to_vector(col("vec"))))
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "cluster_id")
       .drop("features")

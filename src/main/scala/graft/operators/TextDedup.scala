@@ -433,6 +433,25 @@ object TextDedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥ 1 word
+    * n-gram with an evaluation set — the standard train/test-leakage
+    * check an LLM data pipeline runs before training. Returns
+    * (doc_id, n_hits = number of DISTINCT shared n-grams), contaminated
+    * docs only.
+    *
+    * Scale shape: both sides reduce to hashed shingle tables; the match
+    * is one equi-join on the 8-byte shingle hash against the DISTINCT
+    * eval-set grams (eval sets are tiny next to a training corpus, so
+    * AQE broadcasts that side — not forced, so a giant eval set still
+    * works) followed by a per-doc count. The corpus is never
+    * self-joined and no shingle strings cross a shuffle. */
+  def contaminated(docs: DataFrame, evalDocs: DataFrame, nGram: Int): DataFrame = {
+    val docSh = shingleTable(docs, nGram, 0)
+    val evalSh = shingleTable(evalDocs, nGram, 0).select("g").distinct()
+    docSh.join(evalSh, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Pairs → duplicate CLUSTERS → keep-set: annotate every document with
     * the canonical (minimum) doc_id of its near-dup connected component
     * and a `keep` flag (true = this IS the canonical). Pairs chain —

@@ -92,6 +92,30 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("stratified sampling runs through the top-k aggregate, not a per-stratum window sort") {
+    val docs = (0L until 50L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "lang")
+    val plan = Sampling.stratified(docs, "lang", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    // the quota is enforced by the bounded aggregate (map-side partial,
+    // <= n rows per stratum per task to the shuffle); a Window node here
+    // would mean the full corpus is shuffled and sorted per stratum
+    assert(plan.contains("topk_hits"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("decontamination is a hashed-shingle equi-join: no cartesian, no forced broadcast") {
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha beta gamma delta epsilon word$i end"))
+      .toDF("doc_id", "text")
+    val plan = TextDedup.contaminated(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), nGram = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("top-k over scored candidates shuffles only aggregated buffers, not raw rows") {
     val df = (0 until 1000).map(i => (i % 7L, i.toLong, i * 0.5))
       .toDF("query_id", "id", "score").repartition(8)

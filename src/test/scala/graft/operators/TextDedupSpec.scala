@@ -121,6 +121,21 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.contains((0L, 2L)))
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares the 5-gram span
+      (2L, "alpha beta gamma other words here"),   // longest shared run = 3
+      (3L, "completely unrelated text with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon prime")).toDF("doc_id", "text")
+    val got = TextDedup.contaminated(train, eval, nGram = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc1 shares exactly one distinct 5-gram (alpha..epsilon); doc2's
+    // longest common run is 3 tokens < 5; doc3 shares nothing
+    assert(got == Map(1L -> 1L))
+  }
+
   test("jaccard pair generation shuffles shingles, not a cross product") {
     // inspect the pre-checkpoint plan (jaccardPairs materializes eagerly)
     val (planDf, sh) = TextDedup.jaccardPairsPlan(docs, 3, 0.5, 0)
