@@ -49,6 +49,21 @@ object Bench {
       runs.min
     }
 
+    // Serving-path forensics: which tier (driver / driverMT /
+    // distributed) served, and what state the packed serving RDD is in
+    // (cached parts, memory vs disk bytes). Printed around every serving
+    // measurement so a slow run in the round log carries its own
+    // diagnosis instead of needing a reproduction.
+    def servingState(tag: String, rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit = {
+      val tiers = IvfFlat.tierCountsSnapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
+      val st = rdd.flatMap(r =>
+        spark.sparkContext.getRDDStorageInfo.find(_.id == r.id).map(i =>
+          s"cachedParts=${i.numCachedPartitions}/${i.numPartitions}" +
+            s" mem=${i.memSize} disk=${i.diskSize}")).getOrElse("n/a")
+      System.err.println(s"# bench-runs $tag tiers[$tiers] packed[$st]")
+    }
+
     // Warmup: JIT + codegen + parquet footer caches.
     SparkEntry.entry(spark).count()
 
@@ -142,9 +157,11 @@ object Bench {
     (0 until 8).foreach { _ =>
       IvfFlat.searchLocalRows(idx100k, q100Local, "L2", 10, nprobe = 10, spark).length
     }
+    servingState("ivf_100k_dim128_100q.pre", Some(idx100k.packed))
     val tIvf100k = timeRuns("ivf_100k_dim128_100q", 5) {
       require(IvfFlat.searchLocalRows(idx100k, q100Local, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
+    servingState("ivf_100k_dim128_100q.post", Some(idx100k.packed))
     // per-call serving latency distribution (the reference reports P50/P99
     // per RESP query, BASELINE.md: 5.595/9.745 ms at this config; one
     // query per searchLocalRows call, served from the driver-resident
@@ -175,12 +192,14 @@ object Bench {
     val tIvf100k2k = timeRuns("ivf_100k_dim128_2000q", 3) {
       require(IvfFlat.searchLocalRows(idx100k, q2000Local, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
+    servingState("ivf_100k_dim128_2000q.post", Some(idx100k.packed))
     (0 until 8).foreach { _ =>
       IvfFlat.searchLocalRows(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).length
     }
     val tBrute100kFused = timeRuns("brute_100k_fused", 5) {
       require(IvfFlat.searchLocalRows(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).nonEmpty)
     }
+    servingState("brute_100k_fused.post", Some(flatIdx.packed))
     // Cached-search warm throughput (reference headline: semantic-cache
     // 6,121 QPS on a repeat query, docs/benchmarks/20260112_phase6_summary).
     // Batch analog: a 20k-query batch fully warm in the result cache —
@@ -396,6 +415,7 @@ object Bench {
     val tIvf500k = timeRuns("ivf_500k_dim128_100q", 3) {
       require(IvfFlat.searchLocalRows(idx500, q100x500, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
+    servingState("ivf_500k_dim128_100q.post", Some(idx500.packed))
     // per-call latency at the reference's published 500k ceiling (its
     // P50/P99: 18.755/32.001 ms). Single-query probed work (~6.4M floats)
     // fits the driver tier and the 264 MB packed corpus fits residency;

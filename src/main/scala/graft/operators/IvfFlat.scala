@@ -165,16 +165,57 @@ object IvfFlat {
     s
   }
 
-  /** Work bound for dispatching a call to the driver-resident tier:
-    * exact scanned float elements (Σ over probed clusters of real list
-    * length × probing queries × dim). The driver scan is
-    * single-threaded — it wins exactly when the work is small enough
-    * that the ~25 ms per-job local scheduler floor dominates
-    * (single/few-query serving, ~1 ms scans); past this bound the
-    * 32-way distributed scan wins despite the floor (measured: the
-    * 2000-query and full-corpus-fused batches are 2-10× faster
-    * distributed). ~32M mul-adds ≈ 10-20 ms single-core. */
+  /** Work bound for dispatching a call to the SINGLE-THREADED
+    * driver-resident tier: exact scanned float elements (Σ over probed
+    * clusters of real list length × probing queries × dim). The
+    * single-threaded in-heap scan wins exactly when the work is small
+    * enough that thread-pool handoff (~50-100 µs) is a measurable
+    * fraction (single/few-query serving, ~1 ms scans). ~32M mul-adds
+    * ≈ 10-20 ms single-core. */
   val DriverServeMaxScanElems: Long = 32L << 20
+
+  /** Work ceiling for the MULTI-THREADED driver-resident tier: between
+    * [[DriverServeMaxScanElems]] and this bound, a resident index scans
+    * on a shared daemon pool (one task per query chunk or per packed
+    * part) — NO job submission, NO broadcast, NO partial-collect, so
+    * mid-size serving batches (the reference-shaped 100-query run is
+    * ~128M elems) never depend on the local scheduler's health. Past
+    * this ceiling a scan is ≥ ~1 s even at 32 threads and the
+    * distributed path's fixed overhead amortizes — and on a REAL
+    * cluster the executor fleet has far more cores than the driver, so
+    * routing ever-larger scans to driver threads would invert the
+    * scaling story; resident corpora are ≤ [[PackedDriverMaxBytes]]
+    * (134M float-elems) so per-call work above this ceiling means a
+    * genuinely large query batch, exactly what executors are for. */
+  val DriverServeMaxScanElemsMT: Long = 8L << 30
+
+  /** Shared daemon pool for the multi-threaded driver tier. Sized to the
+    * machine (local mode: same cores the executor threads would use —
+    * the tiers trade the scheduler for a plain pool, not CPUs for CPUs). */
+  private lazy val driverScanPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(2, Runtime.getRuntime.availableProcessors())
+    java.util.concurrent.Executors.newFixedThreadPool(n, (r: Runnable) => {
+      val t = new Thread(r, "graft-ivf-driver-scan")
+      t.setDaemon(true)
+      t
+    })
+  }
+  private lazy val driverScanThreads: Int =
+    math.max(2, Runtime.getRuntime.availableProcessors())
+
+  /** Serving-tier counters (driver / driverMT / distributed), exposed so
+    * the benchmark can print WHICH path served each measured run — the
+    * round log then shows tier routing directly instead of leaving a
+    * slow run to forensic guessing. */
+  private[graft] val tierCounts: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong] =
+    new java.util.concurrent.ConcurrentHashMap()
+  private def countTier(name: String): Unit =
+    tierCounts.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+  private[graft] def tierCountsSnapshot: Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    tierCounts.forEach((k, v) => m(k) = v.get())
+    m.toMap
+  }
 
   /** Train the coarse codebook and assign every vector to its inverted list.
     * Cosine metric uses MLlib's cosine distance measure; L2/IP use
@@ -324,21 +365,33 @@ object IvfFlat {
   }
 
   /** Full IVF search: probe top-nprobe inverted lists, exact-score their
-    * members, return global top-k per query. Probe selection runs
-    * driver-side when the query batch is driver-sized (one bounded collect
-    * decides the path AND supplies the rows), as a distributed plan
-    * otherwise. Note the local path materializes probes at call time —
-    * the returned DataFrame snapshots them, like the built index itself. */
+    * members, return global top-k per query. Three forms, picked by what
+    * is driver-sized:
+    *  - query batch local AND index resident (≤ [[PackedDriverMaxBytes]],
+    *    checked BEFORE any collect): the tiered packed serving path —
+    *    in-heap single- or multi-threaded scan, no join materialization,
+    *    no scheduler (spec-pinned equal to the join plan);
+    *  - query batch local, index NOT resident: driver-side probe ranking
+    *    feeding the distributed inverted-list join — the big corpus
+    *    streams from its (pruned) partitions, never materialized whole;
+    *  - query batch distributed: fully distributed probe plan + join.
+    * Note the local paths materialize probes at call time — the returned
+    * DataFrame snapshots them, like the built index itself. */
   def search(index: Index, queries: DataFrame, metric: String,
              k: Int, nprobe: Int, maxLocalQueries: Int = 10000): DataFrame = {
-    val probeSet = {
-      val sample = queries.select("query_id", "qvec").limit(maxLocalQueries + 1).collect()
-      if (sample.length <= maxLocalQueries) {
+    val spark = queries.sparkSession
+    val sample = queries.select("query_id", "qvec").limit(maxLocalQueries + 1).collect()
+    if (sample.length <= maxLocalQueries) {
+      if (index.packedDriver.isDefined) {
+        val qs = sample.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        import spark.implicits._
+        searchLocalRows(index, qs, metric, k, nprobe, spark).toSeq
+          .toDF("query_id", "rank", "id", "score")
+      } else {
         val qs = sample.map(r => (r.getLong(0), r.getSeq[Float](1)))
-        probesLocal(index, qs, metric, nprobe, queries.sparkSession)
-      } else probes(index, queries, metric, nprobe)
-    }
-    searchProbed(index, probeSet, metric, k)
+        searchProbed(index, probesLocal(index, qs, metric, nprobe, spark), metric, k)
+      }
+    } else searchProbed(index, probes(index, queries, metric, nprobe), metric, k)
   }
 
   /** Small-batch fast path: the caller already holds the query batch as a
@@ -380,7 +433,9 @@ object IvfFlat {
       index: Index, queries: Array[(Long, Array[Float])],
       metric: String, k: Int, nprobe: Int,
       spark: org.apache.spark.sql.SparkSession,
-      forceDistributed: Boolean): Array[(Long, Int, Long, Double)] = {
+      forceDistributed: Boolean,
+      stBound: Long = DriverServeMaxScanElems,
+      mtBound: Long = DriverServeMaxScanElemsMT): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -407,34 +462,42 @@ object IvfFlat {
     }
     val probeMap = byCluster.map { case (c, qs) => (c, qs.toArray) }.toMap
     val kLoc = k
-    // driver tier only in the small-work regime: the in-heap scan is
-    // single-threaded, so it must beat the scheduler floor, not the
-    // 32-way scan (see DriverServeMaxScanElems). Work is EXACT — per
-    // probed cluster, its real row count × probing-query count × dim —
-    // so skewed inverted lists can't route a big scan to the driver
-    // (a rows/nlist mean estimate underestimates by up to nlist/nprobe×
-    // when the probed clusters are the heavy ones).
-    val driverEligible = !forceDistributed && {
+    // Tier dispatch on EXACT probed work — per probed cluster, its real
+    // row count × probing-query count × dim — so skewed inverted lists
+    // can't route a big scan to a driver tier (a rows/nlist mean
+    // estimate underestimates by up to nlist/nprobe× when the probed
+    // clusters are the heavy ones).
+    //   work ≤ 32M elems  → resident single-thread scan (zero handoff)
+    //   work ≤ 8G elems   → resident MULTI-THREADED scan (daemon pool)
+    //   else / non-resident / forced → packed-RDD job
+    val scanElems: Long = {
       val (rows, dim) = index.sizeStats
-      rows == 0L || {
+      if (rows == 0L) 0L
+      else {
         val counts = index.clusterCounts
-        var scanElems = 0L
+        var s = 0L
         probeMap.foreach { case (cid, probing) =>
-          scanElems += counts.getOrElse(cid, 0L) * probing.length * dim
+          s += counts.getOrElse(cid, 0L) * probing.length * dim
         }
-        scanElems <= DriverServeMaxScanElems
+        s
       }
     }
+    val driverEligible = !forceDistributed && scanElems <= mtBound
     val partials: Array[(Int, Long, Double)] =
       (if (driverEligible) index.packedDriver else None) match {
-        case Some(parts) =>
+        case Some(parts) if scanElems <= stBound =>
           // zero-job tier: the packed lists live on the driver, so a
           // serving call is a plain in-heap scan — no job submission,
           // no broadcast, no scheduler floor (the reference serves every
           // query from one process's heap; this is the honest analog for
           // indexes inside the residency bound)
+          countTier("driver")
           scanPacked(parts.iterator, qvecs, probeMap, metricU, kLoc).toArray
+        case Some(parts) =>
+          countTier("driverMT")
+          scanPackedMT(parts, qvecs, probeMap, metricU, kLoc)
         case None =>
+          countTier("distributed")
           val bq = spark.sparkContext.broadcast((qvecs, probeMap))
           index.packed.mapPartitions { pit =>
             val (qv, probes) = bq.value
@@ -489,6 +552,56 @@ object IvfFlat {
       b.compact()
       (0 until b.n).iterator.map(j => (i, b.ids(j), b.scores(j)))
     }
+  }
+
+  /** Multi-threaded driver-resident scan: the mid-size regime between
+    * the single-thread bound and the distributed path. Batch regime
+    * (nq ≥ 2×threads): one task per QUERY CHUNK, each scanning every
+    * part — results are complete per query, no cross-task merge beyond
+    * concatenation. Latency regime (few queries, big probed work): one
+    * task per PART for all queries — partials merged by the caller's
+    * existing ≤parts·nq·k merge. Both shapes reuse [[scanPacked]]
+    * verbatim, so tier equality is pinned by the same kernel. */
+  private def scanPackedMT(parts: Array[PackedLists],
+                           qv: Array[Array[Float]],
+                           probes: Map[Int, Array[Int]], metricU: String,
+                           k: Int): Array[(Int, Long, Double)] = {
+    val pool = driverScanPool
+    val nThreads = driverScanThreads
+    val nq = qv.length
+    val tasks: Seq[java.util.concurrent.Callable[Array[(Int, Long, Double)]]] =
+      if (nq >= 2 * nThreads) {
+        // chunk queries: each chunk gets a probe map in LOCAL query
+        // indices, scans all parts, and remaps indices back to global
+        val chunkSize = math.max(1, (nq + 2 * nThreads - 1) / (2 * nThreads))
+        (0 until nq by chunkSize).map { lo =>
+          val hi = math.min(nq, lo + chunkSize)
+          new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
+            override def call(): Array[(Int, Long, Double)] = {
+              val localQv = qv.slice(lo, hi)
+              val localProbes = probes.iterator.flatMap { case (cid, probing) =>
+                val in = probing.filter(q => q >= lo && q < hi)
+                if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
+              }.toMap
+              scanPacked(parts.iterator, localQv, localProbes, metricU, k)
+                .map { case (qi, id, s) => (qi + lo, id, s) }.toArray
+            }
+          }
+        }
+      } else {
+        // few queries, large probed lists: parallelize across parts
+        parts.toSeq.map { p =>
+          new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
+            override def call(): Array[(Int, Long, Double)] =
+              scanPacked(Iterator(p), qv, probes, metricU, k).toArray
+          }
+        }
+      }
+    import scala.jdk.CollectionConverters._
+    val futures = pool.invokeAll(tasks.asJava)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    futures.asScala.foreach(f => out ++= f.get())
+    out.toArray
   }
 
   /** -L2² with early abandonment: once the partial sum exceeds `bound`

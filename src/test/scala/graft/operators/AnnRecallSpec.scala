@@ -103,6 +103,37 @@ class AnnRecallSpec extends SparkSpec {
     tied.unpersist()
   }
 
+  test("multi-threaded driver tier == single-thread tier == distributed, both MT shapes") {
+    // same tie-forcing fixture as the resident-tier test; the MT tier has
+    // two internal shapes (query-chunked for batches, part-parallel for
+    // few large queries) — stBound/mtBound injection forces each shape on
+    // a small corpus, and all tiers must agree bit-for-bit through ties
+    val tied = (0 until 400).map { i =>
+      (i.toLong, Seq((i % 5).toFloat, ((i / 5) % 4).toFloat, 1f))
+    }.toDF("id", "vec").cache()
+    val idx = IvfFlat.build(tied, nlist = 4)
+    assert(idx.packedDriver.isDefined)
+    // 80 queries >= 2x pool threads is not guaranteed on every machine,
+    // so cover both shapes explicitly via batch size: 200 queries
+    // (chunked on any machine with <= 100 threads) and 3 (part-parallel)
+    val qsBig = (0 until 200).map(i => (i.toLong, Array((i % 5).toFloat, 1f, 1f)))
+      .toArray
+    val qsSmall = qsBig.take(3)
+    for (metric <- Seq("L2", "COSINE", "IP"); qs <- Seq(qsBig, qsSmall)) {
+      val st = IvfFlat.searchLocalRowsPath(idx, qs, metric, K, 2, spark,
+        forceDistributed = false) // all work fits the single-thread bound
+      val mt = IvfFlat.searchLocalRowsPath(idx, qs, metric, K, 2, spark,
+        forceDistributed = false, stBound = 0L, mtBound = Long.MaxValue)
+      val dist = IvfFlat.searchLocalRowsPath(idx, qs, metric, K, 2, spark,
+        forceDistributed = true)
+      assert(mt.sortBy(r => (r._1, r._2)).toSeq == st.sortBy(r => (r._1, r._2)).toSeq,
+        s"MT != ST: metric=$metric nq=${qs.length}")
+      assert(mt.sortBy(r => (r._1, r._2)).toSeq == dist.sortBy(r => (r._1, r._2)).toSeq,
+        s"MT != distributed: metric=$metric nq=${qs.length}")
+    }
+    tied.unpersist()
+  }
+
   test("IVF-Flat save/load roundtrip preserves search results") {
     val idx = IvfFlat.build(vectors, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
