@@ -200,6 +200,49 @@ object Bench {
       require(IvfFlat.searchLocalRows(flatIdx, q100Local, "L2", 10, nprobe = 1, spark).nonEmpty)
     }
     servingState("brute_100k_fused.post", Some(flatIdx.packed))
+
+    // ANN recall tracking: the driver's oracle gate proves EXACT configs
+    // (nprobe = nlist); these rows track the PRUNED configs users
+    // actually serve, so a geometry change (e.g. the sampled coarse
+    // train, measured −25% QPS via imbalance at 500k) that silently
+    // moved recall would show up as a falling bench row next round,
+    // exactly like a QPS regression. Measured on a CLUSTERED corpus
+    // (mixture around 256 seeded centers, σ ≈ 0.15 of the center
+    // spread — embedding-like geometry): the uniform QPS corpus has no
+    // cluster structure, so IVF recall on it measures data entropy
+    // (neighbors near-equidistant, scattered across cells), not index
+    // quality. Exact hits come from a flat index (one inverted list =
+    // the whole corpus = brute force).
+    def hitSets(rows: Array[(Long, Int, Long, Double)]): Map[Long, Set[Long]] =
+      rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    def recallVs(exact: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        got.get(q).map(g => (g & e).size.toDouble / e.size).getOrElse(0.0)
+      }.sum / exact.size
+    val synthC = spark.range(100000)
+      .select(col("id"), transform(sequence(lit(1), lit(dim)), i =>
+        ((pmod(xxhash64((col("id") % 256) * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0) +
+          (pmod(xxhash64(col("id") * lit(dim) + i + lit(7777777)), lit(2000000)) / 1000000.0 - 1.0) * lit(0.15))
+          .cast("float")).as("vec"))
+      .repartition(nCpus).cache()
+    synthC.count()
+    val idxC = IvfFlat.build(synthC, nlist = 100, metric = "L2", seed = 42L)
+    idxC.assigned.cache().count()
+    idxC.centroidsLocal
+    val flatC = IvfFlat.build(synthC, nlist = 1)
+    val qC = synthC.filter(col("id") < 100)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exactC = hitSets(
+      IvfFlat.searchLocalRows(flatC, qC, "L2", 10, nprobe = 1, spark))
+    def recallAt(nprobe: Int): Double = recallVs(exactC, hitSets(
+      IvfFlat.searchLocalRows(idxC, qC, "L2", 10, nprobe, spark)))
+    val recallNp2 = recallAt(2)
+    val recallNp4 = recallAt(4)
+    val recallNp10 = recallAt(10)
+    System.err.println(
+      f"# bench-runs ivf_100k_recall_at_10 nprobe2=$recallNp2%.4f nprobe4=$recallNp4%.4f nprobe10=$recallNp10%.4f")
+    flatC.packed.unpersist(); idxC.assigned.unpersist(); synthC.unpersist()
     // Cached-search warm throughput (reference headline: semantic-cache
     // 6,121 QPS on a repeat query, docs/benchmarks/20260112_phase6_summary).
     // Batch analog: a 20k-query batch fully warm in the result cache —
@@ -439,7 +482,42 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("bench_load1m").toString
       synth1m.write.mode("overwrite").parquet(dir + "/vectors")
     }
+
+    // 1M BUILD + SERVE — past the reference's documented ceiling (its 1M
+    // LOAD stalls at 93%; we run the full index lifecycle at 2× its
+    // 500k serving ceiling). Packed 1M×dim128 = 528 MB exceeds
+    // PackedDriverMaxBytes, so serving runs the DISTRIBUTED packed-RDD
+    // path — this rung is the explicit proof the executor-side tier
+    // clears baseline too, not just the driver-resident tiers the
+    // smaller rungs use (on a real cluster this is the only tier).
+    val tB1m = System.nanoTime()
+    val idx1m = IvfFlat.build(synth1m.select(col("id"), col("vec")),
+      nlist = 128, metric = "L2", seed = 42L, maxIter = 5)
+    idx1m.assigned.cache().count()
+    val tBuild1m = (System.nanoTime() - tB1m) / 1e9
+    idx1m.centroidsLocal
+    idx1m.packed.count()
+    val q100x1m = synth1m.filter(col("id") < 100)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    (0 until 3).foreach { _ =>
+      IvfFlat.searchLocalRows(idx1m, q100x1m, "L2", 10, nprobe = 10, spark).length
+    }
+    servingState("ivf_1m_dim128_100q.pre", Some(idx1m.packed))
+    val tIvf1m = timeRuns("ivf_1m_dim128_100q", 3) {
+      require(IvfFlat.searchLocalRows(idx1m, q100x1m, "L2", 10, nprobe = 10, spark).nonEmpty)
+    }
+    servingState("ivf_1m_dim128_100q.post", Some(idx1m.packed))
+    IvfFlat.searchLocalRows(idx1m, Array(q100x1m.head), "L2", 10, nprobe = 10, spark)
+    val lat1m = q100x1m.map { q =>
+      val t0 = System.nanoTime()
+      IvfFlat.searchLocalRows(idx1m, Array(q), "L2", 10, nprobe = 10, spark)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    System.err.println(
+      f"# bench-runs ivf_1m_single_query_ms p50=${lat1m(49)}%.3f p99=${lat1m(98)}%.3f")
     synth1m.unpersist()
+    idx1m.assigned.unpersist(); idx1m.packed.unpersist()
 
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused
@@ -450,6 +528,8 @@ object Bench {
     results("ivf_500k_build_sec") = tBuild500
     results("ivf_500k_dim128_100q_sec") = tIvf500k
     results("load_1m_sec") = tLoad1m
+    results("ivf_1m_build_sec") = tBuild1m
+    results("ivf_1m_dim128_100q_sec") = tIvf1m
 
     // throughput metrics (not wall-seconds — excluded from "total")
     val rates = Map(
@@ -476,7 +556,13 @@ object Bench {
       "cached_hit_p50_ms" -> cachedHitP50,
       "cached_hit_p99_ms" -> cachedHitP99,
       "cached_hit_qps" -> cachedHitQps,
-      "prefetch_hit_p50_ms" -> prefetchHitP50)
+      "prefetch_hit_p50_ms" -> prefetchHitP50,
+      "ivf_1m_qps" -> 100.0 / tIvf1m,
+      "ivf_1m_p50_ms" -> lat1m(49),
+      "ivf_1m_p99_ms" -> lat1m(98),
+      "ivf_100k_recall10_nprobe2" -> recallNp2,
+      "ivf_100k_recall10_nprobe4" -> recallNp4,
+      "ivf_100k_recall10_nprobe10" -> recallNp10)
 
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }

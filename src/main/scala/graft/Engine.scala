@@ -30,6 +30,20 @@ import graft.operators.{BruteForceKnn, DeltaIndex, IvfFlat, TopK}
   * the fresh head — records written after the build watermark — exactly
   * like the reference's Delta head/tail index (DeltaVectorIndex.cs:76-122).
   */
+/** Per-call observability record for the rows-serving entries — the
+  * reference attaches TRACE JSON fields to each reply
+  * (VectorCommandSet.cs:849-912); this is the library-call analog.
+  * `path`: which serving tier answered ("head+tail" zero-job,
+  * "plan-fallback" DataFrame plan, or "cache-hit"/"cache-miss").
+  * `cacheLayer`: the cascade layer that hit (L0/L0.5/L1/L2), if any.
+  * `probedLayers`: cache layers probed in order, cached calls only.
+  * `headLive`/`headMasked`/`tailRows`: serving-state counts scanned by
+  * the call (−1 = not applicable on this path).
+  * `totalMicros`: call wall time. */
+case class SearchTrace(path: String, cacheLayer: Option[String],
+                       probedLayers: Seq[String], headLive: Int,
+                       headMasked: Int, tailRows: Int, totalMicros: Long)
+
 object GraftEngine {
   /** Per-index manifest monitors, JVM-global (keyed by root so two engine
     * instances over the same layout share one): every manifest
@@ -481,7 +495,20 @@ class GraftEngine(spark: SparkSession, root: String) {
     * meta hydration stay on the DataFrame API. */
   def searchRows(tenant: String, index: String,
                  queries: Array[(Long, Array[Float])], k: Int,
-                 metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] = {
+                 metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] =
+    searchRowsTraced(tenant, index, queries, k, metric, nprobe)._1
+
+  /** [[searchRows]] plus a per-call observability record — the
+    * reference's per-reply TRACE fields (VectorCommandSet.cs:849-912)
+    * as a typed struct instead of protocol text: which serving path
+    * ran, the fresh-head state scanned, tail candidates fetched, and
+    * call wall time. Zero extra work on the serving path (every field
+    * is a count the call already computed). */
+  def searchRowsTraced(tenant: String, index: String,
+                       queries: Array[(Long, Array[Float])], k: Int,
+                       metric: String = "L2", nprobe: Int = 4)
+      : (Array[(Long, Int, String, Double)], SearchTrace) = {
+    val tTrace0 = System.nanoTime()
     require(queries.map(_._1).distinct.length == queries.length,
       "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
@@ -513,8 +540,11 @@ class GraftEngine(spark: SparkSession, root: String) {
       import spark.implicits._
       val qDf = queries.toSeq
         .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
-      search(tenant, index, qDf, k, metric, nprobe).collect()
+      val rows = search(tenant, index, qDf, k, metric, nprobe).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      (rows, SearchTrace("plan-fallback", None, Nil,
+        headLive = -1, headMasked = -1, tailRows = -1,
+        totalMicros = (System.nanoTime() - tTrace0) / 1000L))
     } else {
       // same metric gate as searchImpl (FLAT tails are metric-agnostic)
       require(m.algo == "FLAT" || m.metric.isEmpty ||
@@ -528,7 +558,7 @@ class GraftEngine(spark: SparkSession, root: String) {
       val tailRows = IvfFlat
         .searchLocalRows(tailIdx, queries, metric, kTail, nprobe, spark)
       val byQuery = tailRows.groupBy(_._1)
-      queries.flatMap { case (qid, qv) =>
+      val rows = queries.flatMap { case (qid, qv) =>
         val tailCands = byQuery.getOrElse(qid, Array.empty)
           .filter(r => !hs.maskSurrogates.contains(r._3))
           .map(r => (r._3, r._4)) // (surrogate, score)
@@ -545,6 +575,10 @@ class GraftEngine(spark: SparkSession, root: String) {
             (qid, r + 1, hs.liveIdOf.getOrElse(surr, idMap(surr)), s)
           }
       }
+      (rows, SearchTrace("head+tail", None, Nil,
+        headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
+        tailRows = tailRows.length,
+        totalMicros = (System.nanoTime() - tTrace0) / 1000L))
     }
   }
 
@@ -1815,6 +1849,20 @@ class GraftEngine(spark: SparkSession, root: String) {
                        nprobe: Int = 4, now: Long = 0L, ttlSeconds: Int = 60,
                        tags: Seq[String] = Nil)
       : (String, Array[(Int, String, Double)]) = {
+    val (layer, rows, _) = searchCachedRowsTraced(tenant, index, queryId,
+      qvec, k, metric, nprobe, now, ttlSeconds, tags)
+    (layer, rows)
+  }
+
+  /** [[searchCachedRows]] plus the per-call [[SearchTrace]]: which
+    * cascade layers were probed (in order), which one hit (or MISS →
+    * the full cached-search plan ran), and call wall time. */
+  def searchCachedRowsTraced(tenant: String, index: String, queryId: Long,
+                             qvec: Array[Float], k: Int, metric: String = "L2",
+                             nprobe: Int = 4, now: Long = 0L,
+                             ttlSeconds: Int = 60, tags: Seq[String] = Nil)
+      : (String, Array[(Int, String, Double)], SearchTrace) = {
+    val tTrace0 = System.nanoTime()
     import graft.operators.Caching
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
@@ -1839,7 +1887,10 @@ class GraftEngine(spark: SparkSession, root: String) {
     hit match {
       case Some((layer, e)) =>
         servingHitsOf(tenant, index).incrementAndGet()
-        (layer, e.hits.filter(_._1 <= k))
+        (layer, e.hits.filter(_._1 <= k),
+          SearchTrace("cache-hit", Some(layer), probes.map(_._1).toSeq,
+            headLive = -1, headMasked = -1, tailRows = -1,
+            totalMicros = (System.nanoTime() - tTrace0) / 1000L))
       case None =>
         import spark.implicits._
         val base = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
@@ -1850,7 +1901,10 @@ class GraftEngine(spark: SparkSession, root: String) {
           .collect()
           .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
             r.getAs[Double]("score")))
-        ("MISS", rows)
+        ("MISS", rows,
+          SearchTrace("cache-miss", None, probes.map(_._1).toSeq,
+            headLive = -1, headMasked = -1, tailRows = -1,
+            totalMicros = (System.nanoTime() - tTrace0) / 1000L))
     }
   }
 

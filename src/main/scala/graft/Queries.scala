@@ -967,6 +967,66 @@ object Queries {
     TextDedup.keepCanonical(docs.select("doc_id"), pairs).orderBy("doc_id")
   }
 
+  /** The full dedup recipe END-TO-END — the composition a 100-TB run
+    * actually executes: MinHash-LSH candidate pairs (exact-verified at
+    * τ=0.5) → connected components (large-star/small-star) → canonical
+    * keep-set → the SURVIVING corpus, each survivor annotated with how
+    * many documents its component absorbed. The stages are individually
+    * oracled (`dedup_minhash`, `dedup_components`); this row grades
+    * their composition. DuckDB recomputes the survivors from exact
+    * Jaccard pairs + recursive-CTE reachability — equal because the
+    * exact verify makes the minhash pair set IDENTICAL to the exact
+    * pair set at this band config (true-pair band miss ≤ (1−τ²)^64 ≈
+    * 10⁻⁸, deterministic under the seeded hash family). */
+  val dedupPipeline: QueryFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = TextDedup.minhashLshPairs(docs, n = 3, tau = 0.5)
+    val kc = TextDedup.keepCanonical(docs.select("doc_id", "lang"), pairs)
+    val sizes = kc.groupBy("canonical_id").agg(count(lit(1)).as("dup_count"))
+    kc.filter(col("keep"))
+      .join(sizes, "canonical_id")
+      .select("doc_id", "lang", "dup_count")
+      .orderBy("doc_id")
+  }
+
+  val dedupPipelineSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2]
+      |  ))) AS g
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2
+      |  FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE c * 1.0 / (s1.n_sh + s2.n_sh - c) >= 0.5
+      |), edges AS (
+      |  SELECT id1 AS a, id2 AS b FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs
+      |), reach(node, root) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+      |), comp AS (
+      |  SELECT node AS doc_id, min(root) AS canonical_id FROM reach GROUP BY node
+      |), allc AS (
+      |  SELECT d.doc_id, d.lang,
+      |         coalesce(c.canonical_id, d.doc_id) AS canonical_id
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      |), szs AS (
+      |  SELECT canonical_id, count(*) AS dup_count FROM allc GROUP BY 1
+      |)
+      |SELECT a.doc_id, a.lang, s.dup_count
+      |FROM allc a JOIN szs s ON a.canonical_id = s.canonical_id
+      |WHERE a.doc_id = a.canonical_id
+      |ORDER BY a.doc_id""".stripMargin
+
   val dedupComponentsSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1445,6 +1505,7 @@ object Queries {
     "dedup_jaccard_rarefirst" -> dedupJaccardRareFirst,
     "dedup_minhash" -> dedupMinhash,
     "dedup_components" -> dedupComponents,
+    "dedup_pipeline" -> dedupPipeline,
     "corpus_sample" -> corpusSample,
     "decontamination" -> decontamination,
     "dedup_simhash" -> dedupSimhash,
@@ -1514,6 +1575,7 @@ object Queries {
     // in the query's scaladoc), so minhash shares the same oracle too
     "dedup_minhash" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_pipeline" -> dedupPipelineSql,
     "corpus_sample" -> corpusSampleSql,
     "decontamination" -> decontaminationSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,

@@ -279,6 +279,30 @@ object TextDedup {
     finally sh.unpersist()
   }
 
+  /** Single-join pair-local exact-Jaccard verify: explode each candidate
+    * pair into its two member ids, hydrate shingle arrays with ONE join
+    * against the cached doc-shingle table, and fold the two sides back
+    * with a first(when(...)) aggregate. Moves the same bytes as the
+    * h1⋈h2 form (2·|pairs| shingle arrays — the pair-local minimum) but
+    * references the candidate subplan ONCE, so it can stay LAZY inside a
+    * single materializing job instead of needing its own checkpoint:
+    * that is what lets [[minhashLshPairs]] run band-gen → bucket join →
+    * distinct → hydrate → Jaccard → threshold as one job. */
+  private def verifyPairLocal(docShingles: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.select(col("id1"), col("id2"),
+        explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .join(docShingles, "doc_id")
+      .groupBy("id1", "id2")
+      .agg(
+        first(when(col("doc_id") === col("id1"), col("shingles")),
+          ignoreNulls = true).as("sh1"),
+        first(when(col("doc_id") === col("id2"), col("shingles")),
+          ignoreNulls = true).as("sh2"))
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jaccard",
+        col("c") / (size(col("sh1")) + size(col("sh2")) - col("c")))
+      .select("id1", "id2", "jaccard")
+
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, band-hash), then verify candidates
     * with exact n-gram Jaccard ≥ tau. The LSH S-curve makes the candidate
@@ -287,16 +311,37 @@ object TextDedup {
     * The per-doc shingle arrays are computed ONCE and shared by both
     * phases (signatures AND the exact-Jaccard verify) — recomputing the
     * tokenize+shingle pass for the verify step costs two extra stages at
-    * scale for no benefit. */
+    * scale for no benefit. The uncapped route runs band generation,
+    * bucket self-join, distinct, pair-local hydrate, exact Jaccard and
+    * threshold as ONE materializing job (the measured cost of this
+    * operator at small SF is job-count and per-job planning, not
+    * compute; at 100-TB scale one job also means one AQE view of the
+    * real candidate stats). The df-capped route keeps the exploded
+    * verify — the cap must drop hub shingles from the sets themselves,
+    * which only that form expresses. */
   def minhashLshPairs(docs: DataFrame, n: Int, tau: Double,
                       numHashes: Int = 128, bands: Int = 64,
                       maxDocFreq: Int = 0): DataFrame = {
     val docShingles = docShingleTable(docs, n).persist()
     try {
-      val candidates = candidatePairsFromShingles(docShingles, numHashes, bands)
-      verifyFromShingles(docShingles, candidates, maxDocFreq)
-        .filter(col("jaccard") >= tau)
-    } finally docShingles.unpersist() // verified is localCheckpoint-materialized
+      if (maxDocFreq <= 0) {
+        val sigs = docShingles.select(col("doc_id"),
+          minhashUdf(numHashes)(col("shingles")).as("sig"))
+        // cache the band table ALREADY partitioned on the join keys: the
+        // bucket self-join then reads both branches from the cache with
+        // its required distribution — zero new exchanges for the join
+        val banded = bandedTable(sigs, numHashes, bands)
+          .repartition(col("band"), col("bh")).persist()
+        try verifyPairLocal(docShingles, bandedSelfJoin(banded))
+          .filter(col("jaccard") >= tau)
+          .localCheckpoint() // the one materialization; frees both caches
+        finally banded.unpersist()
+      } else {
+        val candidates = candidatePairsFromShingles(docShingles, numHashes, bands)
+        verifyFromShingles(docShingles, candidates, maxDocFreq)
+          .filter(col("jaccard") >= tau)
+      }
+    } finally docShingles.unpersist()
   }
 
   /** LSH candidate generation: pairs agreeing on >= 1 signature band.
@@ -306,9 +351,12 @@ object TextDedup {
                      bands: Int): DataFrame =
     bandedCandidates(minhashSignatures(docs, n, numHashes), numHashes, bands)
 
-  /** Band-bucket self-join over a (doc_id, sig) table. */
-  private def bandedCandidates(sigs: DataFrame, numHashes: Int,
-                               bands: Int): DataFrame = {
+  /** (doc_id, band, bh) band-hash table for a (doc_id, sig) signature
+    * table — one pass over the signature (no per-band explode of the
+    * full signature array). Caller persists (the self-join would
+    * otherwise recompute the signature UDF once per branch). */
+  private def bandedTable(sigs: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val bandHashes = udf { (sig0: Seq[Long]) =>
@@ -320,24 +368,31 @@ object TextDedup {
         h
       }
     }
-    // persisted: the self-join would otherwise recompute the signature
-    // UDF once per branch
-    val banded = sigs
+    sigs
       // _outer: see shingleTable note — plain posexplode would re-inline
       // the band-hash (and upstream signature) UDFs into inferred filters
       .select(col("doc_id"), posexplode_outer(bandHashes(col("sig"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-      .persist()
+  }
+
+  /** Distinct candidate pairs from a persisted band-hash table. */
+  private def bandedSelfJoin(banded: DataFrame): DataFrame = {
     val a = banded.as("a"); val b = banded.as("b")
-    // candidates are tiny — materialize them (localCheckpoint) so the
-    // banded cache can be released immediately instead of pinning the
-    // session's storage pool for the lifetime of the returned plan
-    try a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-      .localCheckpoint()
+  }
+
+  /** Band-bucket self-join over a (doc_id, sig) table. */
+  private def bandedCandidates(sigs: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val banded = bandedTable(sigs, numHashes, bands).persist()
+    // candidates are tiny — materialize them (localCheckpoint) so the
+    // banded cache can be released immediately instead of pinning the
+    // session's storage pool for the lifetime of the returned plan
+    try bandedSelfJoin(banded).localCheckpoint()
     finally banded.unpersist()
   }
 

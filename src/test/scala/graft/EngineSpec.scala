@@ -639,6 +639,51 @@ class EngineSpec extends SparkSpec {
       planRows.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("per-call trace: serving path, head/tail counts, cache layers, timing") {
+    val root = Files.createTempDirectory("engine_trace").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(31)
+    val recs = (0 until 40).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2)
+    val qs = Array((0L, Array.fill(4)(rng.nextFloat())))
+    // clean head: the zero-job path, no head rows scanned, some tail rows
+    val (rows0, tr0) = eng.searchRowsTraced("t1", "idx", qs, k = 3, nprobe = 2)
+    assert(rows0.nonEmpty)
+    assert(tr0.path == "head+tail", tr0)
+    assert(tr0.headLive == 0 && tr0.headMasked == 0, tr0)
+    assert(tr0.tailRows >= 3, tr0)
+    assert(tr0.totalMicros > 0, tr0)
+    // dirty head: live + mask counts surface
+    eng.add(mkRecords(Seq(("vnew", qs(0)._2.toSeq, null, Seq.empty[String], 200L))))
+    eng.delete("t1", "idx", Seq("v5"), version = 210L)
+    val (_, tr1) = eng.searchRowsTraced("t1", "idx", qs, k = 3, nprobe = 2)
+    assert(tr1.path == "head+tail", tr1)
+    assert(tr1.headLive == 1, tr1) // vnew
+    // every head-written id masks same-id tail rows: vnew + v5 tombstone
+    assert(tr1.headMasked == 2, tr1)
+    // non-inverted-list tail: fallback path flagged, counts are n/a
+    eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
+    eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    val (_, tr2) = eng.searchRowsTraced("t1", "pq", qs, k = 3, nprobe = 2)
+    assert(tr2.path == "plan-fallback", tr2)
+    assert(tr2.headLive == -1 && tr2.tailRows == -1, tr2)
+    // cached path: miss records probed layers, hit records the layer
+    val qv = recs(3)._2.toArray
+    val (lm, _, trMiss) = eng.searchCachedRowsTraced("t1", "idx", 7L, qv,
+      k = 3, nprobe = 2, now = 1000L)
+    assert(lm == "MISS" && trMiss.path == "cache-miss", trMiss)
+    assert(trMiss.probedLayers.contains("L0"), trMiss)
+    assert(trMiss.cacheLayer.isEmpty, trMiss)
+    val (lh, _, trHit) = eng.searchCachedRowsTraced("t1", "idx", 7L, qv,
+      k = 3, nprobe = 2, now = 1005L)
+    assert(lh == "L0" && trHit.path == "cache-hit", trHit)
+    assert(trHit.cacheLayer.contains("L0"), trHit)
+    assert(trHit.probedLayers.headOption.contains("L0"), trHit)
+    assert(trHit.totalMicros > 0, trHit)
+  }
+
   test("searchCachedRows: resident L0 hit parity with the batch cascade; TTL and epoch invalidate") {
     val root = Files.createTempDirectory("engine_l0rows").toString
     val eng = new GraftEngine(spark, root)

@@ -57,12 +57,48 @@ class EmbeddingDedupSpec extends SparkSpec {
     val gotPairs = pairSet(got)
     // precision is structural (exact cosine verify after candidate gen)
     assert(gotPairs.subsetOf(exactPairs), "LSH returned a below-threshold pair")
-    // recall on the planted dups: perturbation is tiny → all 64 simhash
-    // bits agree with the source → all 4 bands collide → guaranteed found
+    // recall on the planted dups: perturbation is tiny → (nearly) all 128
+    // fingerprint bits agree with the source → at least one of the 4
+    // 32-bit bands collides (deterministic under the fixed seeds)
     (0 until nDups).foreach { j =>
       val p = ((j * 3).toLong, (nBase + j).toLong)
       assert(gotPairs.contains(p), s"LSH missed planted pair $p")
     }
+  }
+
+  test("lshPairs: narrow-band legacy config (4x16 of 64 bits) still works") {
+    val got = pairSet(EmbeddingDedup.lshPairs(embeddings, tau,
+      bandBits = 16, nBands = 4))
+    assert(got.subsetOf(exactPairs))
+    (0 until nDups).foreach { j =>
+      val p = ((j * 3).toLong, (nBase + j).toLong)
+      assert(got.contains(p), s"16-bit-band LSH missed planted pair $p")
+    }
+  }
+
+  test("maxBucketSize caps a degenerate clique's quadratic bucket; other pairs unaffected") {
+    // 60 EXACT copies of one vector (a degenerate dense region: every
+    // band bucket holds all 60) + one small planted pair elsewhere
+    val rng = new Random(11)
+    val cliqueV = Array.fill(dim)(rng.nextFloat() * 2 - 1).toSeq
+    val pairV = Array.fill(dim)(rng.nextFloat() * 2 - 1).toSeq
+    val clique = (0 until 60).map(i => (i.toLong, cliqueV))
+    val pair = Seq((1000L, pairV), (1001L, pairV.map(x => x + 0.001f)))
+    val df = (clique ++ pair).toDF("vec_id", "embedding").cache()
+
+    // uncapped: the clique emits all 60·59/2 pairs
+    val uncapped = pairSet(EmbeddingDedup.lshPairs(df, tau, maxBucketSize = 10000))
+    assert(uncapped.count { case (a, b) => a < 60 && b < 60 } == 60 * 59 / 2)
+    assert(uncapped.contains((1000L, 1001L)))
+
+    // capped at 10: all four clique buckets hold 60 > 10 → dropped whole
+    // (exact-copy cliques are exact-dedup's job — hash groupBy, no pair
+    // explosion); the unrelated small pair's buckets are under cap
+    val capped = pairSet(EmbeddingDedup.lshPairs(df, tau, maxBucketSize = 10))
+    assert(capped.count { case (a, b) => a < 60 && b < 60 } == 0,
+      "over-cap clique bucket must be dropped")
+    assert(capped.contains((1000L, 1001L)), "under-cap pair must survive the hub guard")
+    df.unpersist()
   }
 
   test("topPairs ranks the planted dups first") {
