@@ -158,6 +158,14 @@ object TextDedup {
             .select("doc_id", "g")
         }
       val a = prefix.as("a"); val b = prefix.as("b")
+      // candidates are CHECKPOINTED here, unlike minhashLshPairs' fused
+      // single-job form: the prefix subtree (global df pass + two
+      // windows + rank join) is heavy, and leaving it lazy under the
+      // verify was measured 2-3× SLOWER — AQE re-plans the composite
+      // with the huge pre-runtime estimate and the heavy upstream work
+      // lands in a handful of post-coalesce tasks. Fusion pays off only
+      // when candidate GENERATION is cheap (minhash band buckets);
+      // materialize-once is the right shape when it is not.
       val cands = a.join(b,
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

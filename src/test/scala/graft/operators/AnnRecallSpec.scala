@@ -134,6 +134,35 @@ class AnnRecallSpec extends SparkSpec {
     tied.unpersist()
   }
 
+  test("MT driver tier is safe under concurrent callers (shared pool, no cross-talk)") {
+    // the daemon pool is shared JVM-wide: two callers' task batches
+    // interleave on it. Results must match the single-caller answer
+    // exactly for both callers — TopKBufs are per-call, parts immutable.
+    val tied = (0 until 400).map { i =>
+      (i.toLong, Seq((i % 5).toFloat, ((i / 5) % 4).toFloat, 1f))
+    }.toDF("id", "vec").cache()
+    val idx = IvfFlat.build(tied, nlist = 4)
+    val qsA = (0 until 120).map(i => (i.toLong, Array((i % 5).toFloat, 1f, 1f))).toArray
+    val qsB = (0 until 120).map(i => (i.toLong, Array(1f, (i % 4).toFloat, 1f))).toArray
+    def mt(qs: Array[(Long, Array[Float])]) =
+      IvfFlat.searchLocalRowsPath(idx, qs, "L2", K, 2, spark,
+        forceDistributed = false, stBound = 0L, mtBound = Long.MaxValue)
+        .sortBy(r => (r._1, r._2)).toSeq
+    val (expA, expB) = (mt(qsA), mt(qsB))
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        val ok = (0 until 5).forall { _ =>
+          mt(if (t % 2 == 0) qsA else qsB) == (if (t % 2 == 0) expA else expB)
+        }
+        results.put(t, ok)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (0 until 8).foreach(t => assert(results.get(t), s"thread $t diverged"))
+    tied.unpersist()
+  }
+
   test("IVF-Flat save/load roundtrip preserves search results") {
     val idx = IvfFlat.build(vectors, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
