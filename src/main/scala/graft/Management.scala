@@ -147,6 +147,11 @@ class Management(spark: SparkSession, val root: String) {
     writeJson(tenantFile(tenantId), quotaJson(quota(tenantId), newHash))
   }
 
+  /** Whether the tenant has any API key set — the protocol planes only
+    * enforce per-command auth for tenants that configured one. */
+  def apiKeyConfigured(tenantId: String): Boolean =
+    tenantExists(tenantId) && apiKeyHash(tenantId).nonEmpty
+
   /** Constant-shape comparison of a presented key hash (the reference
     * stores hashes, never plaintext — Security/ApiKeyAuth). */
   def verifyApiKey(tenantId: String, presentedHash: String): Boolean =
