@@ -14,6 +14,11 @@ case class TenantQuota(maxQps: Int = 100,
                        priority: Int = 1,
                        monthlyBudget: Double = 100.0)
 
+/** Cluster-wide cache policy (reference: Model/CachePolicyConfig.cs:3-8 —
+  * same fields, same defaults). */
+case class CachePolicy(enableCache: Boolean = true,
+                       defaultTtlSeconds: Int = 60)
+
 /** Declared per-index schema (reference: Model/IndexConfig.cs:7-33). */
 case class DeclaredIndex(dim: Int, metric: String = "L2",
                          algo: String = "IVF_FLAT", nlist: Int = 16,
@@ -37,8 +42,9 @@ case class DeclaredIndex(dim: Int, metric: String = "L2",
   * Config-plane state (tenants, users, index declarations, model registry)
   * is tiny and driver-written as atomic-rename JSON, exactly like the
   * engine manifest; data-plane state stays in the engine's parquet layout.
-  * There is deliberately no HTTP server here (documented divergence,
-  * COVERAGE.md): the protocol plane is transport, not capability.
+  * This class stays transport-free; [[graft.server.HttpPlane]] serves
+  * these same calls over the reference's REST routes, and
+  * [[graft.server.RespServer]] serves the data plane over RESP.
   */
 object Management {
   /** Sentinel principal for in-process trusted callers (the serving stack
@@ -196,6 +202,42 @@ class Management(spark: SparkSession, val root: String) {
     val us = users(tenantId)
     require(us.contains(userId), s"no such user: $userId")
     writeUsers(tenantId, us + (userId -> role))
+  }
+
+  def deleteUser(tenantId: String, userId: String,
+                 actingUser: String = Management.SystemUser): Unit = {
+    authorize(tenantId, actingUser, "admin")
+    val us = users(tenantId)
+    require(us.contains(userId), s"no such user: $userId")
+    writeUsers(tenantId, us - userId)
+  }
+
+  // -------------------------------------------------------------------
+  // cache policy store (CacheController.cs:26-60 GET/PUT policies;
+  // Model/CachePolicyConfig.cs:3-8 — same fields, same defaults).
+  // Persisted as config-plane JSON rather than process memory so every
+  // driver/gateway sees one policy; callers feed `defaultTtlSeconds`
+  // into the engine's `ttlSeconds` search argument.
+  // -------------------------------------------------------------------
+
+  private def policyFile = Paths.get(s"$root/cache_policy.json")
+
+  def cachePolicy: CachePolicy = {
+    if (!Files.exists(policyFile)) CachePolicy()
+    else {
+      val s = Files.readString(policyFile)
+      CachePolicy(
+        raw""""enableCache"\s*:\s*(true|false)""".r.findFirstMatchIn(s)
+          .forall(_.group(1) == "true"),
+        jLong(s, "defaultTtlSeconds").getOrElse(60L).toInt)
+    }
+  }
+
+  def updateCachePolicy(p: CachePolicy,
+                        actingUser: String = Management.SystemUser): Unit = {
+    require(p.defaultTtlSeconds >= 0, "DefaultTtlSeconds must be >= 0.")
+    writeJson(policyFile,
+      s"""{"enableCache": ${p.enableCache}, "defaultTtlSeconds": ${p.defaultTtlSeconds}}""")
   }
 
   // -------------------------------------------------------------------
