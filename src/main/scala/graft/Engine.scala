@@ -1493,11 +1493,19 @@ class GraftEngine(spark: SparkSession, root: String) {
     val nHit = if (hitRows == null) 0L else hitRows.count()
     val anyMiss = nHit < nQ
 
-    def emptyResult() =
-      missQueries.select(col("query_id")).limit(0)
-        .select(col("query_id"), lit(0).as("rank"),
-          lit(null).cast("string").as("id"), lit(null).cast("double").as("score"))
-        .localCheckpoint()
+    // zero-JOB empty frame (an eager localCheckpoint of a limit(0) plan
+    // still scheduled a job per fully-warm call), decoupled from the
+    // cache files by construction
+    def emptyResult() = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", queries.schema("query_id").dataType),
+          StructField("rank", IntegerType),
+          StructField("id", StringType),
+          StructField("score", DoubleType))))
+    }
 
     // miss path: the real delta search (steps 10-12); materialized so the
     // populate write below doesn't trigger a second full search and the
@@ -1608,20 +1616,49 @@ class GraftEngine(spark: SparkSession, root: String) {
     // the MISS SET (nQ − nHit), not the result rows — a miss whose search
     // returns zero hits (selective tags, empty probes) still bills.
     val nMiss = nQ - nHit
-    import spark.implicits._
     // append + rotation under the per-index lock: a row landing between
     // another thread's fold-read and its swap would be silently destroyed.
     // Rotation folds the log into one summed row past the file threshold —
     // one tiny file per call is a small-files generator at serving rates,
     // and every consumer (statsText, billingUsage) only ever SUMS it.
     withManifestLock(tenant, index) {
-      Seq((now, nHit, nMiss)).toDF("ts", "hits", "misses")
-        .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+      writeMetricsRowLocal(s"$root/metrics/$tenant/$index", now, nHit, nMiss)
       compactMetricsLog(tenant, index)
     }
 
     keyed.unpersist()
     out.orderBy("query_id", "rank")
+  }
+
+  // message schema for the driver-side metrics writer; matches the shape
+  // Spark itself wrote (ts/hits/misses int64), so mixed dirs read fine
+  private lazy val metricsRowSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message metrics { required int64 ts; required int64 hits; required int64 misses; }")
+
+  /** Append one (ts, hits, misses) row to a metrics dir WITHOUT a Spark
+    * job: the per-call counters are a single ~24-byte row, and scheduling
+    * a distributed write for it was pure overhead on the serving path
+    * (one full job per [[searchCached]] call). parquet-mr writes the same
+    * schema Spark did, so every consumer (statsText, billingUsage,
+    * the fold) reads the mixed dir unchanged. */
+  private def writeMetricsRowLocal(dir: String, ts: Long, hits: Long,
+                                   misses: Long): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val file = s"$dir/part-local-${java.util.UUID.randomUUID()}.parquet"
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withType(metricsRowSchema)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        metricsRowSchema).newGroup()
+      g.add("ts", ts); g.add("hits", hits); g.add("misses", misses)
+      w.write(g)
+    } finally w.close()
   }
 
   /** Fold the append-only hit/miss metrics log into a single summed row
@@ -1637,12 +1674,10 @@ class GraftEngine(spark: SparkSession, root: String) {
       if (dirFileCount(p) > CacheGcFileThreshold) {
         val r = spark.read.parquet(p)
           .agg(max("ts"), sum("hits"), sum("misses")).head
-        import spark.implicits._
-        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
-          .toDF("ts", "hits", "misses")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(tmpPath(s"metrics/$tenant/$index"))
-        swapInto(tmpPath(s"metrics/$tenant/$index"), Paths.get(p))
+        val tmp = tmpPath(s"metrics/$tenant/$index")
+        deleteTree(Paths.get(tmp))
+        writeMetricsRowLocal(tmp, r.getLong(0), r.getLong(1), r.getLong(2))
+        swapInto(tmp, Paths.get(p))
       }
     }
 
@@ -1919,9 +1954,7 @@ class GraftEngine(spark: SparkSession, root: String) {
     val n = counter.get()
     if (n > 0) {
       withManifestLock(tenant, index) {
-        import spark.implicits._
-        Seq((now, n, 0L)).toDF("ts", "hits", "misses")
-          .write.mode("append").parquet(s"$root/metrics/$tenant/$index")
+        writeMetricsRowLocal(s"$root/metrics/$tenant/$index", now, n, 0L)
         compactMetricsLog(tenant, index)
       }
       counter.addAndGet(-n)
