@@ -1,0 +1,42 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Management
+
+/** Boot the full server: one SparkSession, one engine/management root,
+  * the RESP data plane and the HTTP management plane — the deployable
+  * shape of the reference (GarnetService + ASP.NET host in one process,
+  * Program.cs). Usage:
+  *
+  *   sbt "runMain graft.server.ServerMain [root] [respPort] [httpPort]"
+  *
+  * Defaults: root=/tmp/graft-server, RESP 6380, HTTP 8080 (0 = ephemeral;
+  * chosen ports are printed). On a cluster this process is the driver (or
+  * a thin gateway): per-call serving stays on the engine's zero-job
+  * resident tiers; index builds and batch analytics run as Spark jobs. */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft-server")
+    val respPort = if (args.length > 1) args(1).toInt else 6380
+    val httpPort = if (args.length > 2) args(2).toInt else 8080
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val mgmt = new Management(spark, root)
+    val resp = new RespServer(mgmt.engine, mgmt, spark, respPort)
+    val http = new HttpPlane(mgmt, httpPort)
+    val rp = resp.start()
+    val hp = http.start()
+    println(s"graft server up: root=$root RESP=localhost:$rp HTTP=localhost:$hp")
+    sys.addShutdownHook { resp.close(); http.close(); spark.stop() }
+    Thread.currentThread().join() // serve until killed
+  }
+}
