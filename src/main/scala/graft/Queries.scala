@@ -1220,6 +1220,48 @@ object Queries {
        |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style top-bigram repetition fraction per document (the
+    * boilerplate/spam signal of a pretraining filter). */
+  val textRepetition: QueryFn = (s, dir) =>
+    TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+      |         t[i] || ' ' || t[i+1] AS bigram
+      |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+      |), cnt AS (
+      |  SELECT doc_id, n_bigrams, bigram, CAST(count(*) AS BIGINT) AS c
+      |  FROM bg GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, n_bigrams, max(c) AS top_bigram_n,
+      |       max(c) * 1.0 / n_bigrams AS top_bigram_frac
+      |FROM cnt GROUP BY doc_id, n_bigrams ORDER BY doc_id""".stripMargin
+
+  /** PII scan/scrub parity row: counts are zero on the synthetic corpus
+    * (no emails/digits planted) — the row proves engine parity of the
+    * shared RE2-compatible patterns end to end; the kernels' hit
+    * behavior is pinned on planted inputs in TextAnalysisSpec. */
+  val piiScan: QueryFn = (s, dir) =>
+    TextAnalysis.piiScan(t(s, dir, "documents")).orderBy("doc_id")
+
+  val piiScanSql: String = {
+    // DuckDB single-quoted literals are standard-conforming (no backslash
+    // processing) — only quotes need escaping; '\b' etc. reach RE2 as-is
+    def q(p: String) = p.replace("'", "''")
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '${q(TextAnalysis.EmailPat)}')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '${q(TextAnalysis.Ipv4Pat)}')) AS BIGINT) AS n_ipv4,
+       |       CAST(len(regexp_extract_all(text, '${q(TextAnalysis.PhonePat)}')) AS BIGINT) AS n_phones,
+       |       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |         '${q(TextAnalysis.EmailPat)}', '<EMAIL>', 'g'),
+       |         '${q(TextAnalysis.Ipv4Pat)}', '<IP>', 'g'),
+       |         '${q(TextAnalysis.PhonePat)}', '<PHONE>', 'g')) AS BIGINT) AS n_chars_scrubbed
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Pipeline composition: exact-dedup keep-list ∩ language==en ∩ length
     * floor — the "clean corpus" selection a pretraining pipeline runs,
     * chaining three verified operators in one plan. */
@@ -1499,6 +1541,8 @@ object Queries {
     "dedup_exact" -> dedupExact,
     "token_count" -> tokenCount,
     "bpe_token_count" -> bpeTokenCount,
+    "text_repetition" -> textRepetition,
+    "pii_scan" -> piiScan,
     "corpus_clean" -> corpusClean,
     "multimodal_resize" -> multimodalResize,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1565,6 +1609,8 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "token_count" -> tokenCountSql,
     "bpe_token_count" -> bpeTokenCountSql,
+    "text_repetition" -> textRepetitionSql,
+    "pii_scan" -> piiScanSql,
     "corpus_clean" -> corpusCleanSql,
     "multimodal_resize" -> multimodalResizeSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -55,6 +55,65 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * bigrams taken by its single most frequent bigram — high values flag
+    * boilerplate / generated spam for a pretraining filter (Rae et al.
+    * 2021 "Scaling Language Models", repetition rules C.2).
+    *
+    * Scale shape: explode → hash-aggregate on (doc_id, bigram) → per-doc
+    * max. Deliberately NOT a per-row array self-count (`transform` +
+    * `filter` per element is O(L²) per document and runs in one task);
+    * the aggregate form shuffles one row per DISTINCT (doc, bigram),
+    * map-side combined, and parallelizes across the corpus — the shape
+    * that survives 100 TB. Single-token documents have no bigram and
+    * produce no row (matches the SQL oracle's semantics). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val bg = docs
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        (size(col("t")) - 1).cast("long").as("n_bigrams"),
+        explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    bg.groupBy("doc_id", "n_bigrams", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_bigrams")
+      .agg(max("c").as("top_bigram_n"))
+      .withColumn("top_bigram_frac", col("top_bigram_n") / col("n_bigrams"))
+  }
+
+  /** PII patterns, shared verbatim with the DuckDB oracle: lookahead-free
+    * and backreference-free so Java regex (Spark) and RE2 (DuckDB) agree
+    * on every match. Greedy character-class quantifiers are
+    * leftmost-longest under both engines. */
+  val EmailPat: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePat: String = "\\+[0-9][0-9 -]{7,13}[0-9]"
+
+  /** PII scan + scrub for a training corpus: per-document counts of
+    * email / IPv4 / international-phone shapes and the length of the
+    * redacted text (emails → <EMAIL>, then IPs → <IP>, then phones →
+    * <PHONE>, in that fixed order so overlapping matches resolve
+    * deterministically). Pure column expressions — scales as a scan. */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+        lit(Ipv4Pat), lit("<IP>")),
+      lit(PhonePat), lit("<PHONE>"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
+        .cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("n_chars_scrubbed"))
+  }
+
   /** Deterministic language guess: stopword-profile counts per language,
     * argmax with fixed precedence (en > de > fr > es), 'und' when no
     * profile matches. */

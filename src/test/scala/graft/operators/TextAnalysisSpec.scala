@@ -48,4 +48,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == 2L)   // hello | " world"
     assert(got(3L) == 4L)   // a | 1 | b | 2
   }
+
+  test("repetition: top-bigram count and fraction; single-token docs drop") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now"),    // bigrams: "buy now"×3, "now buy"×2
+      (2L, "a b c d"),                    // all distinct → top=1 of 3
+      (3L, "solo")                        // no bigram → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_n"),
+          r.getAs[Double]("top_bigram_frac")))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 5L && got(1L)._2 == 3L)
+    assert(math.abs(got(1L)._3 - 3.0 / 5) < 1e-12)
+    assert(got(2L) == ((3L, 1L, 1.0 / 3)))
+  }
+
+  test("piiScan: planted emails/IPs/phones are counted and scrubbed") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.co or bob@host.org thanks"),
+      (2L, "server 10.0.255.7 and 192.168.1.1 up; call +1 415-555-0100"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("n_chars_scrubbed")))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L && got(1L)._3 == 0L)
+    assert(got(2L)._1 == 0L && got(2L)._2 == 2L && got(2L)._3 == 1L)
+    assert(got(3L) == ((0L, 0L, 0L,
+      "clean text with no identifiers at all".length.toLong))) // untouched
+    // scrub replaces, never leaks: redacted doc 1 contains no '@'
+    val scrubLen1 = got(1L)._4
+    val expected1 = "mail me at <EMAIL> or <EMAIL> thanks".length.toLong
+    assert(scrubLen1 == expected1)
+  }
 }
