@@ -17,6 +17,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema echo: if the driver regenerates testdata with different types
+    // (as with events.ts int64-nanos → timestamp[us]), the round log shows
+    // it immediately instead of leaving 6 opaque query errors to bisect.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try {
+        val raw = spark.read.parquet(s"$sfDir/$t.parquet").schema
+        System.err.println(s"[verify] schema $t: ${raw.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] schema $t: unreadable (${e.getMessage})")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -86,8 +86,13 @@ object TextAnalysis {
 
   /** PII patterns, shared verbatim with the DuckDB oracle: lookahead-free
     * and backreference-free so Java regex (Spark) and RE2 (DuckDB) agree
-    * on every match. Greedy character-class quantifiers are
-    * leftmost-longest under both engines. */
+    * on every match. Both engines use leftmost-first (Perl-style)
+    * matching — not POSIX leftmost-longest — and these patterns have no
+    * alternations whose branch order could differ, so matches agree.
+    * Note PhonePat's separator run `[0-9 -]{7,13}` is deliberately loose
+    * (it can bridge a single space into an adjacent digit group, e.g.
+    * "+12345678 9012" matches as one phone); both engines over-match
+    * identically, and [[graft.TextAnalysisSpec]] pins the behavior. */
   val EmailPat: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pat: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhonePat: String = "\\+[0-9][0-9 -]{7,13}[0-9]"
@@ -96,7 +101,12 @@ object TextAnalysis {
     * email / IPv4 / international-phone shapes and the length of the
     * redacted text (emails → <EMAIL>, then IPs → <IP>, then phones →
     * <PHONE>, in that fixed order so overlapping matches resolve
-    * deterministically). Pure column expressions — scales as a scan. */
+    * deterministically). Counts are computed per-pattern on the RAW text
+    * while the scrub is sequential, so a span that matches two patterns
+    * (e.g. "user@192.168.1.1.com" is one email AND one ipv4) counts once
+    * under each but scrubs to a single replacement — counts can exceed
+    * what n_chars_scrubbed implies. Pure column expressions — scales as
+    * a scan. */
   def piiScan(docs: DataFrame): DataFrame = {
     val scrubbed = regexp_replace(
       regexp_replace(

@@ -84,4 +84,21 @@ class TextAnalysisSpec extends SparkSpec {
     val expected1 = "mail me at <EMAIL> or <EMAIL> thanks".length.toLong
     assert(scrubLen1 == expected1)
   }
+
+  test("piiScan: documented over-match and double-count edges are pinned") {
+    val docs = Seq(
+      // PhonePat's loose separator run bridges the space: ONE phone match
+      // swallowing both digit groups, not two.
+      (1L, "ref +12345678 9012 end"),
+      // A span matching two patterns counts once under EACH, but the
+      // sequential scrub (email first) resolves it to a single <EMAIL>.
+      (2L, "ping user@192.168.1.1.com now")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("n_chars_scrubbed")))).toMap
+    assert(got(1L) == ((0L, 0L, 1L, "ref <PHONE> end".length.toLong)))
+    assert(got(2L) == ((1L, 1L, 0L, "ping <EMAIL> now".length.toLong)))
+  }
 }
