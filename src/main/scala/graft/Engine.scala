@@ -1138,6 +1138,14 @@ class GraftEngine(spark: SparkSession, root: String) {
     * broadcast semi-join instead of a resident map. */
   private val IdMapMaxRows = 1000000L
 
+  /** Miss-batch bound for [[searchCached]]'s zero-job serving shortcut:
+    * batches at most this size collect their miss queries (≤1024 × dim
+    * floats — single-digit MB) and serve through [[searchRows]]; larger
+    * batches stay on the distributed search plan. [[searchRows]]'s own
+    * internal fallback (full plan + collect) stays bounded by the same
+    * cap: worst case ≤1024 × k result rows come back to the driver. */
+  private val CachedMissLocalMaxQueries = 1024L
+
   private def cacheEntriesPath(tenant: String, index: String) =
     s"$root/cache/$tenant/$index/entries"
   private def cacheAliasPath(tenant: String, index: String) =
@@ -1414,7 +1422,12 @@ class GraftEngine(spark: SparkSession, root: String) {
       .withColumn("l2_key", when(col("l2_cluster").isNotNull,
         Caching.queryKey(lit(tenant), lit(index), lit(k), lit(metric), tagsNorm,
           col("l2_cluster").cast("long"))))
-      .cache()
+      // eager localCheckpoint, not cache(): five downstream plans consume
+      // keyed (probes, alias resolution, qAgg, missQueries, newEntries),
+      // and with cache() each one re-analyzes the full UDF+hash lineage —
+      // checkpointing roots them all at a shallow RDD scan instead, which
+      // cuts the per-call wall time planning had dominated
+      .localCheckpoint()
 
     // L0.5: alias resolution of the exact key (confidence ≥ 0.8)
     val aliasesExist = Files.exists(Paths.get(cacheAliasPath(tenant, index)))
@@ -1511,8 +1524,26 @@ class GraftEngine(spark: SparkSession, root: String) {
     // populate write below doesn't trigger a second full search and the
     // returned frame is decoupled from the just-appended cache files.
     // Under cache-only shedding the misses never reach the index.
+    // Small miss batches (≤1024 plain long-id queries, no tag filter or
+    // scan cap) route through the zero-job [[searchRows]] serving tier
+    // instead of the distributed plan: the result comes back as a local
+    // relation (decoupled from cache files by construction, so no
+    // checkpoint either), replacing the cold call's costliest action
+    // chain with one bounded collect. Large or filtered batches keep the
+    // distributed path — on a cluster that is the only correct tier.
+    val rowsPathOk = nQ <= CachedMissLocalMaxQueries &&
+      queries.schema("query_id").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      !queries.columns.contains("filter_tags") && options.maxScans == 0
     val fresh =
       if (options.cacheOnly || !anyMiss) emptyResult()
+      else if (rowsPathOk) {
+        val qArr = missQueries.select(col("query_id"), col("qvec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        import spark.implicits._
+        searchRows(tenant, index, qArr, k, metric, nprobe)
+          .toSeq.toDF("query_id", "rank", "id", "score")
+      }
       else searchImpl(tenant, index,
         missQueries.select(queries.columns.map(col): _*), k, metric, nprobe,
         maxScans = options.maxScans)
