@@ -139,7 +139,9 @@ object Resp {
   * blocking-RESP shape and is bounded by client count, not data size.
   */
 final class RespServer(engine: GraftEngine, mgmt: Management,
-                       spark: SparkSession, port: Int = 0) {
+                       spark: SparkSession, port: Int = 0,
+                       maxConnections: Int = 256,
+                       idleTimeoutMs: Int = 300000) {
 
   import Resp._
 
@@ -148,8 +150,14 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
   private val ErrNotFound = "VEC_ERR_NOT_FOUND"
   private val ErrQuota = "VEC_ERR_QUOTA"
   private val ErrAuth = "VEC_ERR_AUTH"
+  private val ErrBusy = "VEC_ERR_BUSY"
 
   private val queryIds = new AtomicLong(1L)
+  // thread-per-connection is bounded by maxConnections, and an idle socket
+  // can't pin its thread past idleTimeoutMs (SO_TIMEOUT on reads) — a
+  // stalled or leaked client degrades to one rejected/reaped connection,
+  // never an unbounded thread pile-up
+  private val activeConnections = new AtomicLong(0L)
   @volatile private var serverSocket: ServerSocket = _
   @volatile private var running = false
   private val pool: ExecutorService = Executors.newCachedThreadPool(
@@ -218,7 +226,19 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     while (running) {
       try {
         val s = serverSocket.accept()
-        pool.submit(new Runnable { def run(): Unit = serve(s) })
+        if (activeConnections.incrementAndGet() > maxConnections) {
+          // reject at the door: the overload reply goes out on the accept
+          // thread (a one-shot buffered write on a fresh socket — no read,
+          // so a malicious client can't stall the acceptor)
+          activeConnections.decrementAndGet()
+          try {
+            val out = new BufferedOutputStream(s.getOutputStream)
+            writeError(out, s"$ErrBusy max connections ($maxConnections) reached")
+            out.flush()
+          } catch { case NonFatal(_) => }
+          finally { try s.close() catch { case NonFatal(_) => } }
+        } else
+          pool.submit(new Runnable { def run(): Unit = serve(s) })
       } catch {
         case _: SocketException => // closed
         case NonFatal(_) if !running =>
@@ -226,6 +246,9 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     }
 
   private def serve(socket: Socket): Unit = {
+    // an idle (or wedged) client hits SO_TIMEOUT on the next blocking read
+    // and is dropped in the catch below, freeing its pool thread
+    socket.setSoTimeout(idleTimeoutMs)
     val in = new BufferedInputStream(socket.getInputStream)
     val out = new BufferedOutputStream(socket.getOutputStream)
     var sessionTenant: Option[String] = None
@@ -255,12 +278,17 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
         }
       }
     } catch {
+      case _: java.net.SocketTimeoutException =>
+        // idle past idleTimeoutMs: best-effort notice, then reap
+        try { writeError(out, s"$ErrBusy idle timeout"); out.flush() }
+        catch { case NonFatal(_) => }
       case _: EOFException | _: SocketException => // client went away
       case _: Resp.ProtocolException => // malformed framing: drop connection
       case NonFatal(e) =>
         try { writeError(out, s"ERR ${e.getMessage}"); out.flush() }
         catch { case NonFatal(_) => }
     } finally {
+      activeConnections.decrementAndGet()
       try socket.close() catch { case NonFatal(_) => }
     }
   }

@@ -50,6 +50,9 @@ class RespServerSpec extends SparkSpec {
       out.write((l + "\r\n").getBytes(UTF_8)); out.flush(); read()
     }
 
+    /** Read a server-initiated reply without sending (busy rejections). */
+    def read0(): Reply = read()
+
     private def line(): String = {
       val sb = new StringBuilder
       var c = in.read()
@@ -298,5 +301,86 @@ class RespServerSpec extends SparkSpec {
     threads.foreach(_.start())
     threads.foreach(_.join(30000))
     assert(ok.get() == 4)
+  }
+
+  // ---- wire-plane hardening: a bounded, self-reaping front end ---------
+
+  test("max-connections bound: excess connections are rejected with VEC_ERR_BUSY, not queued") {
+    val srv = new RespServer(eng, mgmt, spark, maxConnections = 2,
+      idleTimeoutMs = 60000)
+    val p = srv.start()
+    try {
+      val c1 = new Client(p); val c2 = new Client(p)
+      try {
+        assert(c1.cmd("PING") == Simple("PONG"))
+        assert(c2.cmd("PING") == Simple("PONG"))
+        // third connection: rejected at accept with the BUSY code, closed
+        val c3 = new Client(p)
+        try c3.read0() match {
+          case Err(m) => assert(m.startsWith("VEC_ERR_BUSY"))
+          case other => fail(s"expected busy rejection, got $other")
+        } finally c3.close()
+        // the bound frees as connections close: after dropping one, a new
+        // client is served again
+        c2.close()
+        val deadline = System.nanoTime() + 10000000000L // reap isn't instant
+        var served = false
+        while (!served && System.nanoTime() < deadline) {
+          val c4 = new Client(p)
+          try served = c4.cmd("PING") == Simple("PONG")
+          catch { case _: Throwable => Thread.sleep(50) }
+          finally c4.close()
+        }
+        assert(served, "slot did not free after a connection closed")
+      } finally c1.close()
+    } finally srv.close()
+  }
+
+  test("idle-socket timeout: a connected-but-silent client is reaped and cannot pin a thread") {
+    val srv = new RespServer(eng, mgmt, spark, maxConnections = 1,
+      idleTimeoutMs = 300)
+    val p = srv.start()
+    try {
+      // stalled client: connects, sends nothing
+      val stalled = new Socket(InetAddress.getLoopbackAddress, p)
+      try {
+        // after the idle timeout fires the server closes the socket; the
+        // single connection slot must open up for a working client
+        val deadline = System.nanoTime() + 10000000000L
+        var served = false
+        while (!served && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val c = new Client(p)
+          try served = c.cmd("PING") == Simple("PONG")
+          catch { case _: Throwable => }
+          finally c.close()
+        }
+        assert(served, "stalled client still pinned the only slot after timeout")
+      } finally stalled.close()
+    } finally srv.close()
+  }
+
+  test("idle-socket timeout: a half-finished command frame can't pin a thread either") {
+    val srv = new RespServer(eng, mgmt, spark, maxConnections = 1,
+      idleTimeoutMs = 300)
+    val p = srv.start()
+    try {
+      val wedged = new Socket(InetAddress.getLoopbackAddress, p)
+      try {
+        // opens an array frame then stalls mid-command
+        val out = wedged.getOutputStream
+        out.write("*2\r\n$4\r\nPING\r\n".getBytes(UTF_8)); out.flush()
+        val deadline = System.nanoTime() + 10000000000L
+        var served = false
+        while (!served && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val c = new Client(p)
+          try served = c.cmd("PING") == Simple("PONG")
+          catch { case _: Throwable => }
+          finally c.close()
+        }
+        assert(served, "wedged mid-frame client still pinned the only slot")
+      } finally wedged.close()
+    } finally srv.close()
   }
 }
