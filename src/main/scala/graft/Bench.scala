@@ -36,8 +36,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // min of 2 runs — the engine-warm number, like the reference's
-    // warmup-then-measure harness (Pyrope.Benchmarks/Program.cs)
-    def time(f: => Unit): Double = math.min(timeOnce(f), timeOnce(f))
+    // warmup-then-measure harness (Pyrope.Benchmarks/Program.cs).
+    // EVERY row's individual runs are printed: when a round's numbers
+    // inflate uniformly (the r5 pattern — untouched TPC-H rows regressing
+    // 2.4× alongside serving rows), the round log itself shows whether
+    // both runs of every row slowed together (environment) or one code
+    // path did (regression).
+    def time(name: String)(f: => Unit): Double = {
+      val runs = Seq(timeOnce(f), timeOnce(f))
+      System.err.println(
+        s"# bench-runs $name ${runs.map(r => f"$r%.4f").mkString(" ")}")
+      runs.min
+    }
+    // Environment sentinel: fixed single-thread integer work (no JIT
+    // variance after the first call — pure LCG loop) plus /proc/loadavg
+    // (includes co-tenant load on a shared host). If bench rows inflate
+    // while sentinel stays flat, it's a code regression; if the sentinel
+    // inflates with them, the host was throttled/oversubscribed and the
+    // row deltas are environment, not code. Printed at section boundaries.
+    def sentinel(tag: String): Unit = {
+      var acc = 0x9E3779B97F4A7C15L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val load = try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim finally src.close()
+      } catch { case _: Throwable => "n/a" }
+      System.err.println(
+        f"# bench-runs cpu_sentinel.$tag sec=$dt%.4f loadavg=[$load] cores=${Runtime.getRuntime.availableProcessors} acc=${acc}%d")
+    }
+    sentinel("warm"); sentinel("start")
     // serving-path measurements are ~0.1-0.5 s where scheduler noise is a
     // large fraction; best-of-N on top of explicit warmup, with EVERY run
     // printed (stderr) so a systematic slowdown is visible in the round
@@ -74,8 +103,9 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-        results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+        results(name) = try time(name)(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       }
+    sentinel("after_query_suite")
 
     // Throughput runs: the full embeddings table as the query batch.
     // (local-bench note: the tiny parquet is one row group → explicit
@@ -86,12 +116,12 @@ object Bench {
     val nVec = emb.count()
     val vectors = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val tBatch = time {
+    val tBatch = time(s"knn_batch_${nVec}x$nVec") {
       BruteForceKnn.knn(vectors, queries, "COSINE", 10).count()
     }
     results(s"knn_batch_${nVec}x$nVec") = tBatch
 
-    val tIvfBuild = time {
+    val tIvfBuild = time("ivf_build") {
       val idx = IvfFlat.build(vectors, nlist = 32, metric = "L2", seed = 42L)
       idx.assigned.count()
     }
@@ -99,7 +129,7 @@ object Bench {
     val idx = IvfFlat.build(vectors, nlist = 32, metric = "L2", seed = 42L)
     idx.assigned.cache().count()
     idx.centroids.cache().count()
-    val tIvfSearch = time {
+    val tIvfSearch = time(s"ivf_batch_${nVec}x$nVec") {
       IvfFlat.search(idx, queries, "L2", 10, nprobe = 4).count()
     }
     results(s"ivf_batch_${nVec}x$nVec") = tIvfSearch
@@ -135,7 +165,8 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("bench_load").toString
       synth.write.mode("overwrite").parquet(dir + "/vectors")
     }
-    val tBrute100k = time {
+    sentinel("before_serving_runs")
+    val tBrute100k = time("brute_100k_dim128_100q") {
       BruteForceKnn.knn(synth.select(col("id"), col("vec")), q100, "L2", 10).count()
     }
     // fused serving form of the same exact scan: a FLAT index (one
@@ -207,9 +238,14 @@ object Bench {
     // train, measured −25% QPS via imbalance at 500k) that silently
     // moved recall would show up as a falling bench row next round,
     // exactly like a QPS regression. Measured on a CLUSTERED corpus
-    // (mixture around 256 seeded centers, σ ≈ 0.15 of the center
-    // spread — embedding-like geometry): the uniform QPS corpus has no
-    // cluster structure, so IVF recall on it measures data entropy
+    // (mixture around 256 seeded centers) with HELD-OUT queries (ids ≥
+    // corpus size: same centers, their own noise draw — never corpus
+    // members) at σ = 1.1, tuned (r6) so the gauge has a GRADIENT:
+    // nprobe=2 recall ≈ 0.93, reaching 1.0 only at exhaustive probes.
+    // The r5 configuration (in-sample queries, σ = 0.15) sat pinned at
+    // 1.0 at every nprobe — a tripwire that could only catch catastrophic
+    // breakage, not drift. The uniform QPS corpus is no alternative: it
+    // has no cluster structure, so IVF recall on it measures data entropy
     // (neighbors near-equidistant, scattered across cells), not index
     // quality. Exact hits come from a flat index (one inverted list =
     // the whole corpus = brute force).
@@ -219,18 +255,19 @@ object Bench {
       exact.map { case (q, e) =>
         got.get(q).map(g => (g & e).size.toDouble / e.size).getOrElse(0.0)
       }.sum / exact.size
-    val synthC = spark.range(100000)
+    val sigmaC = 1.1
+    def mixtureC(ids: org.apache.spark.sql.Dataset[java.lang.Long]) = ids
       .select(col("id"), transform(sequence(lit(1), lit(dim)), i =>
         ((pmod(xxhash64((col("id") % 256) * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0) +
-          (pmod(xxhash64(col("id") * lit(dim) + i + lit(7777777)), lit(2000000)) / 1000000.0 - 1.0) * lit(0.15))
+          (pmod(xxhash64(col("id") * lit(dim) + i + lit(7777777)), lit(2000000)) / 1000000.0 - 1.0) * lit(sigmaC))
           .cast("float")).as("vec"))
-      .repartition(nCpus).cache()
+    val synthC = mixtureC(spark.range(100000)).repartition(nCpus).cache()
     synthC.count()
     val idxC = IvfFlat.build(synthC, nlist = 100, metric = "L2", seed = 42L)
     idxC.assigned.cache().count()
     idxC.centroidsLocal
     val flatC = IvfFlat.build(synthC, nlist = 1)
-    val qC = synthC.filter(col("id") < 100)
+    val qC = mixtureC(spark.range(100000, 100100))
       .select(col("id").as("query_id"), col("vec").as("qvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val exactC = hitSets(
@@ -431,6 +468,7 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 
+    sentinel("before_500k_ladder")
     val synth500 = synthVecs(500000).cache()
     synth500.count()
     val tLoad500 = timeOnce {
@@ -447,6 +485,8 @@ object Bench {
       nlist = 100, metric = "L2", seed = 42L, maxIter = 5)
     idx500.assigned.cache().count()
     val tBuild500 = (System.nanoTime() - tB0) / 1e9
+    System.err.println(f"# bench-runs ivf_500k_build $tBuild500%.4f")
+    sentinel("after_500k_build")
     idx500.centroidsLocal
     idx500.packed.count()
     val q100x500 = synth500.filter(col("id") < 100)
@@ -495,6 +535,7 @@ object Bench {
       nlist = 128, metric = "L2", seed = 42L, maxIter = 5)
     idx1m.assigned.cache().count()
     val tBuild1m = (System.nanoTime() - tB1m) / 1e9
+    System.err.println(f"# bench-runs ivf_1m_build $tBuild1m%.4f")
     idx1m.centroidsLocal
     idx1m.packed.count()
     val q100x1m = synth1m.filter(col("id") < 100)
@@ -564,6 +605,7 @@ object Bench {
       "ivf_100k_recall10_nprobe4" -> recallNp4,
       "ivf_100k_recall10_nprobe10" -> recallNp10)
 
+    sentinel("end")
     val total = results.filter(_._2 >= 0).values.sum
     rates.foreach { case (k, v) => results(k) = v }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
