@@ -168,11 +168,15 @@ object IvfFlat {
   /** Work bound for dispatching a call to the SINGLE-THREADED
     * driver-resident tier: exact scanned float elements (Σ over probed
     * clusters of real list length × probing queries × dim). The
-    * single-threaded in-heap scan wins exactly when the work is small
-    * enough that thread-pool handoff (~50-100 µs) is a measurable
-    * fraction (single/few-query serving, ~1 ms scans). ~32M mul-adds
-    * ≈ 10-20 ms single-core. */
-  val DriverServeMaxScanElems: Long = 32L << 20
+    * single-threaded in-heap scan wins only when the scan is so small
+    * that thread-pool handoff (~50-100 µs/task) is a real fraction —
+    * sub-millisecond work, e.g. the delta-head tail scans (~tens of K
+    * elems). Everything bigger parallelizes well on the shared pool: a
+    * measured sweep (r6, single-query serving) moved this bound down
+    * from 32M after the MT tier beat single-thread at every probed size
+    * — 500k config p50 21.1 → 4.2 ms, 1M p99 61 → 8.4 ms, 100k p50
+    * 4.2 → 1.9 ms. ~2M mul-adds ≈ 1 ms single-core is the break-even. */
+  val DriverServeMaxScanElems: Long = 2L << 20
 
   /** Work ceiling for the MULTI-THREADED driver-resident tier: between
     * [[DriverServeMaxScanElems]] and this bound, a resident index scans
