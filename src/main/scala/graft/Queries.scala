@@ -1384,6 +1384,34 @@ object Queries {
         graft.functions.VectorSimHash.simhashCol(col("embedding")).as("simhash"))
       .orderBy("vec_id")
 
+  /** C4-style span dedup over the documents corpus: every 10-token span
+    * occurring more than once corpus-wide is stripped from every document
+    * (Raffel et al. 2020 §2.2; TextDedup.dedupSpans). The exact-duplicate
+    * documents in the corpus guarantee hits (their spans erase each
+    * other), and the reassembled clean_text is compared verbatim against
+    * the DuckDB oracle — ordering, separators, and the all-removed empty
+    * case included. */
+  val spanDedup: QueryFn = (s, dir) =>
+    TextDedup.dedupSpans(t(s, dir, "documents"), width = 10).orderBy("doc_id")
+
+  val spanDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sp AS (
+      |  SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_spans,
+      |         i AS span_idx,
+      |         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+      |  FROM toks,
+      |       UNNEST(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS g(i)
+      |), cnt AS (
+      |  SELECT span, count(*) AS c FROM sp GROUP BY 1
+      |)
+      |SELECT doc_id, n_spans,
+      |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       coalesce(string_agg(CASE WHEN c <= 1 THEN span END, ' ' ORDER BY span_idx), '') AS clean_text
+      |FROM sp JOIN cnt USING (span)
+      |GROUP BY doc_id, n_spans ORDER BY doc_id""".stripMargin
+
   /** SimHash-equality pairs under planted ×2 copies: sign(r·(2v)) =
     * sign(2(r·v)) and ×2.0f is a pure exponent shift (every product and
     * the accumulated sum double EXACTLY), so a scaled copy must share the
@@ -1550,6 +1578,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_components" -> dedupComponents,
     "dedup_pipeline" -> dedupPipeline,
+    "span_dedup" -> spanDedup,
     "corpus_sample" -> corpusSample,
     "decontamination" -> decontamination,
     "dedup_simhash" -> dedupSimhash,
@@ -1622,6 +1651,7 @@ object Queries {
     "dedup_minhash" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_pipeline" -> dedupPipelineSql,
+    "span_dedup" -> spanDedupSql,
     "corpus_sample" -> corpusSampleSql,
     "decontamination" -> decontaminationSql,
     "embedding_top_pairs" -> embeddingTopPairsSql,

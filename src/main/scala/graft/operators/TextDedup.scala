@@ -539,4 +539,42 @@ object TextDedup {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintUdf(tokens(col("text"))).as("fingerprint"))
+
+  /** C4-style span-level dedup: the corpus is cut into non-overlapping
+    * `width`-token spans; every span that occurs more than once ANYWHERE
+    * in the corpus is removed from EVERY document (C4 removes all
+    * occurrences of its duplicated three-sentence spans — Raffel et al.
+    * 2020 §2.2 — the "boilerplate stripper" of large-scale training
+    * pipelines; span unit here is a token window since the synthetic
+    * corpus has no sentence boundaries). Returns per doc: span count,
+    * removed-span count, and the reassembled text (empty string when
+    * everything was removed — e.g. exact-duplicate documents erase each
+    * other entirely).
+    *
+    * Scale shape: explode → one hash-aggregation over spans → one
+    * equi-join back → per-doc regroup. The global count table is the
+    * only corpus-wide state; no pairwise comparison anywhere, so it runs
+    * at 100-TB as two shuffles of the tokenized corpus. */
+  def dedupSpans(docs: DataFrame, width: Int = 10): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_spans",
+        ceil(size(col("t")) / lit(width.toDouble)).cast("long"))
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_spans") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("t"), i * width + 1, lit(width))))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+    val counts = spans.groupBy("span").agg(count(lit(1)).as("cnt"))
+    spans.join(counts, "span")
+      .groupBy("doc_id", "n_spans")
+      .agg(
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(struct(col("span_idx"), col("span"),
+          col("cnt")))).as("ss"))
+      .withColumn("clean_text", concat_ws(" ",
+        transform(filter(col("ss"), s => s("cnt") <= 1), s => s("span"))))
+      .select("doc_id", "n_spans", "n_removed", "clean_text")
+  }
 }

@@ -144,4 +144,33 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("span dedup strips every occurrence of a corpus-duplicated span, keeps order") {
+    // width=2 spans: doc1 = [a b][c d][e f]; doc2 = [a b][x y];
+    // doc3 = [c d]; doc4 = [u v] (unique). Duplicated spans: "a b"
+    // (docs 1,2) and "c d" (docs 1,3).
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dedupSpans(docs, width = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((3L, 2L, "e f")))
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((1L, 1L, ""))) // everything removed → empty, not null
+    assert(got(4L) == ((1L, 0L, "u v")))
+  }
+
+  test("span dedup keeps a ragged tail span and joins spans in document order") {
+    // 5 tokens at width=2 → spans [p q][r s][t]; nothing duplicated
+    val docs = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val r = TextDedup.dedupSpans(docs, width = 2).collect().head
+    assert(r.getAs[Long]("n_spans") == 3L)
+    assert(r.getAs[Long]("n_removed") == 0L)
+    assert(r.getAs[String]("clean_text") == "p q r s t")
+  }
 }
