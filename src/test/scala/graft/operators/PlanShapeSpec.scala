@@ -127,4 +127,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchangeIdx >= 0, plan)
     assert(plan.indexOf("ObjectHashAggregate", exchangeIdx) > exchangeIdx, plan)
   }
+
+  test("span dedup is agg + equi-join, no cartesian, no window over the corpus") {
+    val docs = (0 until 30).map(i => (i.toLong, s"a b c d e f g h i j word$i tail"))
+      .toDF("doc_id", "text")
+    val plan = TextDedup.dedupSpans(docs, width = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the global span-count side joins back by span equality
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+    // reassembly is collect_list-in-agg, never a corpus-wide Window sort
+    assert(!plan.contains("Window"), plan)
+  }
 }
