@@ -1162,10 +1162,17 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
 
   /** Cache flush (reference: CacheController flush endpoint) — removes all
-    * entries and aliases for the index. */
-  def flushCache(tenant: String, index: String): Unit =
+    * entries and aliases for the index, including rows-path inserts still
+    * pending their durable append (a later flush must not resurrect an
+    * explicitly flushed entry). */
+  def flushCache(tenant: String, index: String): Unit = {
+    val key = s"$tenant/$index"
+    pendingEntryRows.remove(key)
+    pendingEntryCounts.remove(key)
+    pendingEntrySince.remove(key)
     Seq(cacheEntriesPath(tenant, index), cacheAliasPath(tenant, index))
       .foreach(d => deleteTree(Paths.get(d)))
+  }
 
   /** Register canonical-alias mappings for the L0.5 layer
     * (reference: DataModel/CanonicalKeyMap.cs:18-44). aliases:
@@ -1692,6 +1699,61 @@ class GraftEngine(spark: SparkSession, root: String) {
     } finally w.close()
   }
 
+  /** Parquet-mr twin of the batch populate's entry rows — byte-compatible
+    * with what Spark itself writes for the entry table (same column
+    * names/types and standard 3-level LIST encoding), so the batch probe
+    * plan, the GC compactor, and the resident reload read mixed dirs
+    * unchanged. Lets the per-call serving path append a cache entry
+    * WITHOUT scheduling a Spark job — one ~KB row group per miss; the
+    * existing file-count GC folds the dir. */
+  private lazy val entryRowSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  optional int64 cache_key;
+        |  optional binary layer (UTF8);
+        |  optional group hits (LIST) {
+        |    repeated group list {
+        |      optional group element {
+        |        optional int32 rank;
+        |        optional binary id (UTF8);
+        |        optional double score;
+        |      }
+        |    }
+        |  }
+        |  optional int64 epoch;
+        |  optional int64 expires_at;
+        |  optional int64 written_at;
+        |}""".stripMargin)
+
+  private def writeCacheEntryRowsLocal(
+      dir: String,
+      rows: Seq[(Long, String, Array[(Int, String, Double)], Long, Long, Long)]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val file = s"$dir/part-local-${java.util.UUID.randomUUID()}.parquet"
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withType(entryRowSchema)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { case (ck, layer, hits, epoch, expiresAt, writtenAt) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        entryRowSchema).newGroup()
+      g.add("cache_key", ck)
+      g.add("layer", layer)
+      val hg = g.addGroup("hits")
+      hits.foreach { case (r, id, s) =>
+        val eg = hg.addGroup("list").addGroup("element")
+        eg.add("rank", r); eg.add("id", id); eg.add("score", s)
+      }
+      g.add("epoch", epoch)
+      g.add("expires_at", expiresAt)
+      g.add("written_at", writtenAt)
+      w.write(g)
+    } finally w.close()
+  }
+
   /** Fold the append-only hit/miss metrics log into a single summed row
     * when its part-file count exceeds [[CacheGcFileThreshold]] (all
     * consumers aggregate it, so the fold is lossless for them). Takes the
@@ -1744,12 +1806,14 @@ class GraftEngine(spark: SparkSession, root: String) {
         val r = spark.read.parquet(evPath).agg(sum("evicted")).head
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
-    // live resident-tier hits (not yet flushed to the log) fold in so
-    // VEC.STATS is current even mid-serving-burst
+    // live resident-tier hits/misses (not yet flushed to the log) fold in
+    // so VEC.STATS is current even mid-serving-burst
     val memHits = servingHitCounters.get(s"$tenant/$index")
       .map(_.get()).getOrElse(0L)
+    val memMisses = servingMissCounters.get(s"$tenant/$index")
+      .map(_.get()).getOrElse(0L)
     Governance.metricsText(
-      Governance.standardCounters(h + memHits, m, evictions = ev,
+      Governance.standardCounters(h + memHits, m + memMisses, evictions = ev,
         fallbacks = 0L), hist)
   }
 
@@ -1757,16 +1821,84 @@ class GraftEngine(spark: SparkSession, root: String) {
   // per-call cached serving (resident L0 probe over the entry table)
   // -------------------------------------------------------------------
 
-  /** Resident-tier cache hits counted in memory: the hot path must not
-    * append a metrics file per hit (a small-files generator at serving
-    * rates). [[statsText]] folds these in live; [[flushServingMetrics]]
-    * persists + resets them so billing picks them up. Misses are not
-    * counted here — the delegated batch call logs its own metrics row. */
+  /** Resident-tier cache hits AND rows-path misses counted in memory: the
+    * hot path must not append a metrics file per call (a small-files
+    * generator at serving rates). [[statsText]] folds these in live;
+    * [[flushServingMetrics]] persists + resets them so billing picks them
+    * up. Batch-path misses still log their own metrics row per batch. */
   private val servingHitCounters = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicLong]
   private def servingHitsOf(tenant: String, index: String) =
     servingHitCounters.getOrElseUpdate(s"$tenant/$index",
       new java.util.concurrent.atomic.AtomicLong())
+  private val servingMissCounters = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def servingMissesOf(tenant: String, index: String) =
+    servingMissCounters.getOrElseUpdate(s"$tenant/$index",
+      new java.util.concurrent.atomic.AtomicLong())
+
+  /** Rows-path cache inserts pending their durable append. The reference's
+    * cache insert is an in-memory map put (MemoryCacheStorage) — serving
+    * truth here is likewise the resident map, updated in-heap at miss
+    * time; the parquet append that makes the entry visible to the BATCH
+    * cascade and to a cold restart is amortized through this queue
+    * (per-call parquet-writer init + dir rewalk measured ~20 ms and
+    * serialized wire misses on the manifest lock at ~24 QPS). Flushes are
+    * inline and deterministic — no background thread: a miss flushes when
+    * the queue reaches [[PendingFlushMaxRows]] or its oldest row exceeds
+    * [[PendingFlushMaxAgeNanos]]; hits piggyback the age check. Batch
+    * readers may lag a pending insert by at most the flush trigger — a
+    * cache answering a just-inserted query with a recompute, never a
+    * wrong result (and strictly more durable than the reference, which
+    * loses every entry on restart). [[flushCachePending]] is the
+    * deterministic hook for tests and shutdown. */
+  private val pendingEntryRows = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Array[(Int, String, Double)], Long, Long, Long)]]
+  private val pendingEntryCounts = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicInteger]
+  private val pendingEntrySince = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
+  private val PendingFlushMaxRows = 256
+  private val PendingFlushMaxAgeNanos = 1000000000L
+
+  /** Drain the pending rows-path inserts for an index into the durable
+    * entry table (one parquet-mr append, no Spark job), then re-stamp the
+    * resident map's fingerprint so the flush itself does not force a
+    * reload: the map already holds these entries, so if its stamp matched
+    * the pre-write dir it matches the post-write dir too. A stamp that
+    * does NOT match fpBefore means someone else (a batch populate) wrote
+    * the dir since the map loaded — leave it mismatched and let the next
+    * probe reload as usual. */
+  def flushCachePending(tenant: String, index: String): Unit = {
+    val key = s"$tenant/$index"
+    val q = pendingEntryRows.get(key).orNull
+    if (q == null || q.isEmpty) return
+    withManifestLock(tenant, index) {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Array[(Int, String, Double)], Long, Long, Long)]
+      var e = q.poll()
+      while (e != null) { buf += e; e = q.poll() }
+      pendingEntryCounts.get(key).foreach(_.addAndGet(-buf.length))
+      pendingEntrySince.remove(key)
+      // rows added concurrently after the drain keep an age stamp so the
+      // next hit/miss age check still sees them
+      if (!q.isEmpty) pendingEntrySince.putIfAbsent(key, System.nanoTime())
+      if (buf.nonEmpty) {
+        val entriesDir = cacheEntriesPath(tenant, index)
+        val fpBefore = entriesFingerprint(entriesDir)
+        writeCacheEntryRowsLocal(entriesDir, buf.toSeq)
+        if (dirFileCount(entriesDir) > CacheGcFileThreshold)
+          compactCacheEntries(tenant, index, buf.map(_._6).max)
+        val fpAfter = entriesFingerprint(entriesDir)
+        residentL0Cache.get(key) match {
+          case Some((ep, f, map)) if f == fpBefore =>
+            residentL0Cache.put(key, (ep, fpAfter, map))
+          case _ => ()
+        }
+      }
+    }
+  }
 
   // per-key entries sorted in the batch probe's winner order; probe time
   // applies the same expiry filter the batch plan applies BEFORE ranking
@@ -1953,16 +2085,80 @@ class GraftEngine(spark: SparkSession, root: String) {
     hit match {
       case Some((layer, e)) =>
         servingHitsOf(tenant, index).incrementAndGet()
+        // piggyback: an aging pending queue flushes off the hit path's
+        // cheap timestamp check, so pending inserts can't sit unflushed
+        // behind a hit-only workload
+        if (pendingEntrySince.get(s"$tenant/$index").exists(
+            System.nanoTime() - _ > PendingFlushMaxAgeNanos))
+          flushCachePending(tenant, index)
         (layer, e.hits.filter(_._1 <= k),
           SearchTrace("cache-hit", Some(layer), probes.map(_._1).toSeq,
             headLive = -1, headMasked = -1, tailRows = -1,
             totalMicros = (System.nanoTime() - tTrace0) / 1000L))
+      case None if tags.isEmpty =>
+        // Rows-native miss: the reference answers a cache miss entirely
+        // in-process — search the index, put the entry in its in-memory
+        // cache, reply — inside one request (~ms). Delegating to the
+        // batch cascade cost ~20 tiny Spark actions of scheduling and
+        // planning per wire miss, and even a synchronous driver-side
+        // parquet append measured ~20 ms/call (writer init + dir rewalk)
+        // serialized on the manifest lock. So the miss mirrors the
+        // reference's shape: the zero-job [[searchRows]] tier answers,
+        // the resident map takes the entry in-heap immediately
+        // (copy-on-write; the dir fingerprint is untouched because the
+        // dir is untouched), and the durable append rides the amortized
+        // [[pendingEntryRows]] queue. Newest-first per key — the batch
+        // winner order — with one documented looseness: two
+        // different-content writes to a shared L1/L2 key in the same
+        // logical second tie in written_at, where the batch plan picks by
+        // content hash and this path keeps the later write; both are
+        // valid entries for that key and a full reload re-ranks
+        // identically to the plan. Tag-filtered calls keep the batch
+        // path below (the rows tier has no tag filtering).
+        val (rows0, tr) = searchRowsTraced(tenant, index,
+          Array((queryId, qvec)), k, metric, nprobe)
+        val hits = rows0.map { case (_, r, id, s) => (r, id, s) }.sortBy(_._1)
+        val writeKeys = probes.toSeq.collect {
+          case (l @ ("L0" | "L1" | "L2"), ck) => (l, ck)
+        }
+        val rkey = s"$tenant/$index"
+        withManifestLock(tenant, index) {
+          residentL0Cache.get(rkey).foreach { case (ep, f, oldMap) =>
+            if (ep == m.epoch) {
+              val nm = new java.util.HashMap[java.lang.Long, Array[ResidentEntry]](oldMap)
+              val e = ResidentEntry(now + ttlSeconds, hits)
+              writeKeys.foreach { case (_, ck) =>
+                val prev = nm.get(ck)
+                nm.put(ck, if (prev == null) Array(e) else e +: prev)
+              }
+              residentL0Cache.put(rkey, (ep, f, nm))
+            }
+          }
+        }
+        val pq = pendingEntryRows.getOrElseUpdate(rkey,
+          new java.util.concurrent.ConcurrentLinkedQueue())
+        writeKeys.foreach { case (l, ck) =>
+          pq.add((ck, l, hits, m.epoch, now + ttlSeconds, now))
+        }
+        val pc = pendingEntryCounts.getOrElseUpdate(rkey,
+          new java.util.concurrent.atomic.AtomicInteger())
+        val nPending = pc.addAndGet(writeKeys.length)
+        pendingEntrySince.putIfAbsent(rkey, System.nanoTime())
+        servingMissesOf(tenant, index).incrementAndGet()
+        if (nPending >= PendingFlushMaxRows ||
+            pendingEntrySince.get(rkey).exists(
+              System.nanoTime() - _ > PendingFlushMaxAgeNanos))
+          flushCachePending(tenant, index)
+        ("MISS", hits,
+          SearchTrace("cache-miss", None, probes.map(_._1).toSeq,
+            headLive = tr.headLive, headMasked = tr.headMasked,
+            tailRows = tr.tailRows,
+            totalMicros = (System.nanoTime() - tTrace0) / 1000L))
       case None =>
         import spark.implicits._
         val base = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
-        val qDf = if (tags.isEmpty) base
-          else base.withColumn("filter_tags", typedLit(tags))
-        val rows = searchCached(tenant, index, qDf, k, metric, nprobe, now,
+          .withColumn("filter_tags", typedLit(tags))
+        val rows = searchCached(tenant, index, base, k, metric, nprobe, now,
             ttlSeconds)
           .collect()
           .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
@@ -1979,16 +2175,19 @@ class GraftEngine(spark: SparkSession, root: String) {
     * [[statsText]] already folds the live value in. */
   def flushServingMetrics(tenant: String, index: String, now: Long = 0L): Unit = {
     // write FIRST, subtract only after the append commits — a getAndSet
-    // before a failed write would silently drop billable hits (hits that
-    // land during the write stay in the counter for the next flush)
-    val counter = servingHitsOf(tenant, index)
-    val n = counter.get()
-    if (n > 0) {
+    // before a failed write would silently drop billable calls (calls
+    // that land during the write stay in the counters for the next flush)
+    val hc = servingHitsOf(tenant, index)
+    val mc = servingMissesOf(tenant, index)
+    val nh = hc.get()
+    val nm = mc.get()
+    if (nh > 0 || nm > 0) {
       withManifestLock(tenant, index) {
-        writeMetricsRowLocal(s"$root/metrics/$tenant/$index", now, n, 0L)
+        writeMetricsRowLocal(s"$root/metrics/$tenant/$index", now, nh, nm)
         compactMetricsLog(tenant, index)
       }
-      counter.addAndGet(-n)
+      hc.addAndGet(-nh)
+      mc.addAndGet(-nm)
     }
   }
 

@@ -741,6 +741,85 @@ class EngineSpec extends SparkSpec {
     assert(rowsK.forall(_._1 <= 3) && rowsK.length == 3, rowsK.toSeq)
   }
 
+  test("rows-native miss populate: locally-written entries serve BOTH the rows and batch cascades") {
+    val root = Files.createTempDirectory("engine_rowsmiss").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 30).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    val qv = Array(4f, 1f, 0f)
+    // COLD rows call: the miss serves via the zero-job tier, lands
+    // in-heap immediately, and queues its durable append (no batch
+    // machinery, no per-call parquet write)
+    val (m1, rows1) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1000L)
+    assert(m1 == "MISS")
+    assert(rows1.nonEmpty && rows1.head._2 == "v4") // nearest is v4 itself
+    // repeat rows call hits the in-heap resident update — no reload race,
+    // and no durable flush required first
+    val (h1, rowsHit) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1005L)
+    assert(h1 == "L0" && rowsHit.toSeq == rows1.toSeq)
+    // cross-path compat: after the deterministic pending flush, the BATCH
+    // cascade reads the parquet-mr-written entry as a first-class hit
+    // (schema/encoding parity with Spark's own writes) — first batch
+    // call, yet cache_hit=true at L0
+    eng.flushCachePending("t1", "idx")
+    val batch = eng.searchCached("t1", "idx", q(7L, qv.toSeq), k = 5,
+      nprobe = 2, now = 1010L)
+      .select("query_id", "cache_hit", "layer", "rank", "id", "score").collect()
+    assert(batch.nonEmpty && batch.forall(_.getBoolean(1)),
+      s"batch cascade must hit the locally-written entry: ${batch.toSeq}")
+    assert(batch.forall(_.getString(2) == "L0"))
+    assert(batch.map(r => (r.getInt(3), r.getString(4), r.getDouble(5))).toSeq
+      .sortBy(_._1) == rows1.toSeq.sortBy(_._1))
+    // and the GC compactor folds the mixed dir without losing the entry
+    eng.compactCacheEntries("t1", "idx", now = 1015L)
+    val (h2, rows2) = eng.searchCachedRows("t1", "idx", 7L, qv, k = 5,
+      nprobe = 2, now = 1020L)
+    assert(h2 == "L0" && rows2.toSeq == rows1.toSeq)
+    // zero-hit miss is cached too (selective corpus: impossible tag-free
+    // query still returns the top-k, so use an empty index instead)
+    val eng2 = new GraftEngine(spark,
+      Files.createTempDirectory("engine_rowsmiss2").toString)
+    eng2.add(mkRecords(Seq(("only", Seq(0f, 0f, 1f), null, Seq.empty[String], 100L))))
+    eng2.build("t1", "idx", nlist = 1)
+    eng2.delete("t1", "idx", Seq("only"), version = 200L)
+    val (mz, rz) = eng2.searchCachedRows("t1", "idx", 1L, Array(0f, 0f, 1f),
+      k = 3, nprobe = 1, now = 1000L)
+    assert(mz == "MISS" && rz.isEmpty)
+    val (hz, rz2) = eng2.searchCachedRows("t1", "idx", 1L, Array(0f, 0f, 1f),
+      k = 3, nprobe = 1, now = 1005L)
+    assert(hz == "L0" && rz2.isEmpty, "zero-hit entry must serve the repeat")
+    // the zero-hit entry survives the durable flush too (empty hits array
+    // roundtrips the parquet-mr LIST encoding)
+    eng2.flushCachePending("t1", "idx")
+    val ent = eng2.cacheEntries("t1", "idx")
+      .filter(org.apache.spark.sql.functions.col("layer") === "L0").collect()
+    assert(ent.nonEmpty && ent.forall(_.getSeq[Any](
+      ent.head.fieldIndex("hits")).isEmpty))
+  }
+
+  test("rows-native miss pending queue: flushCache drops pending inserts; misses are billed in memory") {
+    val root = Files.createTempDirectory("engine_pending").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 10).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 1)
+    val (m1, _) = eng.searchCachedRows("t1", "idx", 1L, Array(2f, 1f, 0f),
+      k = 3, nprobe = 1, now = 1000L)
+    assert(m1 == "MISS")
+    // the miss is billed live from memory before any flush
+    assert(eng.statsText("t1", "idx").contains("cache_miss_total 1"))
+    // an explicit cache flush must drop the pending insert — a later
+    // pending flush cannot resurrect an explicitly flushed entry
+    eng.flushCache("t1", "idx")
+    eng.flushCachePending("t1", "idx")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/cache/t1/idx/entries")),
+      "flushed cache must stay empty after a pending flush")
+  }
+
   test("searchCachedRows: prefetch-warmed L2 entries serve per-call cluster hits") {
     val root = Files.createTempDirectory("engine_l2rows").toString
     val eng = new GraftEngine(spark, root)
