@@ -142,4 +142,30 @@ class PropertySpec extends SparkSpec {
       assert(model(r) == r) // idempotent
     }
   }
+
+  test("span dedup matches a local model on any corpus: removal set, order, reassembly") {
+    import org.apache.spark.sql.functions.col
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.chooseNum(1, 17).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+    checkN(12)(Prop.forAll(corpus, Gen.chooseNum(1, 4)) { (docsW, w) =>
+      // local model: same span cut, global counts, strip-all-duplicated
+      val spansOf = docsW.map(_.grouped(w).map(_.mkString(" ")).toVector)
+      val counts = spansOf.flatten.groupBy(identity).view.mapValues(_.size)
+      val expect = spansOf.map { ss =>
+        val kept = ss.filter(s => counts(s) == 1)
+        (ss.length.toLong, (ss.length - kept.length).toLong, kept.mkString(" "))
+      }
+      val s = spark
+      import s.implicits._
+      val df = docsW.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextDedup.dedupSpans(df, width = w)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toSeq
+      got == expect
+    })
+  }
 }
