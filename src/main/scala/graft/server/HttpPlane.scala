@@ -49,7 +49,15 @@ final class HttpPlane(mgmt: Management, port: Int = 0) {
     server = HttpServer.create(
       new InetSocketAddress(InetAddress.getLoopbackAddress, port), 64)
     server.createContext("/", (ex: HttpExchange) => route(ex))
-    server.setExecutor(Executors.newCachedThreadPool())
+    // bounded worker pool (the RESP plane's maxConnections analog): a
+    // burst queues in the server's accept backlog (bounded at 64 above)
+    // instead of growing threads without limit; control-plane handlers
+    // are short driver-side file/metadata ops, so a small fixed pool
+    // drains any legitimate burst
+    server.setExecutor(Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true); t
+    }))
     server.start()
     server.getAddress.getPort
   }

@@ -184,4 +184,17 @@ class HttpPlaneSpec extends SparkSpec {
     val (cas, bas) = http("GET", "/v1/audit/stats")
     assert(cas == 200 && bas.contains("index.build"))
   }
+
+  test("bounded worker pool: a burst wider than the pool queues and fully drains") {
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 40).map { _ =>
+      new Thread(() => {
+        val (c, b) = http("GET", "/v1/health")
+        if (c == 200 && b.contains("healthy")) ok.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(ok.get() == 40, s"only ${ok.get()}/40 burst requests served")
+  }
 }
