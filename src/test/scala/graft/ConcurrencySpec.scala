@@ -92,6 +92,50 @@ class ConcurrencySpec extends SparkSpec {
     assert(finalRows.toSeq == expected)
   }
 
+  test("concurrent rows-native misses: no loss across the pending queue, every repeat hits") {
+    val root = Files.createTempDirectory("conc_pending").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 50).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    // distinct query vectors → every first call is a rows-native miss
+    // racing the others through the copy-on-write resident update and
+    // the shared pending queue
+    val qvs = (0 until 48).map(i => (i.toLong, Array(i * 0.25f + 0.1f, 1f, 0f)))
+    val start = new CountDownLatch(1)
+    // close vectors may legitimately L1-hit an entry a racing thread just
+    // inserted (SimHash is locality-sensitive) — track which calls truly
+    // missed and hold the durability bar to exactly those
+    val missed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val writers = (0 until 4).map { t =>
+      new Thread(() => {
+        start.await(60, TimeUnit.SECONDS)
+        qvs.filter(_._1 % 4 == t).foreach { case (qid, qv) =>
+          val (layer, rows) = eng.searchCachedRows("t1", "idx", qid, qv,
+            k = 3, nprobe = 2, now = 2000L)
+          if (layer == "MISS") missed.add(qid)
+          assert(rows.nonEmpty, s"q$qid first call returned no rows ($layer)")
+        }
+      }, s"miss-writer-$t")
+    }
+    start.countDown()
+    val errs = runAll(writers)
+    assert(errs.isEmpty, s"concurrent misses threw: ${errs.map(_.toString)}")
+    assert(!missed.isEmpty, "fixture produced no misses at all")
+    // every repeat hits in-heap (no lost update in the races)
+    qvs.foreach { case (qid, qv) =>
+      val (layer, rows) = eng.searchCachedRows("t1", "idx", qid, qv,
+        k = 3, nprobe = 2, now = 2001L)
+      assert(layer != "MISS" && rows.nonEmpty, s"q$qid repeat: $layer")
+    }
+    // and the durable flush lands exactly one L0 entry per true miss
+    eng.flushCachePending("t1", "idx")
+    val l0 = eng.cacheEntries("t1", "idx").filter(col("layer") === "L0")
+      .select("cache_key").collect().map(_.getLong(0))
+    assert(l0.length == missed.size && l0.distinct.length == missed.size,
+      s"expected ${missed.size} distinct durable L0 entries, got ${l0.length}")
+  }
+
   test("searchRows stays well-formed under concurrent upserts, equals the plan at quiescence") {
     val root = Files.createTempDirectory("conc_rows").toString
     val eng = new GraftEngine(spark, root)
