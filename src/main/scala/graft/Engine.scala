@@ -2128,8 +2128,15 @@ class GraftEngine(spark: SparkSession, root: String) {
               val nm = new java.util.HashMap[java.lang.Long, Array[ResidentEntry]](oldMap)
               val e = ResidentEntry(now + ttlSeconds, hits)
               writeKeys.foreach { case (_, ck) =>
+                // prune already-expired entries while prepending: with
+                // reloads now rare (fingerprint restamp on flush), a hot
+                // key repopulated every TTL would otherwise accumulate
+                // dead entries in-heap without bound
                 val prev = nm.get(ck)
-                nm.put(ck, if (prev == null) Array(e) else e +: prev)
+                val kept =
+                  if (prev == null) Array.empty[ResidentEntry]
+                  else prev.filter(_.expiresAt > now)
+                nm.put(ck, e +: kept)
               }
               residentL0Cache.put(rkey, (ep, f, nm))
             }
