@@ -425,7 +425,15 @@ object Bench {
         case '+' | '-' | ':' => readLine(in)
         case '$' =>
           val n = readLine(in).toInt
-          if (n >= 0) { var left = n + 2; while (left > 0) { left -= in.read(new Array[Byte](left), 0, left) } }
+          if (n >= 0) {
+            val buf = new Array[Byte](n + 2)
+            var off = 0
+            while (off < buf.length) {
+              val r = in.read(buf, off, buf.length - off)
+              require(r > 0, "EOF mid-bulk-reply")
+              off += r
+            }
+          }
         case '*' => val n = readLine(in).toInt; (0 until math.max(n, 0)).foreach(_ => skipReply(in))
         case other => throw new IllegalStateException(s"bad reply type '$other'")
       }

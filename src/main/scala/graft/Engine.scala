@@ -1164,15 +1164,23 @@ class GraftEngine(spark: SparkSession, root: String) {
   /** Cache flush (reference: CacheController flush endpoint) — removes all
     * entries and aliases for the index, including rows-path inserts still
     * pending their durable append (a later flush must not resurrect an
-    * explicitly flushed entry). */
-  def flushCache(tenant: String, index: String): Unit = {
-    val key = s"$tenant/$index"
-    pendingEntryRows.remove(key)
-    pendingEntryCounts.remove(key)
-    pendingEntrySince.remove(key)
-    Seq(cacheEntriesPath(tenant, index), cacheAliasPath(tenant, index))
-      .foreach(d => deleteTree(Paths.get(d)))
-  }
+    * explicitly flushed entry). Runs under the per-index lock so an
+    * in-flight [[flushCachePending]] cannot drain-then-write around the
+    * delete, and drops the resident maps outright: they must not outlive
+    * the entries they cache, and the missing-dir fingerprint (0) would
+    * otherwise collide with the pre-first-write stamp and let flushed
+    * in-heap entries keep serving. */
+  def flushCache(tenant: String, index: String): Unit =
+    withManifestLock(tenant, index) {
+      val key = s"$tenant/$index"
+      pendingEntryRows.remove(key)
+      pendingEntryCounts.remove(key)
+      pendingEntrySince.remove(key)
+      residentL0Cache.remove(key)
+      residentAliasCache.remove(key)
+      Seq(cacheEntriesPath(tenant, index), cacheAliasPath(tenant, index))
+        .foreach(d => deleteTree(Paths.get(d)))
+    }
 
   /** Register canonical-alias mappings for the L0.5 layer
     * (reference: DataModel/CanonicalKeyMap.cs:18-44). aliases:
@@ -1429,12 +1437,13 @@ class GraftEngine(spark: SparkSession, root: String) {
       .withColumn("l2_key", when(col("l2_cluster").isNotNull,
         Caching.queryKey(lit(tenant), lit(index), lit(k), lit(metric), tagsNorm,
           col("l2_cluster").cast("long"))))
-      // eager localCheckpoint, not cache(): five downstream plans consume
-      // keyed (probes, alias resolution, qAgg, missQueries, newEntries),
-      // and with cache() each one re-analyzes the full UDF+hash lineage —
-      // checkpointing roots them all at a shallow RDD scan instead, which
-      // cuts the per-call wall time planning had dominated
-      .localCheckpoint()
+      // cache(), NOT localCheckpoint(): checkpointing was tried for
+      // shallower downstream plans, but Dataset.unpersist is a no-op on a
+      // checkpointed plan's RDD (it only clears cacheManager entries), so
+      // every call would leak a persisted RDD until GC — and the measured
+      // wall-time difference was noise once the small-miss rows shortcut
+      // below removed the dominant cost
+      .cache()
 
     // L0.5: alias resolution of the exact key (confidence ≥ 0.8)
     val aliasesExist = Files.exists(Paths.get(cacheAliasPath(tenant, index)))
@@ -1859,17 +1868,27 @@ class GraftEngine(spark: SparkSession, root: String) {
     .empty[String, java.util.concurrent.atomic.AtomicInteger]
   private val pendingEntrySince = scala.collection.concurrent.TrieMap
     .empty[String, Long]
+  // latest caller-supplied CacheMemoryMb per index — the rows path's
+  // analog of SearchOptions.cacheMemoryMb, consulted at flush time
+  private val pendingQuotaMb = scala.collection.concurrent.TrieMap
+    .empty[String, Int]
   private val PendingFlushMaxRows = 256
   private val PendingFlushMaxAgeNanos = 1000000000L
 
   /** Drain the pending rows-path inserts for an index into the durable
-    * entry table (one parquet-mr append, no Spark job), then re-stamp the
-    * resident map's fingerprint so the flush itself does not force a
-    * reload: the map already holds these entries, so if its stamp matched
-    * the pre-write dir it matches the post-write dir too. A stamp that
-    * does NOT match fpBefore means someone else (a batch populate) wrote
-    * the dir since the map loaded — leave it mismatched and let the next
-    * probe reload as usual. */
+    * entry table (one parquet-mr append, no Spark job), enforcing the
+    * tenant's CacheMemoryMb exactly like the batch populate (lazy sweep
+    * at quota, then REJECT the drained rows — their misses were already
+    * served; the in-heap copies age out by TTL/epoch under the resident
+    * map's own bounds), then re-stamp the resident map's fingerprint so
+    * the flush itself does not force a reload: the map already holds
+    * these entries, so if its stamp matched the pre-write dir it matches
+    * the post-write dir too. A stamp that does NOT match fpBefore means
+    * someone else (a batch populate) wrote the dir since the map
+    * loaded — leave it mismatched and let the next probe reload as
+    * usual. Serving metrics flush here too, so rows-path hit/miss
+    * billing becomes durable on the same amortized cadence as the
+    * entries themselves. */
   def flushCachePending(tenant: String, index: String): Unit = {
     val key = s"$tenant/$index"
     val q = pendingEntryRows.get(key).orNull
@@ -1885,20 +1904,48 @@ class GraftEngine(spark: SparkSession, root: String) {
       // next hit/miss age check still sees them
       if (!q.isEmpty) pendingEntrySince.putIfAbsent(key, System.nanoTime())
       if (buf.nonEmpty) {
+        val logicalNow = buf.map(_._6).max
         val entriesDir = cacheEntriesPath(tenant, index)
-        val fpBefore = entriesFingerprint(entriesDir)
-        writeCacheEntryRowsLocal(entriesDir, buf.toSeq)
-        if (dirFileCount(entriesDir) > CacheGcFileThreshold)
-          compactCacheEntries(tenant, index, buf.map(_._6).max)
-        val fpAfter = entriesFingerprint(entriesDir)
-        residentL0Cache.get(key) match {
-          case Some((ep, f, map)) if f == fpBefore =>
-            residentL0Cache.put(key, (ep, fpAfter, map))
-          case _ => ()
+        val quotaBytes = pendingQuotaMb.getOrElse(key, Int.MaxValue).toLong << 20
+        val underQuota = {
+          var cur = dirBytes(entriesDir)
+          if (cur >= quotaBytes) {
+            compactCacheEntries(tenant, index, logicalNow)
+            cur = dirBytes(entriesDir)
+          }
+          cur < quotaBytes
         }
+        if (underQuota) {
+          val fpBefore = entriesFingerprint(entriesDir)
+          writeCacheEntryRowsLocal(entriesDir, buf.toSeq)
+          if (dirFileCount(entriesDir) > CacheGcFileThreshold)
+            compactCacheEntries(tenant, index, logicalNow)
+          val fpAfter = entriesFingerprint(entriesDir)
+          residentL0Cache.get(key) match {
+            case Some((ep, f, map)) if f == fpBefore =>
+              residentL0Cache.put(key, (ep, fpAfter, map))
+            case _ => ()
+          }
+        }
+        flushServingMetrics(tenant, index, logicalNow)
       }
     }
   }
+
+  /** Flush every index's pending cache inserts and in-memory serving
+    * counters — the shutdown hook's last act, so rows-path billing and
+    * cache entries survive a restart (the reference loses its whole
+    * in-memory cache here; we only lose nothing). */
+  def flushAllServingMetrics(now: Long = System.currentTimeMillis() / 1000L): Unit =
+    (servingHitCounters.keySet ++ servingMissCounters.keySet ++
+      pendingEntryRows.keySet).foreach { key =>
+      key.split("/", 2) match {
+        case Array(t, i) =>
+          flushCachePending(t, i)
+          flushServingMetrics(t, i, now)
+        case _ => ()
+      }
+    }
 
   // per-key entries sorted in the batch probe's winner order; probe time
   // applies the same expiry filter the batch plan applies BEFORE ranking
@@ -2032,23 +2079,27 @@ class GraftEngine(spark: SparkSession, root: String) {
     * for a single query — the full L0 → L0.5 → L1 → L2 priority cascade
     * probed against a driver-resident copy of the (GC-bounded) entry
     * table. A valid hit returns in-heap with no job, tagged with its
-    * layer; a miss delegates to the full batch cascade (billed,
-    * populated, quota-enforced — the resident maps refresh via dir
-    * fingerprints on the next call) and returns layer "MISS". Probe
-    * semantics equal the batch plan's: same key derivations (the
-    * driver/Column parity is spec-pinned; L1 reuses the simhash kernel
-    * itself; L2 mirrors bestU + the cost-relaxed closeness bound), same
-    * epoch gate, same expiry-before-winner rule, same newest-with-
-    * content-hash tie-break (cached from the plan's own ordering).
-    * Reference scenarios: repeat-query semantic-cache hit (P99 14.5 ms)
-    * and prefetch→L2 hit (0.59 ms), 20260112_phase6_summary.md. */
+    * layer. A tag-free miss serves rows-native (zero-job search,
+    * in-heap insert, amortized durable append — billed via the in-memory
+    * miss counter that [[flushCachePending]]/[[flushServingMetrics]]
+    * persist, quota-enforced at flush against `cacheMemoryMb`); a
+    * tag-filtered miss delegates to the full batch cascade. Both return
+    * layer "MISS". Probe semantics equal the batch plan's: same key
+    * derivations (the driver/Column parity is spec-pinned; L1 reuses the
+    * simhash kernel itself; L2 mirrors bestU + the cost-relaxed
+    * closeness bound), same epoch gate, same expiry-before-winner rule,
+    * same newest-with-content-hash tie-break (cached from the plan's own
+    * ordering). Reference scenarios: repeat-query semantic-cache hit
+    * (P99 14.5 ms) and prefetch→L2 hit (0.59 ms),
+    * 20260112_phase6_summary.md. */
   def searchCachedRows(tenant: String, index: String, queryId: Long,
                        qvec: Array[Float], k: Int, metric: String = "L2",
                        nprobe: Int = 4, now: Long = 0L, ttlSeconds: Int = 60,
-                       tags: Seq[String] = Nil)
+                       tags: Seq[String] = Nil,
+                       cacheMemoryMb: Int = Int.MaxValue)
       : (String, Array[(Int, String, Double)]) = {
     val (layer, rows, _) = searchCachedRowsTraced(tenant, index, queryId,
-      qvec, k, metric, nprobe, now, ttlSeconds, tags)
+      qvec, k, metric, nprobe, now, ttlSeconds, tags, cacheMemoryMb)
     (layer, rows)
   }
 
@@ -2058,7 +2109,8 @@ class GraftEngine(spark: SparkSession, root: String) {
   def searchCachedRowsTraced(tenant: String, index: String, queryId: Long,
                              qvec: Array[Float], k: Int, metric: String = "L2",
                              nprobe: Int = 4, now: Long = 0L,
-                             ttlSeconds: Int = 60, tags: Seq[String] = Nil)
+                             ttlSeconds: Int = 60, tags: Seq[String] = Nil,
+                             cacheMemoryMb: Int = Int.MaxValue)
       : (String, Array[(Int, String, Double)], SearchTrace) = {
     val tTrace0 = System.nanoTime()
     import graft.operators.Caching
@@ -2147,6 +2199,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         writeKeys.foreach { case (l, ck) =>
           pq.add((ck, l, hits, m.epoch, now + ttlSeconds, now))
         }
+        pendingQuotaMb.put(rkey, cacheMemoryMb)
         val pc = pendingEntryCounts.getOrElseUpdate(rkey,
           new java.util.concurrent.atomic.AtomicInteger())
         val nPending = pc.addAndGet(writeKeys.length)

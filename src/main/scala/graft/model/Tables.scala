@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, IntegerType, TimestampType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
 
 /** Loaders for the driver-provided testdata tables (see TESTDATA.md). */
 object Tables {
@@ -33,7 +33,9 @@ object Tables {
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(LongType) => df
-      case Some(IntegerType) => df.withColumn("ts", col("ts").cast(LongType))
+      // anything else (int32 can't hold epoch-nanos, so it would carry
+      // some OTHER unit) fails loudly — silently reinterpreting it is the
+      // exact drift class this normalizer exists to prevent
       case other =>
         throw new IllegalStateException(s"events.ts has unsupported type $other")
     }

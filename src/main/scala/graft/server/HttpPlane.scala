@@ -49,15 +49,22 @@ final class HttpPlane(mgmt: Management, port: Int = 0) {
     server = HttpServer.create(
       new InetSocketAddress(InetAddress.getLoopbackAddress, port), 64)
     server.createContext("/", (ex: HttpExchange) => route(ex))
-    // bounded worker pool (the RESP plane's maxConnections analog): a
-    // burst queues in the server's accept backlog (bounded at 64 above)
-    // instead of growing threads without limit; control-plane handlers
-    // are short driver-side file/metadata ops, so a small fixed pool
-    // drains any legitimate burst
-    server.setExecutor(Executors.newFixedThreadPool(16, r => {
-      val t = new Thread(r, "graft-http")
-      t.setDaemon(true); t
-    }))
+    // bounded worker pool AND bounded work queue (the RESP plane's
+    // maxConnections analog): 16 workers drain a 64-deep queue, and past
+    // that CallerRunsPolicy executes the exchange on the dispatcher
+    // thread itself — accepts pause, overflow backs up into the bounded
+    // accept backlog (64 above) and then the kernel, so a flood can't
+    // grow threads OR heap without limit. Control-plane handlers are
+    // short driver-side file/metadata ops, so this drains any
+    // legitimate burst.
+    server.setExecutor(new java.util.concurrent.ThreadPoolExecutor(
+      16, 16, 0L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.ArrayBlockingQueue[Runnable](64),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http")
+        t.setDaemon(true); t
+      },
+      new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy()))
     server.start()
     server.getAddress.getPort
   }

@@ -494,7 +494,10 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
         val (layer, hits, tr) = engine.searchCachedRowsTraced(
           r.tenant, r.index, queryIds.getAndIncrement(), r.vector, r.k,
           metric, now = System.currentTimeMillis() / 1000L,
-          tags = r.filterTags)
+          tags = r.filterTags,
+          cacheMemoryMb =
+            if (mgmt.tenantExists(r.tenant)) mgmt.quota(r.tenant).cacheMemoryMb
+            else Int.MaxValue)
         if (r.trace) writeArrayHeader(out, 2)
         writeArrayHeader(out, hits.length)
         hits.foreach { case (_, id, score) =>

@@ -36,7 +36,14 @@ object ServerMain {
     val rp = resp.start()
     val hp = http.start()
     println(s"graft server up: root=$root RESP=localhost:$rp HTTP=localhost:$hp")
-    sys.addShutdownHook { resp.close(); http.close(); spark.stop() }
+    sys.addShutdownHook {
+      resp.close(); http.close()
+      // last act: pending cache inserts + in-memory serving counters
+      // become durable, so billing and warm entries survive the restart
+      try mgmt.engine.flushAllServingMetrics()
+      catch { case scala.util.control.NonFatal(_) => }
+      spark.stop()
+    }
     Thread.currentThread().join() // serve until killed
   }
 }

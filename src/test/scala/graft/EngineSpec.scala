@@ -818,6 +818,42 @@ class EngineSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/cache/t1/idx/entries")),
       "flushed cache must stay empty after a pending flush")
+    // ...and the flush must also evict the IN-HEAP copy: on a fresh index
+    // the entries dir has never existed, so its fingerprint is 0 both
+    // before the first write and after the flush — a stale resident map
+    // would serve the flushed entry as an L0 hit forever. The repeat
+    // query must MISS.
+    val (m2, _) = eng.searchCachedRows("t1", "idx", 1L, Array(2f, 1f, 0f),
+      k = 3, nprobe = 1, now = 1001L)
+    assert(m2 == "MISS", s"flushed entry kept serving from the resident map: $m2")
+    // durable billing: flushAllServingMetrics persists the in-memory
+    // counters (the shutdown hook's path), after which the metrics log
+    // itself carries both misses
+    eng.flushAllServingMetrics(now = 1002L)
+    assert(eng.statsText("t1", "idx").contains("cache_miss_total 2"))
+    assert(spark.read.parquet(s"$root/metrics/t1/idx")
+      .agg(org.apache.spark.sql.functions.sum("misses")).head.getLong(0) == 2L)
+  }
+
+  test("rows-native miss quota: at-quota pending flush rejects the append, the miss still served") {
+    val root = Files.createTempDirectory("engine_pendquota").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 10).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 1)
+    // cacheMemoryMb = 0 → the durable table is permanently at quota
+    val (m1, rows1) = eng.searchCachedRows("t1", "idx", 1L, Array(2f, 1f, 0f),
+      k = 3, nprobe = 1, now = 1000L, cacheMemoryMb = 0)
+    assert(m1 == "MISS" && rows1.nonEmpty)
+    eng.flushCachePending("t1", "idx")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/cache/t1/idx/entries")),
+      "at-quota flush must reject the durable append")
+    // the in-heap copy still serves (bounded by TTL/epoch), mirroring the
+    // batch path's 'miss served, just not cached durably'
+    val (h1, _) = eng.searchCachedRows("t1", "idx", 1L, Array(2f, 1f, 0f),
+      k = 3, nprobe = 1, now = 1001L, cacheMemoryMb = 0)
+    assert(h1 == "L0")
   }
 
   test("searchCachedRows: prefetch-warmed L2 entries serve per-call cluster hits") {
