@@ -1113,10 +1113,44 @@ object Queries {
       |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
       |FROM ranked WHERE rank <= 50 ORDER BY lang, rank""".stripMargin
 
-  /** SimHash near-dup pairs at Hamming ≤ 12 (rows-only + ScalaTest). */
+  /** SimHash near-dup pairs at Hamming ≤ 12, fully DuckDB-oracled: the
+    * portable md5-low-64 token-hash family lets DuckDB recompute the
+    * fingerprints bit-for-bit, so the ENTIRE pipeline — tokenize → ±1 bit
+    * votes → 4×16-bit band candidate join → Hamming filter — is under the
+    * cross-engine gate, including the documented partial-recall banding
+    * semantics (pairs whose >3 differing bits spread across all 4 bands
+    * are absent from BOTH sides). The production-default FNV family is
+    * the same kernel with a different `hash` argument (property-tested in
+    * TextDedupSpec). */
   val dedupSimhash: QueryFn = (s, dir) =>
-    TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 12)
+    TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 12,
+        portableHash = true)
       .orderBy("id1", "id2")
+
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+      |), votes AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, UNNEST(generate_series(0, 63)) AS g(b)
+      |  GROUP BY doc_id, b
+      |), fp AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0 END)::UBIGINT AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bh
+      |  FROM fp, UNNEST(generate_series(0, 3)) AS g(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS s1, b.simhash AS s2
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |)
+      |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(s1, s2)) <= 12
+      |ORDER BY id1, id2""".stripMargin
 
   /** Top-50 most-similar embedding pairs by exact cosine. DuckDB-oracled
     * baseline — the O(n²) plan is the *oracle*, not the scale path; the
@@ -1651,6 +1685,7 @@ object Queries {
     "dedup_minhash" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_pipeline" -> dedupPipelineSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "span_dedup" -> spanDedupSql,
     "corpus_sample" -> corpusSampleSql,
     "decontamination" -> decontaminationSql,

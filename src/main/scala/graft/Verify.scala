@@ -29,7 +29,12 @@ object Verify {
         System.err.println(s"[verify] schema $t: unreadable (${e.getMessage})")
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration narrowing (mirrors Bench's SPARK_GRAFT_ONLY); the
+    // driver never sets it, so driver runs always dump every query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -441,10 +441,10 @@ object TextDedup {
   /** 64-bit SimHash of the token multiset: per-token hash votes ±1 on each
     * bit, fingerprint = sign vector. Near-dup texts → small Hamming
     * distance. */
-  private val simhashUdf = udf { (toks: Seq[String]) =>
+  private def simhashOf(hash: String => Long)(toks: Seq[String]): Long = {
     val votes = new Array[Int](64)
     toks.foreach { t =>
-      val h = StableHash.hashString(t)
+      val h = hash(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -457,8 +457,35 @@ object TextDedup {
     fp
   }
 
-  def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashUdf(tokens(col("text"))).as("simhash"))
+  private val simhashUdf = udf(simhashOf(StableHash.hashString(_)) _)
+
+  /** Portable token hash: first 8 bytes of md5, big-endian — the ONE
+    * 64-bit hash every engine can compute identically (DuckDB:
+    * `('0x' || substring(md5(t), 1, 16))::UBIGINT`). Slower than
+    * [[StableHash]] (a digest per token), so it backs only the graded
+    * query, where it puts the FULL simhash pipeline — tokenize → vote →
+    * band join → Hamming filter — under the cross-engine gate instead of
+    * rows-only. */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def md5Low64(s: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+  private val simhashMd5Udf = udf(simhashOf(md5Low64) _)
+
+  /** (doc_id, simhash) fingerprints. `portableHash = true` swaps the
+    * token-hash family from FNV+splitmix to md5-low-64 — semantically
+    * interchangeable (any well-mixed 64-bit family), but replicable by
+    * other engines for verification. */
+  def simhashes(docs: DataFrame, portableHash: Boolean = false): DataFrame = {
+    val fn = if (portableHash) simhashMd5Udf else simhashUdf
+    docs.select(col("doc_id"), fn(tokens(col("text"))).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * from 4×16-bit band buckets. RECALL BOUND: the pigeonhole guarantee
@@ -468,8 +495,9 @@ object TextDedup {
     * missed. That trade is standard SimHash practice (more bands = more
     * recall = more candidates); callers needing guaranteed radius-r recall
     * must use ≥ r+1 bands. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = simhashes(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   portableHash: Boolean = false): DataFrame = {
+    val fp = simhashes(docs, portableHash)
     // persisted: the self-join would otherwise run the fingerprint UDF
     // once per branch (same discipline as bandedCandidates); the
     // candidate set is tiny, so materialize it (localCheckpoint) and
@@ -556,25 +584,36 @@ object TextDedup {
     * only corpus-wide state; no pairwise comparison anywhere, so it runs
     * at 100-TB as two shuffles of the tokenized corpus. */
   def dedupSpans(docs: DataFrame, width: Int = 10): DataFrame = {
-    val spans = docs
+    // Scale shape: the span TEXT never crosses a shuffle. Every exchanged
+    // row is a fixed-width skeleton (doc_id, n_spans, span_idx, h1, h2);
+    // the 10-token strings are regenerated per-document from the original
+    // text at reassembly, where the join key (doc_id) is uniform. Two
+    // independent xxhash64s make a 128-bit key: at 10¹² corpus spans a
+    // single 64-bit key expects ~10⁴ birthday collisions (each a span
+    // wrongly deleted everywhere); 128 bits puts that at ~10⁻¹⁵.
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n_spans",
         ceil(size(col("t")) / lit(width.toDouble)).cast("long"))
-      .select(col("doc_id"), col("n_spans"),
-        posexplode(transform(
-          sequence(lit(0), (col("n_spans") - 1).cast("int")),
-          i => concat_ws(" ", slice(col("t"), i * width + 1, lit(width))))))
-      .withColumnRenamed("pos", "span_idx")
-      .withColumnRenamed("col", "span")
-    val counts = spans.groupBy("span").agg(count(lit(1)).as("cnt"))
-    spans.join(counts, "span")
-      .groupBy("doc_id", "n_spans")
+    def spanArr: Column = transform(
+      sequence(lit(0), (col("n_spans") - 1).cast("int")),
+      i => concat_ws(" ", slice(col("t"), i * width + 1, lit(width))))
+    val skeleton = toks
+      .select(col("doc_id"), col("n_spans"), posexplode(spanArr))
+      .select(col("doc_id"), col("n_spans"), col("pos").as("span_idx"),
+        xxhash64(col("col")).as("h1"),
+        xxhash64(lit("graft.span.h2"), col("col")).as("h2"))
+    // longs-only groupBy: map-side partial aggregation absorbs a
+    // boilerplate hot span before the exchange
+    val counts = skeleton.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+    val removedIdx = skeleton.join(counts, Seq("h1", "h2"))
+      .groupBy("doc_id")
       .agg(
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_removed"),
-        array_sort(collect_list(struct(col("span_idx"), col("span"),
-          col("cnt")))).as("ss"))
+        collect_set(when(col("cnt") > 1, col("span_idx"))).as("removed_idx"))
+    toks.join(removedIdx, "doc_id")
       .withColumn("clean_text", concat_ws(" ",
-        transform(filter(col("ss"), s => s("cnt") <= 1), s => s("span"))))
+        filter(spanArr, (_, i) => !array_contains(col("removed_idx"), i))))
       .select("doc_id", "n_spans", "n_removed", "clean_text")
   }
 }

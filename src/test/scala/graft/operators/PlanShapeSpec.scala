@@ -141,4 +141,17 @@ class PlanShapeSpec extends SparkSpec {
     // reassembly is collect_list-in-agg, never a corpus-wide Window sort
     assert(!plan.contains("Window"), plan)
   }
+
+  test("span dedup shuffles hash skeletons: count-join keys are xxhash64 columns, no span string in any exchange") {
+    val docs = (0 until 30).map(i => (i.toLong, s"a b c d e f g h i j word$i tail"))
+      .toDF("doc_id", "text")
+    val result = TextDedup.dedupSpans(docs, width = 4)
+    result.collect() // finalize the adaptive plan
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), plan)
+    // the span-count aggregation and its join exchange on (h1, h2) longs
+    assert("hashpartitioning\\(h1#\\d+L, h2#\\d+L".r.findFirstIn(plan).isDefined, plan)
+    // no exchange is keyed on the raw span text (posexplode emits `col`)
+    assert("hashpartitioning\\((span|col)#".r.findFirstIn(plan).isEmpty, plan)
+  }
 }
