@@ -582,6 +582,95 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
   }
 
+  /** Tag-filtered zero-job serving: [[searchRowsTraced]] with the F1
+    * conjunctive tag filter applied DURING the scan, not by delegating to
+    * the batch cascade — the reference filters in-process inside its scan
+    * loop at ~no extra cost (VectorCommandSet.cs:461-480), and before this
+    * path a FILTER wire miss paid the ~20-action batch plan, an invisible
+    * latency cliff next to the ~5 ms unfiltered miss.
+    *
+    * Parity with the batch plan's filter-then-top-k (spec-pinned): the
+    * filter tags resolve to a sorted surrogate set from the snapshot's own
+    * tag table (intersection for the conjunction), the packed scan skips
+    * non-members before scoring, head candidates check their OWN head tags
+    * (head wins over snapshot for re-written ids, exactly the batch
+    * `tagsOf` union), and masking/tie-breaks are unchanged. Returns None
+    * when the index/batch is outside the rows-tier gates (HNSW/IVF_PQ,
+    * oversized corpus or head, top-k budget) — the caller keeps the
+    * always-correct distributed filtered plan. */
+  private[graft] def searchRowsFilteredTraced(
+      tenant: String, index: String,
+      queries: Array[(Long, Array[Float])], k: Int,
+      metric: String, nprobe: Int, tags: Seq[String])
+      : Option[(Array[(Long, Int, String, Double)], SearchTrace)] = {
+    if (tags.isEmpty)
+      return Some(searchRowsTraced(tenant, index, queries, k, metric, nprobe))
+    val tTrace0 = System.nanoTime()
+    require(queries.map(_._1).distinct.length == queries.length,
+      "searchRows batch contains duplicate query_ids")
+    val m = manifest(tenant, index)
+    val metricU = metric.toUpperCase
+    val algoOk = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
+      m.nVectors <= IdMapMaxRows
+    val headState: Option[HeadServeState] =
+      if (!algoOk) None
+      else if (m.headDirty == 0) Some(HeadServeState.empty)
+      else headStateOf(tenant, index, m)
+    val dim = queries.headOption.map(_._2.length).getOrElse(0)
+    val headWork = headState.map(hs =>
+      queries.length.toLong * hs.maskSurrogates.size * dim)
+      .getOrElse(Long.MaxValue)
+    val kTail = headState.map(k + _.maskInTail).getOrElse(k)
+    val servable = algoOk && headState.isDefined &&
+      headWork <= IvfFlat.DriverServeMaxScanElems &&
+      queries.length.toLong * kTail <= 4_000_000L
+    if (!servable) None
+    else {
+      require(m.algo == "FLAT" || m.metric.isEmpty ||
+          metric.equalsIgnoreCase(m.metric),
+        s"index built with metric=${m.metric}; cannot search with metric=$metric")
+      val hs = headState.get
+      val tagIdx = tagSurrogatesOf(tenant, index, m)
+      val lists = tags.map(t => tagIdx.getOrElse(t, Array.empty[Long]))
+      // conjunctive allowed set: intersect per-tag lists, smallest first —
+      // cost |smallest| × (T-1) binary searches, driver-local
+      val allowed: Array[Long] =
+        if (lists.exists(_.isEmpty)) Array.empty[Long]
+        else {
+          val sorted = lists.sortBy(_.length)
+          sorted.head.filter(sg => sorted.tail.forall(arr =>
+            java.util.Arrays.binarySearch(arr, sg) >= 0))
+        }
+      val idMap = idStrMapOf(tenant, index, m)
+      val tailRows =
+        if (allowed.isEmpty) Array.empty[(Long, Int, Long, Double)]
+        else IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m), queries,
+          metric, kTail, nprobe, spark, allowedSorted = allowed)
+      val byQuery = tailRows.groupBy(_._1)
+      val rows = queries.flatMap { case (qid, qv) =>
+        val tailCands = byQuery.getOrElse(qid, Array.empty)
+          .filter(r => !hs.maskSurrogates.contains(r._3))
+          .map(r => (r._3, r._4))
+        val headCands = Array.range(0, hs.liveVecs.length).iterator
+          .filter { i =>
+            val ht = hs.liveTags(i); tags.forall(t => ht.contains(t))
+          }
+          .map(i => (hs.liveSurrogates(i),
+            IvfFlat.candidateScore(metricU, qv, hs.liveVecs(i))))
+          .toArray
+        (tailCands ++ headCands)
+          .sortBy { case (surr, s) => (-s, surr) }.take(k).zipWithIndex
+          .map { case ((surr, s), r) =>
+            (qid, r + 1, hs.liveIdOf.getOrElse(surr, idMap(surr)), s)
+          }
+      }
+      Some((rows, SearchTrace("head+tail-filtered", None, Nil,
+        headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
+        tailRows = tailRows.length,
+        totalMicros = (System.nanoTime() - tTrace0) / 1000L)))
+    }
+  }
+
   /** Driver-resident fresh-head state for [[searchRows]]: the post-
     * watermark log reduced to LWW per id — mask surrogates (every
     * re-written or tombstoned id) plus live vectors. Memoized per epoch:
@@ -592,11 +681,12 @@ class GraftEngine(spark: SparkSession, root: String) {
       liveSurrogates: Array[Long],
       liveVecs: Array[Array[Float]],
       liveIdOf: Map[Long, String],
-      maskInTail: Int) // head ids that exist in the tail (only those mask)
+      maskInTail: Int, // head ids that exist in the tail (only those mask)
+      liveTags: Array[Array[String]]) // per live row, for filtered serving
   private object HeadServeState {
     val empty: HeadServeState = HeadServeState(
       new java.util.HashSet[java.lang.Long](),
-      Array.empty, Array.empty, Map.empty, 0)
+      Array.empty, Array.empty, Map.empty, 0, Array.empty)
   }
 
   /** Head rows ceiling for the driver-served path: bigger fresh heads
@@ -615,20 +705,23 @@ class GraftEngine(spark: SparkSession, root: String) {
         val rows = readLog()
           .filter(col("tenant_id") === tenant && col("index_name") === index &&
             col("updated_at") > m.buildWatermark)
-          .select(col("id"), col("vector"), col("deleted"), col("updated_at"))
+          .select(col("id"), col("vector"), col("deleted"), col("updated_at"),
+            col("tags"))
           .limit(HeadServeMaxRows + 1).collect()
         if (rows.length > HeadServeMaxRows) None
         else {
           // LWW reduce (same outcome as searchImpl's row_number window;
           // duplicate (id, updated_at) pairs are LWW-ambiguous in both)
           val latest = scala.collection.mutable.HashMap
-            .empty[String, (Long, Boolean, Array[Float])]
+            .empty[String, (Long, Boolean, Array[Float], Array[String])]
           rows.foreach { r =>
             val id = r.getString(0); val ts = r.getLong(3)
             if (latest.get(id).forall(_._1 < ts))
               latest(id) = (ts, r.getBoolean(2),
                 if (r.isNullAt(1)) Array.empty[Float]
-                else graft.functions.floatArray(r.getSeq[Float](1)))
+                else graft.functions.floatArray(r.getSeq[Float](1)),
+                if (r.isNullAt(4)) Array.empty[String]
+                else r.getSeq[String](4).toArray)
           }
           def surr(s: String): Long =
             org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
@@ -636,18 +729,19 @@ class GraftEngine(spark: SparkSession, root: String) {
               org.apache.spark.sql.types.StringType, 42L)
           val mask = new java.util.HashSet[java.lang.Long]()
           val live = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Array[Float], String)]
+            .empty[(Long, Array[Float], String, Array[String])]
           val tailIds = idStrMapOf(tenant, index, m)
           var maskInTail = 0
-          latest.foreach { case (id, (_, deleted, vec)) =>
+          latest.foreach { case (id, (_, deleted, vec, tags)) =>
             val sg = surr(id)
             mask.add(sg)
             if (tailIds.contains(sg)) maskInTail += 1
-            if (!deleted) live += ((sg, vec, id))
+            if (!deleted) live += ((sg, vec, id, tags))
           }
           val hs = HeadServeState(mask,
             live.map(_._1).toArray, live.map(_._2).toArray,
-            live.map(l => l._1 -> l._3).toMap, maskInTail)
+            live.map(l => l._1 -> l._3).toMap, maskInTail,
+            live.map(_._4).toArray)
           headStateCache.put(key, (m.epoch, hs))
           Some(hs)
         }
@@ -937,6 +1031,28 @@ class GraftEngine(spark: SparkSession, root: String) {
         .select("id", "id_str").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap)
 
+  // tag → sorted surrogate-id array for the FILTERED rows serving tier
+  // (the reference keeps per-record tags in the same process heap it
+  // scans, VectorCommandSet.cs:461-480). Immutable per snapshot version;
+  // bounded by the same nVectors ≤ IdMapMaxRows gate as idStrMapOf —
+  // total entries = Σ tags per record, a few ×8 bytes per row. Sorted
+  // arrays (not hash sets) so the scan kernel's membership test is one
+  // allocation-free binary search.
+  private val tagSurrogatesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Array[Long]]]
+  private def tagSurrogatesOf(tenant: String, index: String,
+                              m: Manifest): Map[String, Array[Long]] =
+    tagSurrogatesCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
+      spark.read.parquet(s"${snapDir(tenant, index, m)}/records")
+        .select(xxhash64(col("id_str")).as("sg"),
+          explode(coalesce(col("tags"),
+            array().cast("array<string>"))).as("tag"))
+        .collect()
+        .groupBy(_.getString(1))
+        .map { case (t, rs) =>
+          val a = rs.map(_.getLong(0)); java.util.Arrays.sort(a); t -> a
+        })
+
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
   // layer), while constructing an IvfFlat.Index eagerly resolves the
@@ -972,6 +1088,9 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
     idStrMapCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) idStrMapCache.remove(k)
+    }
+    tagSurrogatesCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) tagSurrogatesCache.remove(k)
     }
   }
 
@@ -1550,6 +1669,14 @@ class GraftEngine(spark: SparkSession, root: String) {
     val rowsPathOk = nQ <= CachedMissLocalMaxQueries &&
       queries.schema("query_id").dataType ==
         org.apache.spark.sql.types.LongType &&
+      // the local collect reads getSeq[Float]: the gate must fully decide
+      // eligibility, so an array<double> qvec frame (typed but castable)
+      // stays on the distributed path instead of a late ClassCastException
+      (queries.schema("qvec").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }) &&
       !queries.columns.contains("filter_tags") && options.maxScans == 0
     val fresh =
       if (options.cacheOnly || !anyMiss) emptyResult()
@@ -1846,6 +1973,50 @@ class GraftEngine(spark: SparkSession, root: String) {
     servingMissCounters.getOrElseUpdate(s"$tenant/$index",
       new java.util.concurrent.atomic.AtomicLong())
 
+  /** Live (not-yet-flushed) serving counters per index — the sidecar
+    * loop's metrics snapshot (the reference's GetMetricsSnapshot payload,
+    * server.py:138-160). Read-only: [[flushServingMetrics]] owns the
+    * reset, so these are "since the last durable flush". */
+  def servingCountersLive: Seq[(String, String, Long, Long)] =
+    (servingHitCounters.keySet ++ servingMissCounters.keySet).toSeq.sorted
+      .flatMap { key =>
+        key.split("/", 2) match {
+          case Array(t, i) => Some((t, i,
+            servingHitCounters.get(key).map(_.get()).getOrElse(0L),
+            servingMissCounters.get(key).map(_.get()).getOrElse(0L)))
+          case _ => None
+        }
+      }
+
+  // -------------------------------------------------------------------
+  // sidecar-applied serving policy. The reference applies the policy's
+  // TtlSeconds to subsequent cache decisions and leaves
+  // AdmissionThreshold/EvictionPriority declared-but-unapplied on the
+  // engine side (DynamicPolicyEngine.cs:16-46 — the comment at :40 says
+  // exactly that); mirrored here: TTL drives inserts, the other two ride
+  // along as data for stats/decision logs. ttl ≤ 0 = the reference's
+  // NoCache decision — entries are born expired and never serve.
+  // -------------------------------------------------------------------
+  private val appliedPolicies = scala.collection.concurrent.TrieMap
+    .empty[String, (Int, Double, String)]
+
+  /** Apply a sidecar policy decision for a tenant (the engine half of
+    * UpdatePolicy, DynamicPolicyEngine.cs:31-45). */
+  def applyServingPolicy(tenant: String, ttlSeconds: Int,
+                         admissionThreshold: Double = 0.1,
+                         evictionPriority: String = "default"): Unit =
+    appliedPolicies.put(tenant,
+      (ttlSeconds, admissionThreshold, evictionPriority))
+
+  /** TTL the wire plane should cache new entries with: the applied
+    * policy's, or the caller's default when no policy has arrived. */
+  def servingTtl(tenant: String, default: Int = 60): Int =
+    appliedPolicies.get(tenant).map(_._1).getOrElse(default)
+
+  /** The full applied policy, if any (stats/observability). */
+  def servingPolicyOf(tenant: String): Option[(Int, Double, String)] =
+    appliedPolicies.get(tenant)
+
   /** Rows-path cache inserts pending their durable append. The reference's
     * cache insert is an in-memory map put (MemoryCacheStorage) — serving
     * truth here is likewise the resident map, updated in-heap at miss
@@ -1922,7 +2093,17 @@ class GraftEngine(spark: SparkSession, root: String) {
             compactCacheEntries(tenant, index, logicalNow)
           val fpAfter = entriesFingerprint(entriesDir)
           residentL0Cache.get(key) match {
-            case Some((ep, f, map)) if f == fpBefore =>
+            // restamp ONLY when the map provably holds the drained
+            // entries (same key + expiry): a map reloaded from the dir
+            // between the in-heap insert and this flush matches fpBefore
+            // yet lacks the pending rows — restamping it would hide them
+            // from the resident tier until the dir next changes. The
+            // check is ≤ PendingFlushMaxRows probes of an in-heap map.
+            case Some((ep, f, map)) if f == fpBefore &&
+                buf.forall { case (ck, _, _, _, exp, _) =>
+                  val es = map.get(ck)
+                  es != null && es.exists(_.expiresAt == exp)
+                } =>
               residentL0Cache.put(key, (ep, fpAfter, map))
             case _ => ()
           }
@@ -2147,7 +2328,7 @@ class GraftEngine(spark: SparkSession, root: String) {
           SearchTrace("cache-hit", Some(layer), probes.map(_._1).toSeq,
             headLive = -1, headMasked = -1, tailRows = -1,
             totalMicros = (System.nanoTime() - tTrace0) / 1000L))
-      case None if tags.isEmpty =>
+      case None =>
         // Rows-native miss: the reference answers a cache miss entirely
         // in-process — search the index, put the entry in its in-memory
         // cache, reply — inside one request (~ms). Delegating to the
@@ -2155,26 +2336,35 @@ class GraftEngine(spark: SparkSession, root: String) {
         // planning per wire miss, and even a synchronous driver-side
         // parquet append measured ~20 ms/call (writer init + dir rewalk)
         // serialized on the manifest lock. So the miss mirrors the
-        // reference's shape: the zero-job [[searchRows]] tier answers,
-        // the resident map takes the entry in-heap immediately
-        // (copy-on-write; the dir fingerprint is untouched because the
-        // dir is untouched), and the durable append rides the amortized
-        // [[pendingEntryRows]] queue. Newest-first per key — the batch
-        // winner order — with one documented looseness: two
-        // different-content writes to a shared L1/L2 key in the same
-        // logical second tie in written_at, where the batch plan picks by
-        // content hash and this path keeps the later write; both are
-        // valid entries for that key and a full reload re-ranks
-        // identically to the plan. Tag-filtered calls keep the batch
-        // path below (the rows tier has no tag filtering).
-        val (rows0, tr) = searchRowsTraced(tenant, index,
-          Array((queryId, qvec)), k, metric, nprobe)
+        // reference's shape: the zero-job [[searchRows]] tier answers
+        // (tag-filtered calls through [[searchRowsFilteredTraced]] — the
+        // snapshot tag index filters during the scan, like the
+        // reference's in-process filter), the resident map takes the
+        // entry in-heap immediately (copy-on-write; the dir fingerprint
+        // is untouched because the dir is untouched), and the durable
+        // append rides the amortized [[pendingEntryRows]] queue.
+        // Newest-first per key — the batch winner order — with one
+        // documented looseness: two different-content writes to a shared
+        // L1/L2 key in the same logical second tie in written_at, where
+        // the batch plan picks by content hash and this path keeps the
+        // later write; both are valid entries for that key and a full
+        // reload re-ranks identically to the plan. Calls outside the
+        // rows-tier gates (HNSW/IVF_PQ tail, oversized corpus/head)
+        // keep the batch cascade below.
+        val rowsNative: Option[(Array[(Long, Int, String, Double)], SearchTrace)] =
+          if (tags.isEmpty)
+            Some(searchRowsTraced(tenant, index, Array((queryId, qvec)), k,
+              metric, nprobe))
+          else searchRowsFilteredTraced(tenant, index, Array((queryId, qvec)),
+            k, metric, nprobe, tags)
+        rowsNative match {
+          case Some((rows0, tr)) =>
         val hits = rows0.map { case (_, r, id, s) => (r, id, s) }.sortBy(_._1)
         val writeKeys = probes.toSeq.collect {
           case (l @ ("L0" | "L1" | "L2"), ck) => (l, ck)
         }
         val rkey = s"$tenant/$index"
-        withManifestLock(tenant, index) {
+        val nPending = withManifestLock(tenant, index) {
           residentL0Cache.get(rkey).foreach { case (ep, f, oldMap) =>
             if (ep == m.epoch) {
               val nm = new java.util.HashMap[java.lang.Long, Array[ResidentEntry]](oldMap)
@@ -2193,17 +2383,23 @@ class GraftEngine(spark: SparkSession, root: String) {
               residentL0Cache.put(rkey, (ep, f, nm))
             }
           }
+          // pending enqueue stays under the SAME lock as the resident
+          // insert: a concurrent flushCache (which clears the queue under
+          // this lock) can then never interleave between the two — an
+          // explicitly flushed entry must not resurrect via a later
+          // pending flush
+          val pq = pendingEntryRows.getOrElseUpdate(rkey,
+            new java.util.concurrent.ConcurrentLinkedQueue())
+          writeKeys.foreach { case (l, ck) =>
+            pq.add((ck, l, hits, m.epoch, now + ttlSeconds, now))
+          }
+          pendingQuotaMb.put(rkey, cacheMemoryMb)
+          val pc = pendingEntryCounts.getOrElseUpdate(rkey,
+            new java.util.concurrent.atomic.AtomicInteger())
+          val n = pc.addAndGet(writeKeys.length)
+          pendingEntrySince.putIfAbsent(rkey, System.nanoTime())
+          n
         }
-        val pq = pendingEntryRows.getOrElseUpdate(rkey,
-          new java.util.concurrent.ConcurrentLinkedQueue())
-        writeKeys.foreach { case (l, ck) =>
-          pq.add((ck, l, hits, m.epoch, now + ttlSeconds, now))
-        }
-        pendingQuotaMb.put(rkey, cacheMemoryMb)
-        val pc = pendingEntryCounts.getOrElseUpdate(rkey,
-          new java.util.concurrent.atomic.AtomicInteger())
-        val nPending = pc.addAndGet(writeKeys.length)
-        pendingEntrySince.putIfAbsent(rkey, System.nanoTime())
         servingMissesOf(tenant, index).incrementAndGet()
         if (nPending >= PendingFlushMaxRows ||
             pendingEntrySince.get(rkey).exists(
@@ -2214,7 +2410,7 @@ class GraftEngine(spark: SparkSession, root: String) {
             headLive = tr.headLive, headMasked = tr.headMasked,
             tailRows = tr.tailRows,
             totalMicros = (System.nanoTime() - tTrace0) / 1000L))
-      case None =>
+          case None =>
         import spark.implicits._
         val base = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
           .withColumn("filter_tags", typedLit(tags))
@@ -2227,6 +2423,7 @@ class GraftEngine(spark: SparkSession, root: String) {
           SearchTrace("cache-miss", None, probes.map(_._1).toSeq,
             headLive = -1, headMasked = -1, tailRows = -1,
             totalMicros = (System.nanoTime() - tTrace0) / 1000L))
+        }
     }
   }
 

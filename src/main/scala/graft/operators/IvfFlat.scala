@@ -426,20 +426,31 @@ object IvfFlat {
     * latency is the scan, not the ~25 ms local scheduler floor. */
   def searchLocalRows(index: Index, queries: Array[(Long, Array[Float])],
                       metric: String, k: Int, nprobe: Int,
-                      spark: org.apache.spark.sql.SparkSession): Array[(Long, Int, Long, Double)] =
+                      spark: org.apache.spark.sql.SparkSession,
+                      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] =
     searchLocalRowsPath(index, queries, metric, k, nprobe, spark,
-      forceDistributed = false)
+      forceDistributed = false, allowedSorted = allowedSorted)
 
   /** [[searchLocalRows]] with the tier dispatch exposed for path-equality
     * tests: `forceDistributed = true` always runs the packed-RDD job even
-    * when the index fits the driver-resident tier. */
+    * when the index fits the driver-resident tier.
+    *
+    * `allowedSorted` (optional): a SORTED array of admissible surrogate
+    * ids — the serving-side conjunctive tag filter (F1) resolved to an id
+    * set by the caller. Candidates outside the set are skipped BEFORE
+    * scoring (one binary search per probed row, no dot product), so the
+    * filtered scan equals the batch plan's filter-then-top-k over the
+    * same probed candidate set (the reference filters in-process during
+    * its scan, VectorCommandSet.cs:461-480). The tier dispatch is
+    * unchanged: the scan still visits every probed row. */
   private[graft] def searchLocalRowsPath(
       index: Index, queries: Array[(Long, Array[Float])],
       metric: String, k: Int, nprobe: Int,
       spark: org.apache.spark.sql.SparkSession,
       forceDistributed: Boolean,
       stBound: Long = DriverServeMaxScanElems,
-      mtBound: Long = DriverServeMaxScanElemsMT): Array[(Long, Int, Long, Double)] = {
+      mtBound: Long = DriverServeMaxScanElemsMT,
+      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -496,16 +507,17 @@ object IvfFlat {
           // query from one process's heap; this is the honest analog for
           // indexes inside the residency bound)
           countTier("driver")
-          scanPacked(parts.iterator, qvecs, probeMap, metricU, kLoc).toArray
+          scanPacked(parts.iterator, qvecs, probeMap, metricU, kLoc,
+            allowedSorted).toArray
         case Some(parts) =>
           countTier("driverMT")
-          scanPackedMT(parts, qvecs, probeMap, metricU, kLoc)
+          scanPackedMT(parts, qvecs, probeMap, metricU, kLoc, allowedSorted)
         case None =>
           countTier("distributed")
-          val bq = spark.sparkContext.broadcast((qvecs, probeMap))
+          val bq = spark.sparkContext.broadcast((qvecs, probeMap, allowedSorted))
           index.packed.mapPartitions { pit =>
-            val (qv, probes) = bq.value
-            scanPacked(pit, qv, probes, metricU, kLoc)
+            val (qv, probes, allowed) = bq.value
+            scanPacked(pit, qv, probes, metricU, kLoc, allowed)
           }.collect()
       }
     // final merge: ≤ partitions·nq·k rows, driver-local
@@ -521,7 +533,8 @@ object IvfFlat {
     * RDD) and on the driver (resident tier) — path equality is spec-pinned. */
   private def scanPacked(pit: Iterator[PackedLists], qv: Array[Array[Float]],
                          probes: Map[Int, Array[Int]], metricU: String,
-                         k: Int): Iterator[(Int, Long, Double)] = {
+                         k: Int,
+                         allowedSorted: Array[Long] = null): Iterator[(Int, Long, Double)] = {
     val bufs = Array.fill(qv.length)(new TopKBuf(k))
     val isL2 = metricU == "L2"
     while (pit.hasNext) {
@@ -532,6 +545,10 @@ object IvfFlat {
         if (range != null) {
           var r = range(0); val end = range(0) + range(1)
           while (r < end) {
+            if (allowedSorted != null &&
+                java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0) {
+              r += 1
+            } else {
             val off = r * dim
             var i = 0
             while (i < probing.length) {
@@ -548,6 +565,7 @@ object IvfFlat {
               i += 1
             }
             r += 1
+            }
           }
         }
       }
@@ -569,7 +587,8 @@ object IvfFlat {
   private def scanPackedMT(parts: Array[PackedLists],
                            qv: Array[Array[Float]],
                            probes: Map[Int, Array[Int]], metricU: String,
-                           k: Int): Array[(Int, Long, Double)] = {
+                           k: Int,
+                           allowedSorted: Array[Long] = null): Array[(Int, Long, Double)] = {
     val pool = driverScanPool
     val nThreads = driverScanThreads
     val nq = qv.length
@@ -587,7 +606,8 @@ object IvfFlat {
                 val in = probing.filter(q => q >= lo && q < hi)
                 if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
               }.toMap
-              scanPacked(parts.iterator, localQv, localProbes, metricU, k)
+              scanPacked(parts.iterator, localQv, localProbes, metricU, k,
+                  allowedSorted)
                 .map { case (qi, id, s) => (qi + lo, id, s) }.toArray
             }
           }
@@ -597,7 +617,8 @@ object IvfFlat {
         parts.toSeq.map { p =>
           new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
             override def call(): Array[(Int, Long, Double)] =
-              scanPacked(Iterator(p), qv, probes, metricU, k).toArray
+              scanPacked(Iterator(p), qv, probes, metricU, k,
+                allowedSorted).toArray
           }
         }
       }

@@ -52,11 +52,14 @@ final class HttpPlane(mgmt: Management, port: Int = 0) {
     // bounded worker pool AND bounded work queue (the RESP plane's
     // maxConnections analog): 16 workers drain a 64-deep queue, and past
     // that CallerRunsPolicy executes the exchange on the dispatcher
-    // thread itself — accepts pause, overflow backs up into the bounded
-    // accept backlog (64 above) and then the kernel, so a flood can't
-    // grow threads OR heap without limit. Control-plane handlers are
-    // short driver-side file/metadata ops, so this drains any
-    // legitimate burst.
+    // thread itself — which stalls ALL of HttpServer's connection I/O
+    // for that handler's duration (responses mid-stream to other
+    // clients included, not just new accepts); overflow then backs up
+    // into the bounded accept backlog (64 above) and the kernel, so a
+    // flood can't grow threads OR heap without limit. That plane-wide
+    // pause is an accepted trade for a control plane whose handlers are
+    // short driver-side file/metadata ops — a data plane would want
+    // AbortPolicy + 503 instead.
     server.setExecutor(new java.util.concurrent.ThreadPoolExecutor(
       16, 16, 0L, java.util.concurrent.TimeUnit.SECONDS,
       new java.util.concurrent.ArrayBlockingQueue[Runnable](64),

@@ -247,14 +247,29 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
 
   private def serve(socket: Socket): Unit = {
     // an idle (or wedged) client hits SO_TIMEOUT on the next blocking read
-    // and is dropped in the catch below, freeing its pool thread
+    // and is dropped in the catch below, freeing its pool thread. The
+    // counter distinguishes truly idle (no bytes of the next command yet)
+    // from stalled MID-frame — the same reap either way, but the error a
+    // backpressured-upstream client sees should say which.
     socket.setSoTimeout(idleTimeoutMs)
-    val in = new BufferedInputStream(socket.getInputStream)
+    val bytesSeen = new java.util.concurrent.atomic.AtomicLong()
+    val in: InputStream = new java.io.FilterInputStream(
+        new BufferedInputStream(socket.getInputStream)) {
+      override def read(): Int = {
+        val b = super.read(); if (b >= 0) bytesSeen.incrementAndGet(); b
+      }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val n = super.read(buf, off, len)
+        if (n > 0) bytesSeen.addAndGet(n.toLong); n
+      }
+    }
     val out = new BufferedOutputStream(socket.getOutputStream)
     var sessionTenant: Option[String] = None
+    var frameStartBytes = 0L
     try {
       var live = true
       while (live) {
+        frameStartBytes = bytesSeen.get()
         readCommand(in) match {
           case None => live = false
           case Some(cmd) if cmd.isEmpty => // ignore blank inline line
@@ -279,8 +294,14 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       }
     } catch {
       case _: java.net.SocketTimeoutException =>
-        // idle past idleTimeoutMs: best-effort notice, then reap
-        try { writeError(out, s"$ErrBusy idle timeout"); out.flush() }
+        // no read progress for idleTimeoutMs: best-effort notice, then
+        // reap — named for what the server observed (idle between
+        // commands vs stalled inside one), so a client wedged by
+        // upstream backpressure isn't told it was "idle"
+        val why =
+          if (bytesSeen.get() > frameStartBytes) "read timeout mid-command"
+          else "idle timeout"
+        try { writeError(out, s"$ErrBusy $why"); out.flush() }
         catch { case NonFatal(_) => }
       case _: EOFException | _: SocketException => // client went away
       case _: Resp.ProtocolException => // malformed framing: drop connection
@@ -494,6 +515,10 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
         val (layer, hits, tr) = engine.searchCachedRowsTraced(
           r.tenant, r.index, queryIds.getAndIncrement(), r.vector, r.k,
           metric, now = System.currentTimeMillis() / 1000L,
+          // cache-insert TTL follows the sidecar-applied policy (the
+          // reference's DynamicPolicyEngine.Evaluate consults the policy
+          // store per decision; ttl ≤ 0 = its NoCache)
+          ttlSeconds = engine.servingTtl(r.tenant),
           tags = r.filterTags,
           cacheMemoryMb =
             if (mgmt.tenantExists(r.tenant)) mgmt.quota(r.tenant).cacheMemoryMb

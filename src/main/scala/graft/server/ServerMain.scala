@@ -9,12 +9,19 @@ import graft.Management
   * shape of the reference (GarnetService + ASP.NET host in one process,
   * Program.cs). Usage:
   *
-  *   sbt "runMain graft.server.ServerMain [root] [respPort] [httpPort]"
+  *   sbt "runMain graft.server.ServerMain [root] [respPort] [httpPort] [sidecarDir]"
   *
   * Defaults: root=/tmp/graft-server, RESP 6380, HTTP 8080 (0 = ephemeral;
   * chosen ports are printed). On a cluster this process is the driver (or
   * a thin gateway): per-call serving stays on the engine's zero-job
-  * resident tiers; index builds and batch analytics run as Spark jobs. */
+  * resident tiers; index builds and batch analytics run as Spark jobs.
+  *
+  * Passing a 4th arg (or SPARK_GRAFT_SIDECAR_DIR) enables the sidecar
+  * decision loop against that contract directory: every
+  * SPARK_GRAFT_SIDECAR_INTERVAL_MS (default 10 000 — the reference's
+  * Sidecar:MetricsIntervalSeconds, SidecarMetricsReporter.cs:52-58) the
+  * loop publishes serving metrics and applies the newest policy frame's
+  * TTLs to live cache inserts. */
 object ServerMain {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft-server")
@@ -35,8 +42,16 @@ object ServerMain {
     val http = new HttpPlane(mgmt, httpPort)
     val rp = resp.start()
     val hp = http.start()
+    val sidecarDir = args.lift(3).orElse(sys.env.get("SPARK_GRAFT_SIDECAR_DIR"))
+    val sidecar = sidecarDir.map { dir =>
+      val loop = new graft.streaming.SidecarLoop(mgmt.engine, spark, dir)
+      loop.start(sys.env.getOrElse("SPARK_GRAFT_SIDECAR_INTERVAL_MS", "10000").toLong)
+      println(s"sidecar loop up: contract=$dir")
+      loop
+    }
     println(s"graft server up: root=$root RESP=localhost:$rp HTTP=localhost:$hp")
     sys.addShutdownHook {
+      sidecar.foreach(_.close())
       resp.close(); http.close()
       // last act: pending cache inserts + in-memory serving counters
       // become durable, so billing and warm entries survive the restart

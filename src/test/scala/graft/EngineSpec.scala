@@ -741,6 +741,126 @@ class EngineSpec extends SparkSpec {
     assert(rowsK.forall(_._1 <= 3) && rowsK.length == 3, rowsK.toSeq)
   }
 
+  test("filtered rows serving: conjunctive tag parity with the batch plan; head tags win; cached round-trip") {
+    val root = Files.createTempDirectory("engine_ftags").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(47)
+    // tags: i%3==0 → red, i%3==1 → blue, i%3==2 → none; even adds "even"
+    val recs = (0 until 40).map { i =>
+      val base = i % 3 match {
+        case 0 => Seq("red"); case 1 => Seq("blue"); case _ => Seq.empty[String]
+      }
+      val tg = if (i % 2 == 0) base :+ "even" else base
+      (s"v$i", Seq.fill(6)(rng.nextFloat()), null: String, tg, 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 4)
+    val qv = Array.fill(6)(rng.nextFloat())
+    def plan(tags: Seq[String], k: Int = 5): Seq[(Int, String, Double)] =
+      eng.search("t1", "idx", q(1L, qv.toSeq, tags), k, nprobe = 4).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    def rowsPath(tags: Seq[String], k: Int = 5): Seq[(Int, String, Double)] = {
+      val res = eng.searchRowsFilteredTraced("t1", "idx",
+        Array((1L, qv)), k, "L2", 4, tags)
+      assert(res.isDefined, "IVF_FLAT corpus must be rows-servable")
+      res.get._1.map(r => (r._2, r._3, r._4)).toSeq
+    }
+    // single tag, multi-tag conjunction, and unknown tag — exact parity
+    // (same kernels, same tie-break) with the batch plan's F1 filter
+    assert(rowsPath(Seq("red")) == plan(Seq("red")))
+    assert(rowsPath(Seq("blue", "even")) == plan(Seq("blue", "even")))
+    assert(plan(Seq("blue", "even")).forall { case (_, id, _) =>
+      val i = id.drop(1).toInt; i % 3 == 1 && i % 2 == 0
+    })
+    assert(rowsPath(Seq("nope")).isEmpty && plan(Seq("nope")).isEmpty)
+    // head overwrite changes tags: head tags must win over the snapshot's
+    // (the batch plan's tagsOf union) on BOTH paths
+    eng.upsert(mkRecords(Seq(
+      ("v0", recs(0)._2, null, Seq("green"), 200L))))
+    val green = rowsPath(Seq("green"))
+    assert(green.map(_._2) == Seq("v0"), green)
+    assert(green == plan(Seq("green")))
+    assert(!rowsPath(Seq("red", "even")).exists(_._2 == "v0"))
+    assert(rowsPath(Seq("red", "even")) == plan(Seq("red", "even")))
+    // cached wire shape: a FILTER miss serves rows-native (trace carries
+    // head/tail counts; the batch fallback would report -1), inserts
+    // in-heap under tag-scoped keys, and the repeat call L0-hits
+    val (lm, rowsM, trM) = eng.searchCachedRowsTraced("t1", "idx", 99L, qv,
+      k = 5, nprobe = 4, now = 1000L, tags = Seq("red", "even"))
+    assert(lm == "MISS")
+    assert(trM.headLive >= 0, s"filtered miss must serve rows-native: $trM")
+    assert(rowsM.toSeq == plan(Seq("red", "even")))
+    val (lh, rowsH, _) = eng.searchCachedRowsTraced("t1", "idx", 99L, qv,
+      k = 5, nprobe = 4, now = 1005L, tags = Seq("red", "even"))
+    assert(lh == "L0", s"repeat filtered call must hit, got $lh")
+    assert(rowsH.toSeq == rowsM.toSeq)
+    // tag-scoped keys must NOT leak into unfiltered serving: same qvec
+    // without FILTER derives different cache keys → its own miss
+    val (lu, rowsU, _) = eng.searchCachedRowsTraced("t1", "idx", 100L, qv,
+      k = 5, nprobe = 4, now = 1006L)
+    assert(lu == "MISS", s"unfiltered call must not hit a tag-scoped entry")
+    assert(rowsU.toSeq == plan(Nil).map(t => (t._1, t._2, t._3)))
+    // non-inverted-list tails stay on the always-correct batch cascade
+    eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
+    eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    assert(eng.searchRowsFilteredTraced("t1", "pq",
+      Array((1L, qv)), 3, "L2", 2, Seq("red")).isEmpty)
+    val (lpq, rowsPq, trPq) = eng.searchCachedRowsTraced("t1", "pq", 101L,
+      qv, k = 3, nprobe = 2, now = 1010L, tags = Seq("red"))
+    assert(lpq == "MISS" && trPq.headLive == -1, trPq) // batch fallback
+    assert(rowsPq.nonEmpty)
+  }
+
+  test("crash recovery: the pending-queue loss window is bounded and converges; flushed state survives") {
+    val root = Files.createTempDirectory("engine_crash").toString
+    val eng = new GraftEngine(spark, root)
+    eng.add(mkRecords((0 until 30).map(i =>
+      (s"v$i", Seq(i.toFloat, 1f, 0f), null: String, Seq.empty[String], 100L))))
+    eng.build("t1", "idx", nlist = 2)
+    val qvA = Array(4f, 1f, 0f); val qvB = Array(9f, 1f, 0f)
+    // miss A served rows-native, then the deterministic flush makes its
+    // entry + billing durable
+    val (mA, rowsA) = eng.searchCachedRows("t1", "idx", 1L, qvA, k = 3,
+      nprobe = 2, now = 1000L)
+    assert(mA == "MISS")
+    eng.flushCachePending("t1", "idx")
+    // miss B stays in the pending window (< 256 rows, < 1 s old): this is
+    // exactly the documented crash-loss bound. k = 8 rounds into a
+    // different L1/L2 bucket than A's k = 3, so no cache layer can
+    // legitimately alias the two (A's entry serving B via the simhash
+    // bucket would be CORRECT cache semantics, not a crash artifact).
+    val (mB, rowsB) = eng.searchCachedRows("t1", "idx", 2L, qvB, k = 8,
+      nprobe = 2, now = 1001L)
+    assert(mB == "MISS")
+    // CRASH: a fresh engine on the same root has none of the old
+    // instance's heap (resident maps, pending queue, counters) — only
+    // what was flushed
+    val eng2 = new GraftEngine(spark, root)
+    // flushed entry A survives the restart and serves from the reloaded
+    // resident tier with the exact pre-crash rows
+    val (hA, rowsA2) = eng2.searchCachedRows("t1", "idx", 1L, qvA, k = 3,
+      nprobe = 2, now = 1002L)
+    assert(hA == "L0", s"flushed entry must survive restart, got $hA")
+    assert(rowsA2.toSeq == rowsA.toSeq)
+    // pending entry B is the ≤256-row/1-s loss: the repeat call MISSES —
+    // a recompute with the same correct answer, never a wrong one
+    val (hB, rowsB2) = eng2.searchCachedRows("t1", "idx", 2L, qvB, k = 8,
+      nprobe = 2, now = 1003L)
+    assert(hB == "MISS", "unflushed pending entry is lost by design")
+    assert(rowsB2.toSeq == rowsB.toSeq, "recompute must equal the lost answer")
+    // and serving converges: the recompute re-inserted in-heap
+    val (hB2, rowsB3) = eng2.searchCachedRows("t1", "idx", 2L, qvB, k = 8,
+      nprobe = 2, now = 1004L)
+    assert(hB2 == "L0")
+    assert(rowsB3.toSeq == rowsB.toSeq)
+    // billing floor: the flush persisted miss A before the crash; miss B's
+    // in-memory counter died with the instance (documented). The durable
+    // log must hold exactly the flushed count — not zero, not B's too.
+    val metrics = spark.read.parquet(s"$root/metrics/t1/idx")
+      .agg(sum("misses")).head.getLong(0)
+    assert(metrics == 1L, s"expected exactly the flushed miss, got $metrics")
+  }
+
   test("rows-native miss populate: locally-written entries serve BOTH the rows and batch cascades") {
     val root = Files.createTempDirectory("engine_rowsmiss").toString
     val eng = new GraftEngine(spark, root)
