@@ -279,6 +279,36 @@ object Bench {
     val recallNp10 = recallAt(10)
     System.err.println(
       f"# bench-runs ivf_100k_recall_at_10 nprobe2=$recallNp2%.4f nprobe4=$recallNp4%.4f nprobe10=$recallNp10%.4f")
+    // HNSW recall gradient on the SAME held-out gauge: the graded query
+    // proves only the provably-exact configuration (COVERAGE.md
+    // divergence 1); these rows track the realistic-ef regime like the
+    // nprobe rows above track pruned IVF. 4 graph partitions (25k nodes
+    // each) keep the per-graph beam honest — a HnswTuneMain sweep showed
+    // 8+ partitions pin recall at 1.0 (the n-way top-k union hides beam
+    // quality, the r5 tripwire failure mode), and m=16 tops out at 0.89:
+    // m=32/efC=200/4 parts lands 0.85/0.92/0.97 at ef 32/64/128 — a
+    // gradient strictly inside (0.8, 1.0) that → 1.0 with ef.
+    val hnswC = graft.operators.Hnsw.build(synthC, metric = "L2", m = 32,
+      efConstruction = 200, numPartitions = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tHnswC0 = System.nanoTime()
+    hnswC.count()
+    val tHnswBuild = (System.nanoTime() - tHnswC0) / 1e9
+    val qcDf = {
+      import spark.implicits._
+      qC.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("query_id", "qvec")
+    }
+    def hnswRecallAt(ef: Int): Double = recallVs(exactC,
+      graft.operators.Hnsw.search(hnswC, qcDf, 10, efSearch = ef)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet })
+    val hnswRecallEf32 = hnswRecallAt(32)
+    val hnswRecallEf64 = hnswRecallAt(64)
+    val hnswRecallEf128 = hnswRecallAt(128)
+    System.err.println(
+      f"# bench-runs hnsw_100k_recall_at_10 build=$tHnswBuild%.2f ef32=$hnswRecallEf32%.4f ef64=$hnswRecallEf64%.4f ef128=$hnswRecallEf128%.4f")
+    hnswC.unpersist()
     flatC.packed.unpersist(); idxC.assigned.unpersist(); synthC.unpersist()
     // Cached-search warm throughput (reference headline: semantic-cache
     // 6,121 QPS on a repeat query, docs/benchmarks/20260112_phase6_summary).
@@ -367,7 +397,8 @@ object Bench {
     // driver tier → surrogate→string resolution), not just the operator:
     // a user of Engine.searchRows gets this number, comparable 1:1 with
     // the reference's in-process per-query P50/P99 (5.595/9.745 ms).
-    val (engP50, engP99, respMissP50, respMissP99, respMissQps, respHitP50) = {
+    val (engP50, engP99, respMissP50, respMissP99, respMissQps, respHitP50,
+         respFiltP50, respFiltP99) = {
       val engRoot = java.nio.file.Files.createTempDirectory("bench_eng_rows").toString
       val eng = new GraftEngine(spark, engRoot)
       eng.add(synth
@@ -375,7 +406,11 @@ object Bench {
         .withColumn("tenant_id", lit("t0"))
         .withColumn("index_name", lit("emb100k"))
         .withColumn("meta", lit(null).cast("string"))
-        .withColumn("tags", lit(null).cast("array<string>"))
+        // one tag per record so the FILTER row below scans a real
+        // half-corpus allowed set; unfiltered rows never read tags
+        .withColumn("tags",
+          array(when(pmod(col("id").cast("long"), lit(2)) === 0, "even")
+            .otherwise("odd")))
         .withColumn("updated_at", lit(100L)))
       eng.build("t0", "emb100k", nlist = 100)
       (0 until 8).foreach { _ => // JIT + one-time resident materialization
@@ -440,7 +475,7 @@ object Bench {
       def vecPayload(v: Array[Float]): String =
         v.mkString("[", ",", "]")
       // distinct (non-corpus) query vectors so every wire call is a miss
-      val wireQs = synthVecs(100000).filter(col("id") < 1400)
+      val wireQs = synthVecs(100000).filter(col("id") < 1700)
         .select(col("id"), transform(col("vec"), x => (x * lit(0.9999f)).cast("float")).as("vec"))
         .collect().map(r => vecPayload(r.getSeq[Float](1).toArray))
       val (s0, in0, out0) = respClient()
@@ -465,6 +500,23 @@ object Bench {
         skipReply(in0)
         (System.nanoTime() - t0) / 1e6
       }.sorted
+      // FILTERED wire miss: the same steady-state all-miss stream with a
+      // conjunctive FILTER (allowed set = half the corpus). Round 7
+      // closed the cliff where a tagged miss paid the ~20-action batch
+      // cascade instead of the rows tier (reference filters in-process,
+      // VectorCommandSet.cs:461-480); this row keeps it closed — the
+      // done-bar is ~2x the unfiltered miss row, not ~100x.
+      (0 until 8).foreach { i =>
+        sendCmd(out0, Seq("VEC.SEARCH", "t0", "emb100k", "TOPK", "10",
+          "VECTOR", wireQs(1400 + i), "FILTER", "even")); skipReply(in0)
+      }
+      val wireFilt = (0 until 200).map { i =>
+        val t0 = System.nanoTime()
+        sendCmd(out0, Seq("VEC.SEARCH", "t0", "emb100k", "TOPK", "10",
+          "VECTOR", wireQs(1450 + i), "FILTER", "even"))
+        skipReply(in0)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
       s0.close()
       // miss throughput at the reference's concurrency 4, own socket each
       val perThread = 250
@@ -483,8 +535,9 @@ object Bench {
       val wireQps = 4.0 * perThread / ((System.nanoTime() - tW0) / 1e9)
       srv.close()
       System.err.println(
-        f"# bench-runs resp_miss_single_query_ms p50=${wireLat(99)}%.3f p99=${wireLat(197)}%.3f conc4_qps=$wireQps%.0f hit_p50=${wireHit(99)}%.3f")
-      (lat(49), lat(98), wireLat(99), wireLat(197), wireQps, wireHit(99))
+        f"# bench-runs resp_miss_single_query_ms p50=${wireLat(99)}%.3f p99=${wireLat(197)}%.3f conc4_qps=$wireQps%.0f hit_p50=${wireHit(99)}%.3f filt_p50=${wireFilt(99)}%.3f filt_p99=${wireFilt(197)}%.3f")
+      (lat(49), lat(98), wireLat(99), wireLat(197), wireQps, wireHit(99),
+        wireFilt(99), wireFilt(197))
     }
 
     // Write-heavy delta serving (reference: 5k vectors dim 32, load then
@@ -656,6 +709,79 @@ object Bench {
     synth1m.unpersist()
     idx1m.assigned.unpersist(); idx1m.packed.unpersist()
 
+    // 10M rung — one order of magnitude past where the reference dies
+    // (its 1M load stalls at 93%, benchmark_500k_ivf.md:38-44). This is
+    // the round-7 proof that the scale story is measured, not argued:
+    // 10M × dim128 ≈ 5.1 GB of packed lists, 10× the residency bound, so
+    // EVERYTHING here runs the executor-side distributed tier — the only
+    // tier that exists on a real cluster. nlist scales with the corpus
+    // (512 → ~20k rows/list) so per-query probed work at nprobe=10 stays
+    // ~25M float-elems, two of the 1M rung's — per-query cost is a
+    // function of nprobe/nlist geometry, not corpus size; THAT is the
+    // 100-TB argument in one number. The corpus is NOT cached (pure
+    // codegen synthesis is cheaper than 5 GB of columnar cache churn);
+    // the assigned table and packed RDD are, sized for the 32g bench
+    // heap. Guarded: a failure here must cost its own rows, not the
+    // whole bench line.
+    sentinel("before_10m_rung")
+    var rates10m: Map[String, Double] = Map.empty
+    try {
+      val n10m = 10000000L
+      val synth10m = synthVecs(n10m)
+      val tLoad10m = timeOnce {
+        val dir = java.nio.file.Files.createTempDirectory("bench_load10m").toString
+        synth10m.write.mode("overwrite").parquet(dir + "/vectors")
+      }
+      System.err.println(f"# bench-runs load_10m $tLoad10m%.4f")
+      val tB10m = System.nanoTime()
+      val idx10m = IvfFlat.build(synth10m.select(col("id"), col("vec")),
+        nlist = 512, metric = "L2", seed = 42L, maxIter = 5)
+      idx10m.assigned.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      val tBuild10m = (System.nanoTime() - tB10m) / 1e9
+      System.err.println(f"# bench-runs ivf_10m_build $tBuild10m%.4f")
+      sentinel("after_10m_build")
+      idx10m.centroidsLocal
+      idx10m.packed.count()
+      val q100x10m = synth10m.filter(col("id") < 100)
+        .select(col("id").as("query_id"), col("vec").as("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      (0 until 3).foreach { _ =>
+        IvfFlat.searchLocalRows(idx10m, q100x10m, "L2", 10, nprobe = 10, spark).length
+      }
+      servingState("ivf_10m_dim128_100q.pre", Some(idx10m.packed))
+      val tIvf10m = timeRuns("ivf_10m_dim128_100q", 3) {
+        require(IvfFlat.searchLocalRows(idx10m, q100x10m, "L2", 10,
+          nprobe = 10, spark).nonEmpty)
+      }
+      servingState("ivf_10m_dim128_100q.post", Some(idx10m.packed))
+      // measure serving, not the build phases' garbage: the rung just
+      // churned ~10 GB of shuffle+cache allocations and a collection
+      // mid-loop would land in some call's tail
+      System.gc()
+      IvfFlat.searchLocalRows(idx10m, Array(q100x10m.head), "L2", 10,
+        nprobe = 10, spark)
+      val lat10m = q100x10m.map { q =>
+        val t0 = System.nanoTime()
+        IvfFlat.searchLocalRows(idx10m, Array(q), "L2", 10, nprobe = 10, spark)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      System.err.println(
+        f"# bench-runs ivf_10m_single_query_ms p50=${lat10m(49)}%.3f p99=${lat10m(98)}%.3f")
+      idx10m.assigned.unpersist(); idx10m.packed.unpersist()
+      results("load_10m_sec") = tLoad10m
+      results("ivf_10m_build_sec") = tBuild10m
+      results("ivf_10m_dim128_100q_sec") = tIvf10m
+      rates10m = Map(
+        "load_10m_vecs_per_sec" -> n10m.toDouble / tLoad10m,
+        "ivf_10m_qps" -> 100.0 / tIvf10m,
+        "ivf_10m_p50_ms" -> lat10m(49),
+        "ivf_10m_p99_ms" -> lat10m(98))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"# bench-runs ivf_10m FAILED: ${e.getMessage}")
+    }
+
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused
     results("ivf_100k_dim128_100q_sec") = tIvf100k
@@ -689,6 +815,8 @@ object Bench {
       "resp_miss_p99_ms" -> respMissP99,
       "resp_miss_qps" -> respMissQps,
       "resp_hit_p50_ms" -> respHitP50,
+      "resp_miss_filtered_p50_ms" -> respFiltP50,
+      "resp_miss_filtered_p99_ms" -> respFiltP99,
       "ivf_500k_p50_ms" -> lat500(49),
       "ivf_500k_p99_ms" -> lat500(98),
       "delta_head_p50_ms" -> deltaP50,
@@ -703,7 +831,10 @@ object Bench {
       "ivf_1m_p99_ms" -> lat1m(98),
       "ivf_100k_recall10_nprobe2" -> recallNp2,
       "ivf_100k_recall10_nprobe4" -> recallNp4,
-      "ivf_100k_recall10_nprobe10" -> recallNp10)
+      "ivf_100k_recall10_nprobe10" -> recallNp10,
+      "hnsw_100k_recall10_ef32" -> hnswRecallEf32,
+      "hnsw_100k_recall10_ef64" -> hnswRecallEf64,
+      "hnsw_100k_recall10_ef128" -> hnswRecallEf128) ++ rates10m
 
     sentinel("end")
     val total = results.filter(_._2 >= 0).values.sum

@@ -1078,7 +1078,10 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
     tailIndexCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep))
-        tailIndexCache.remove(k).foreach(_.packed.unpersist(blocking = false))
+        // packedIfBuilt, NOT packed: forcing the lazy here would launch
+        // the pack job against the snapshot files this GC just deleted
+        tailIndexCache.remove(k)
+          .foreach(_.packedIfBuilt.foreach(_.unpersist(blocking = false)))
     }
     centroidCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) centroidCache.remove(k)

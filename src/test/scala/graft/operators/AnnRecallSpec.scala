@@ -288,4 +288,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(hits.head.getAs[Long]("id") == 7L)
     assert(compacted.assigned.count() == nPoints) // no duplicate id added
   }
+
+  test("packed exchange keys by cluster: each inverted list whole in ONE partition; pruning map exact") {
+    // the partition-pruned serving job is only correct if a probed
+    // cluster's entire list lives in the partition packedPartsOf names —
+    // a list split across partitions would silently lose candidates
+    // (packedPartsOf.toMap keeps one pid per cluster)
+    val vecs = (0 until 500).map(i =>
+        (i.toLong, Seq((i % 7).toFloat, (i % 13).toFloat, 1f)))
+      .toDF("id", "vec").cache()
+    val idx = IvfFlat.build(vecs, nlist = 8)
+    idx.packed.count()
+    import scala.jdk.CollectionConverters._
+    val triples = idx.packed.mapPartitionsWithIndex { (pid, it) =>
+      it.flatMap(p => p.ranges.asScala.iterator.map { case (c, r) =>
+        (c.intValue, pid, r(1).toLong)
+      })
+    }.collect()
+    val byCluster = triples.groupBy(_._1)
+    byCluster.foreach { case (c, ps) =>
+      assert(ps.map(_._2).distinct.length == 1,
+        s"cluster $c split across packed partitions ${ps.map(_._2).toSeq}")
+    }
+    // whole list: per-cluster row counts inside the named partition match
+    // the assigned table's counts exactly
+    assert(byCluster.map { case (c, ps) => c -> ps.map(_._3).sum } ==
+      idx.clusterCounts.filter(_._2 > 0))
+    assert(idx.packedPartsOf.keySet == byCluster.keySet)
+    // and the pruned distributed path answers exactly like the resident
+    // tier at a pruning-heavy config (nprobe=1: one task)
+    val qs = (0 until 4).map(i => (i.toLong, Array(i.toFloat, 1f, 1f))).toArray
+    val a = IvfFlat.searchLocalRowsPath(idx, qs, "L2", K, 1, spark,
+      forceDistributed = false)
+    val b = IvfFlat.searchLocalRowsPath(idx, qs, "L2", K, 1, spark,
+      forceDistributed = true)
+    assert(a.sortBy(r => (r._1, r._2)).toSeq == b.sortBy(r => (r._1, r._2)).toSeq)
+    vecs.unpersist()
+  }
 }
