@@ -768,15 +768,57 @@ object Bench {
       }.sorted
       System.err.println(
         f"# bench-runs ivf_10m_single_query_ms p50=${lat10m(49)}%.3f p99=${lat10m(98)}%.3f")
+      // IVF_PQ at 10M: byte codes are M=8 bytes/vec — the 10M corpus
+      // quantizes to ~240 MB packed, INSIDE the driver residency bound
+      // the raw floats exceed 10×. The serving rows below therefore run
+      // the zero-job resident ADC tier: this is the rung where PQ's 64×
+      // compression turns "distributed scan with a scheduler floor" back
+      // into "in-heap scan" — the reference's entire PQ rationale
+      // (IvfPqVectorIndex.cs:55-198), measured at a corpus it never
+      // reached. Encode cost is measured ON TOP of the coarse build
+      // (buildFrom reuses idx10m — a second KMeans would measure the
+      // same thing twice).
+      val tPq0 = System.nanoTime()
+      val pq10m = graft.operators.IvfPq.buildFrom(idx10m, m = 8, k = 256)
+      pq10m.assigned.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      val tPqEncode10m = (System.nanoTime() - tPq0) / 1e9
+      System.err.println(f"# bench-runs ivf_pq_10m_encode $tPqEncode10m%.4f")
+      sentinel("after_10m_pq_encode")
+      require(pq10m.packedDriver.isDefined,
+        "10M PQ codes must fit the resident bound")
+      (0 until 3).foreach { _ =>
+        graft.operators.IvfPq.searchLocalRows(pq10m, q100x10m, 10,
+          nprobe = 10, spark).length
+      }
+      val tPq10m = timeRuns("ivf_pq_10m_dim128_100q", 3) {
+        require(graft.operators.IvfPq.searchLocalRows(pq10m, q100x10m, 10,
+          nprobe = 10, spark).nonEmpty)
+      }
+      System.gc()
+      val latPq10m = q100x10m.map { q =>
+        val t0 = System.nanoTime()
+        graft.operators.IvfPq.searchLocalRows(pq10m, Array(q), 10,
+          nprobe = 10, spark)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      System.err.println(
+        f"# bench-runs ivf_pq_10m_single_query_ms p50=${latPq10m(49)}%.3f p99=${latPq10m(98)}%.3f")
+      pq10m.assigned.unpersist()
       idx10m.assigned.unpersist(); idx10m.packed.unpersist()
       results("load_10m_sec") = tLoad10m
       results("ivf_10m_build_sec") = tBuild10m
       results("ivf_10m_dim128_100q_sec") = tIvf10m
+      results("ivf_pq_10m_encode_sec") = tPqEncode10m
+      results("ivf_pq_10m_dim128_100q_sec") = tPq10m
       rates10m = Map(
         "load_10m_vecs_per_sec" -> n10m.toDouble / tLoad10m,
         "ivf_10m_qps" -> 100.0 / tIvf10m,
         "ivf_10m_p50_ms" -> lat10m(49),
-        "ivf_10m_p99_ms" -> lat10m(98))
+        "ivf_10m_p99_ms" -> lat10m(98),
+        "ivf_pq_10m_qps" -> 100.0 / tPq10m,
+        "ivf_pq_10m_p50_ms" -> latPq10m(49),
+        "ivf_pq_10m_p99_ms" -> latPq10m(98))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"# bench-runs ivf_10m FAILED: ${e.getMessage}")

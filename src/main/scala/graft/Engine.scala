@@ -513,10 +513,18 @@ class GraftEngine(spark: SparkSession, root: String) {
       "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
-    // cheap manifest gates FIRST: a dirty-head HNSW/IVF_PQ/oversized
-    // index must not pay the bounded head-read job just to fall back
-    val algoOk = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
+    // cheap manifest gates FIRST: a dirty-head HNSW/oversized index must
+    // not pay the bounded head-read job just to fall back
+    val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
       m.nVectors <= IdMapMaxRows
+    // IVF_PQ rows tier: codes are M bytes/vec (32× under raw floats at
+    // dim 128 / M 8), so the driver-RESIDENT tier reaches corpora whose
+    // float vectors never could (10M codes ≈ 240 MB packed). Gated on
+    // ACTUAL residency — memoized per snapshot version; a too-big codes
+    // table memoizes None once and every later call short-circuits here.
+    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= IdMapMaxRows &&
+      pqIndexOf(tenant, index, m).packedDriver.isDefined
+    val algoOk = algoFlat || algoPq
     // the head path below is exact-scan; the reference's RESP serving has
     // the same shape (fresh delta head scanned per query,
     // DeltaVectorIndex.cs:76-122)
@@ -551,12 +559,13 @@ class GraftEngine(spark: SparkSession, root: String) {
           metric.equalsIgnoreCase(m.metric),
         s"index built with metric=${m.metric}; cannot search with metric=$metric")
       val hs = headState.get
-      val tailIdx = tailIndexOf(tenant, index, m)
       val idMap = idStrMapOf(tenant, index, m)
       // over-fetch from the tail so masking re-written/tombstoned ids
       // can't leave a query short (≤ maskInTail tail rows can be masked)
-      val tailRows = IvfFlat
-        .searchLocalRows(tailIdx, queries, metric, kTail, nprobe, spark)
+      val tailRows =
+        if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
+        else IvfFlat.searchLocalRows(
+          tailIndexOf(tenant, index, m), queries, metric, kTail, nprobe, spark)
       val byQuery = tailRows.groupBy(_._1)
       val rows = queries.flatMap { case (qid, qv) =>
         val tailCands = byQuery.getOrElse(qid, Array.empty)
@@ -575,10 +584,64 @@ class GraftEngine(spark: SparkSession, root: String) {
             (qid, r + 1, hs.liveIdOf.getOrElse(surr, idMap(surr)), s)
           }
       }
-      (rows, SearchTrace("head+tail", None, Nil,
+      (rows, SearchTrace(if (algoPq) "head+pqtail" else "head+tail", None, Nil,
         headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
         tailRows = tailRows.length,
         totalMicros = (System.nanoTime() - tTrace0) / 1000L))
+    }
+  }
+
+  /** PQ tail for the rows serving tier: zero-job ADC scan over the
+    * resident packed codes, scores folded onto the SAME scale the batch
+    * plan merges on (COSINE: unit-normalized query, fold 1 + s/2; IP:
+    * MIPS zero-padded query, fold (s + ‖q‖² + M²)/2; L2: raw −ADC
+    * distance² — the head's exact scores merge against it with the same
+    * asymmetry as the plan, DeltaVectorIndex.cs:76-122). Every float/
+    * double op mirrors the plan's kernels exactly (vector_unit UDF,
+    * concat-pad, vector_dot accumulation), so tier parity is bit-level —
+    * spec-pinned including exact ties. Folds are strictly monotone per
+    * query, so folding AFTER the local top-k preserves ranks/ties. */
+  private def pqTailRows(tenant: String, index: String, m: Manifest,
+                         queries: Array[(Long, Array[Float])],
+                         metricU: String, kTail: Int,
+                         nprobe: Int): Array[(Long, Int, Long, Double)] = {
+    val pqIdx = pqIndexOf(tenant, index, m)
+    val (tq, fold): (Array[(Long, Array[Float])], (Long, Double) => Double) =
+      metricU match {
+        case "COSINE" =>
+          (queries.map { case (qid, qv) => (qid, unitLocal(qv)) },
+            (_, s) => 1.0 + s / 2)
+        case "IP" =>
+          val cbDim = pqIdx.cb.m * pqIdx.cb.dsub
+          val maxSq = mipsMaxSqOf(tenant, index, m)
+          val qn2 = queries.map { case (qid, qv) =>
+            var s = 0.0; var i = 0
+            while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
+            qid -> s
+          }.toMap
+          (queries.map { case (qid, qv) =>
+            (qid, java.util.Arrays.copyOf(qv, cbDim)) },
+            (qid, s) => (s + qn2(qid) + maxSq) / 2)
+        case _ => (queries, (_, s) => s)
+      }
+    graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark)
+      .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
+  }
+
+  /** Bit-exact local mirror of the `vector_unit` UDF (same norm
+    * accumulation, same Float division) — the COSINE PQ tail transforms
+    * queries with it so resident and plan tiers see identical floats. */
+  private def unitLocal(a: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+    if (s == 0) a
+    else {
+      val n = math.sqrt(s)
+      val out = new Array[Float](a.length)
+      i = 0
+      while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+      out
     }
   }
 
@@ -1009,6 +1072,22 @@ class GraftEngine(spark: SparkSession, root: String) {
         spark.read.parquet(s"$snap/centroids"))
     })
 
+  // memoized IVF_PQ handle for the rows serving tier — same immutable-
+  // per-version rationale as tailIndexOf; the handle's packedDriver
+  // (resident byte codes) and codebook load lazily on first use
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfPq.Index]
+  private def pqIndexOf(tenant: String, index: String,
+                        m: Manifest): graft.operators.IvfPq.Index =
+    pqIndexCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+      val snap = snapDir(tenant, index, m)
+      graft.operators.IvfPq.Index(
+        spark.read.parquet(s"$snap/ivfpq/codes")
+          .select("id", "cluster_id", "codes"),
+        spark.read.parquet(s"$snap/ivfpq/centroids"),
+        graft.operators.Pq.loadCodebook(spark, s"$snap/ivfpq/codebooks"))
+    })
+
   // MIPS fold constant M² for IP-built IVF_PQ snapshots — immutable per
   // version like the handles above; reading it per search call would put
   // a parquet-listing + head job on the serving hot path
@@ -1026,10 +1105,14 @@ class GraftEngine(spark: SparkSession, root: String) {
     scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
   private def idStrMapOf(tenant: String, index: String,
                          m: Manifest): Map[Long, String] =
-    idStrMapCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
-      spark.read.parquet(s"${snapDir(tenant, index, m)}/vectors")
+    idStrMapCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+      // inverted-list snapshots keep (id, id_str) in vectors/; IVF_PQ
+      // snapshots keep them alongside the codes
+      val sub = if (m.algo == "IVF_PQ") "ivfpq/codes" else "vectors"
+      spark.read.parquet(s"${snapDir(tenant, index, m)}/$sub")
         .select("id", "id_str").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    })
 
   // tag → sorted surrogate-id array for the FILTERED rows serving tier
   // (the reference keeps per-record tags in the same process heap it

@@ -627,16 +627,57 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       eng.searchRows("t1", "idx", qs, k = 1, metric = "COSINE")
     }
-    // non-inverted-list tails route through the full plan (fallback)
+    // IVF_PQ tails: the resident byte-code tier serves rows-native —
+    // same answer as the full plan, scores included (ADC fold parity)
     eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
     eng.build("t1", "pq", nlist = 4, algo = "IVF_PQ", pqM = 2, pqK = 8)
-    val viaPlan = eng.searchRows("t1", "pq", qs, k = 3, nprobe = 4)
+    val viaPq = eng.searchRows("t1", "pq", qs, k = 3, nprobe = 4)
     val qDf = qs.toSeq.map { case (q, v) => (q, v.toSeq) }
       .toDF("query_id", "qvec")
     val planRows = eng.search("t1", "pq", qDf, 3, nprobe = 4).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
-    assert(viaPlan.sortBy(r => (r._1, r._2)).toSeq ==
+    assert(viaPq.sortBy(r => (r._1, r._2)).toSeq ==
       planRows.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("engine searchRows IVF_PQ: resident tier equals the plan for COSINE/IP folds and dirty heads") {
+    val root = Files.createTempDirectory("engine_pqrows").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(41)
+    // norm spread so IP ranking genuinely diverges from L2/cosine
+    val recs = (0 until 60).map { i =>
+      val s = 0.5f + (i % 7) * 0.5f
+      (s"v$i", Seq.fill(8)(rng.nextFloat() * s), null: String,
+        Seq.empty[String], 100L)
+    }
+    val qs = (0 until 3).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat()))).toArray
+    val qDf = qs.toSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("query_id", "qvec")
+    def plan(index: String, metric: String): Seq[(Long, Int, String, Double)] =
+      eng.search("t1", index, qDf, 4, metric = metric, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    def rows(index: String, metric: String): Seq[(Long, Int, String, Double)] =
+      eng.searchRows("t1", index, qs, k = 4, metric = metric, nprobe = 3)
+        .sortBy(r => (r._1, r._2)).toSeq
+    for ((metric, index) <- Seq(("COSINE", "pqc"), ("IP", "pqi"), ("L2", "pql"))) {
+      eng.add(mkRecords(recs).withColumn("index_name", lit(index)))
+      eng.build("t1", index, nlist = 4, metric = metric, algo = "IVF_PQ",
+        pqM = 4, pqK = 16)
+      // clean head: resident ADC tier == plan, fold included
+      assert(rows(index, metric) == plan(index, metric), s"clean $metric")
+      // dirty head: fresh add + tombstone merge driver-side, still == plan
+      eng.add(mkRecords(Seq(
+        (s"fresh-$index", qs(0)._2.toSeq, null, Seq.empty[String], 200L)))
+        .withColumn("index_name", lit(index)))
+      eng.delete("t1", index, Seq("v5"), version = 210L)
+      val merged = rows(index, metric)
+      assert(merged == plan(index, metric), s"dirty $metric")
+      assert(!merged.exists(_._3 == "v5"), s"tombstone masked $metric")
+      if (metric == "L2") // exact-match query: distance 0 ⇒ rank 1 certain
+        assert(merged.exists(_._3 == s"fresh-$index"), s"fresh row served")
+    }
   }
 
   test("per-call trace: serving path, head/tail counts, cache layers, timing") {
@@ -663,12 +704,13 @@ class EngineSpec extends SparkSpec {
     assert(tr1.headLive == 1, tr1) // vnew
     // every head-written id masks same-id tail rows: vnew + v5 tombstone
     assert(tr1.headMasked == 2, tr1)
-    // non-inverted-list tail: fallback path flagged, counts are n/a
+    // IVF_PQ tail: the resident byte-code tier flags its own path name
+    // and reports real counts (clean head here)
     eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
     eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
     val (_, tr2) = eng.searchRowsTraced("t1", "pq", qs, k = 3, nprobe = 2)
-    assert(tr2.path == "plan-fallback", tr2)
-    assert(tr2.headLive == -1 && tr2.tailRows == -1, tr2)
+    assert(tr2.path == "head+pqtail", tr2)
+    assert(tr2.headLive == 0 && tr2.tailRows >= 3, tr2)
     // cached path: miss records probed layers, hit records the layer
     val qv = recs(3)._2.toArray
     val (lm, _, trMiss) = eng.searchCachedRowsTraced("t1", "idx", 7L, qv,

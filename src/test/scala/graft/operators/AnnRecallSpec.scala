@@ -220,6 +220,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(refined > 0.6, s"IVF-PQ refined recall $refined")
   }
 
+  test("IVF-PQ resident rows tier: bit-exact vs the distributed ADC plan, all three branches") {
+    val idx = IvfPq.build(vectors, nlist = 8, m = 8, k = 16)
+    val qArr = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planRows = IvfPq.search(idx, queries, K, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    def tier(st: Long, mt: Long) =
+      IvfPq.searchLocalRowsPath(idx, qArr, K, nprobe = 3, spark,
+        stBound = st, mtBound = mt).sortBy(t => (t._1, t._2))
+    // single-thread resident, MT resident, and distributed fallback all
+    // produce the identical rows — scores included (same ADC doubles,
+    // same (score desc, id asc) ties)
+    assert(tier(Long.MaxValue, Long.MaxValue).toSeq == planRows.toSeq)
+    assert(tier(0L, Long.MaxValue).toSeq == planRows.toSeq)
+    assert(tier(0L, 0L).toSeq == planRows.toSeq)
+  }
+
   test("engine IVF_PQ IP (MIPS augmentation): realistic-parameter recall vs brute dot") {
     // norm spread makes IP ranking diverge from L2/cosine — the regime the
     // augmentation exists for. Exact-config correctness is pinned in
