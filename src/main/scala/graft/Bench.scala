@@ -308,6 +308,23 @@ object Bench {
     val hnswRecallEf128 = hnswRecallAt(128)
     System.err.println(
       f"# bench-runs hnsw_100k_recall_at_10 build=$tHnswBuild%.2f ef32=$hnswRecallEf32%.4f ef64=$hnswRecallEf64%.4f ef128=$hnswRecallEf128%.4f")
+    // Resident graph serving at the same gauge: per-call zero-job beam
+    // search over the collected sub-graphs (the engine's head+hnswtail
+    // tier) — the distributed fan-out above pays a job per chunk; this
+    // row is what a single RESP call actually costs on a resident index.
+    val hnswParts = hnswC.collect()
+    graft.operators.Hnsw.searchLocalRows(hnswParts, Array(qC.head), 10,
+      efSearch = 64)
+    val latHnsw = qC.take(100).map { q0 =>
+      val t0 = System.nanoTime()
+      graft.operators.Hnsw.searchLocalRows(hnswParts, Array(q0), 10,
+        efSearch = 64)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    System.err.println(
+      f"# bench-runs hnsw_100k_serving_ms p50=${latHnsw(49)}%.3f p99=${latHnsw(98)}%.3f")
+    val hnswServeP50 = latHnsw(49)
+    val hnswServeP99 = latHnsw(98)
     hnswC.unpersist()
     flatC.packed.unpersist(); idxC.assigned.unpersist(); synthC.unpersist()
     // Cached-search warm throughput (reference headline: semantic-cache
@@ -876,7 +893,9 @@ object Bench {
       "ivf_100k_recall10_nprobe10" -> recallNp10,
       "hnsw_100k_recall10_ef32" -> hnswRecallEf32,
       "hnsw_100k_recall10_ef64" -> hnswRecallEf64,
-      "hnsw_100k_recall10_ef128" -> hnswRecallEf128) ++ rates10m
+      "hnsw_100k_recall10_ef128" -> hnswRecallEf128,
+      "hnsw_100k_serving_p50_ms" -> hnswServeP50,
+      "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++ rates10m
 
     sentinel("end")
     val total = results.filter(_._2 >= 0).values.sum

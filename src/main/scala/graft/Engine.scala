@@ -524,7 +524,15 @@ class GraftEngine(spark: SparkSession, root: String) {
     // table memoizes None once and every later call short-circuits here.
     val algoPq = m.algo == "IVF_PQ" && m.nVectors <= IdMapMaxRows &&
       pqIndexOf(tenant, index, m).packedDriver.isDefined
-    val algoOk = algoFlat || algoPq
+    // HNSW rows tier: graphs hold their full vectors, so residency
+    // economics match IvfFlat's (bound checked before collect, memoized
+    // per snapshot version — a too-big graph set memoizes None once)
+    val hnswGraphs: Option[Array[(Int, graft.operators.Hnsw.Graph)]] =
+      if (m.algo == "HNSW" && m.nVectors <= IdMapMaxRows)
+        hnswGraphsOf(tenant, index, m)
+      else None
+    val algoHnsw = hnswGraphs.isDefined
+    val algoOk = algoFlat || algoPq || algoHnsw
     // the head path below is exact-scan; the reference's RESP serving has
     // the same shape (fresh delta head scanned per query,
     // DeltaVectorIndex.cs:76-122)
@@ -541,9 +549,15 @@ class GraftEngine(spark: SparkSession, root: String) {
     // only ids that exist in the TAIL can mask tail rows — fresh adds
     // never do, so they must not inflate the per-query over-fetch
     val kTail = headState.map(k + _.maskInTail).getOrElse(k)
+    // HNSW keeps the UNCUT per-graph pool (parity with the plan's
+    // mask-then-top-k over parts × k candidates) — budget that pool
+    val tailBudgetRows =
+      if (algoHnsw)
+        queries.length.toLong * k * math.max(1, hnswGraphs.get.length)
+      else queries.length.toLong * kTail
     val servable = algoOk && headState.isDefined &&
       headWork <= IvfFlat.DriverServeMaxScanElems &&
-      queries.length.toLong * kTail <= 4_000_000L // top-k buffer budget
+      tailBudgetRows <= 4_000_000L // top-k buffer budget
     if (!servable) {
       import spark.implicits._
       val qDf = queries.toSeq
@@ -564,6 +578,12 @@ class GraftEngine(spark: SparkSession, root: String) {
       // can't leave a query short (≤ maskInTail tail rows can be masked)
       val tailRows =
         if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
+        else if (algoHnsw)
+          // per-graph fetch is EXACTLY k (the plan's kFetch), pool kept
+          // uncut — masking backfills from it like the plan's final top-k
+          graft.operators.Hnsw
+            .searchLocalCandidates(hnswGraphs.get, queries, k)
+            .map { case (qid, surr, s) => (qid, 0, surr, s) }
         else IvfFlat.searchLocalRows(
           tailIndexOf(tenant, index, m), queries, metric, kTail, nprobe, spark)
       val byQuery = tailRows.groupBy(_._1)
@@ -584,7 +604,10 @@ class GraftEngine(spark: SparkSession, root: String) {
             (qid, r + 1, hs.liveIdOf.getOrElse(surr, idMap(surr)), s)
           }
       }
-      (rows, SearchTrace(if (algoPq) "head+pqtail" else "head+tail", None, Nil,
+      (rows, SearchTrace(
+        if (algoPq) "head+pqtail"
+        else if (algoHnsw) "head+hnswtail"
+        else "head+tail", None, Nil,
         headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
         tailRows = tailRows.length,
         totalMicros = (System.nanoTime() - tTrace0) / 1000L))
@@ -604,7 +627,8 @@ class GraftEngine(spark: SparkSession, root: String) {
   private def pqTailRows(tenant: String, index: String, m: Manifest,
                          queries: Array[(Long, Array[Float])],
                          metricU: String, kTail: Int,
-                         nprobe: Int): Array[(Long, Int, Long, Double)] = {
+                         nprobe: Int,
+                         allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, fold): (Array[(Long, Array[Float])], (Long, Double) => Double) =
       metricU match {
@@ -624,7 +648,8 @@ class GraftEngine(spark: SparkSession, root: String) {
             (qid, s) => (s + qn2(qid) + maxSq) / 2)
         case _ => (queries, (_, s) => s)
       }
-    graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark)
+    graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark,
+        allowedSorted = allowedSorted)
       .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
   }
 
@@ -657,8 +682,10 @@ class GraftEngine(spark: SparkSession, root: String) {
     * tag table (intersection for the conjunction), the packed scan skips
     * non-members before scoring, head candidates check their OWN head tags
     * (head wins over snapshot for re-written ids, exactly the batch
-    * `tagsOf` union), and masking/tie-breaks are unchanged. Returns None
-    * when the index/batch is outside the rows-tier gates (HNSW/IVF_PQ,
+    * `tagsOf` union), and masking/tie-breaks are unchanged. IVF_PQ
+    * indexes serve through the resident byte-code tier (same allowed-set
+    * kernel hook, plan-exact metric folds). Returns None when the
+    * index/batch is outside the rows-tier gates (HNSW, non-resident PQ,
     * oversized corpus or head, top-k budget) — the caller keeps the
     * always-correct distributed filtered plan. */
   private[graft] def searchRowsFilteredTraced(
@@ -673,8 +700,14 @@ class GraftEngine(spark: SparkSession, root: String) {
       "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
-    val algoOk = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
+    val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
       m.nVectors <= IdMapMaxRows
+    // filtered PQ serving piggybacks the resident byte-code tier (the
+    // scan kernel takes the same sorted allowed set) — same gate as the
+    // unfiltered rows path
+    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= IdMapMaxRows &&
+      pqIndexOf(tenant, index, m).packedDriver.isDefined
+    val algoOk = algoFlat || algoPq
     val headState: Option[HeadServeState] =
       if (!algoOk) None
       else if (m.headDirty == 0) Some(HeadServeState.empty)
@@ -707,6 +740,9 @@ class GraftEngine(spark: SparkSession, root: String) {
       val idMap = idStrMapOf(tenant, index, m)
       val tailRows =
         if (allowed.isEmpty) Array.empty[(Long, Int, Long, Double)]
+        else if (algoPq)
+          pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe,
+            allowedSorted = allowed)
         else IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m), queries,
           metric, kTail, nprobe, spark, allowedSorted = allowed)
       val byQuery = tailRows.groupBy(_._1)
@@ -727,7 +763,8 @@ class GraftEngine(spark: SparkSession, root: String) {
             (qid, r + 1, hs.liveIdOf.getOrElse(surr, idMap(surr)), s)
           }
       }
-      Some((rows, SearchTrace("head+tail-filtered", None, Nil,
+      Some((rows, SearchTrace(
+        if (algoPq) "head+pqtail-filtered" else "head+tail-filtered", None, Nil,
         headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
         tailRows = tailRows.length,
         totalMicros = (System.nanoTime() - tTrace0) / 1000L)))
@@ -1088,6 +1125,17 @@ class GraftEngine(spark: SparkSession, root: String) {
         graft.operators.Pq.loadCodebook(spark, s"$snap/ivfpq/codebooks"))
     })
 
+  // memoized driver-resident HNSW graphs for the rows serving tier —
+  // None (over the residency bound) memoizes too, so oversized graph
+  // sets pay the meta read once and every later call short-circuits
+  private val hnswGraphsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Array[(Int, graft.operators.Hnsw.Graph)]]]
+  private def hnswGraphsOf(tenant: String, index: String,
+                           m: Manifest): Option[Array[(Int, graft.operators.Hnsw.Graph)]] =
+    hnswGraphsCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
+      graft.operators.Hnsw.loadResident(
+        spark, s"${snapDir(tenant, index, m)}/hnsw"))
+
   // MIPS fold constant M² for IP-built IVF_PQ snapshots — immutable per
   // version like the handles above; reading it per search call would put
   // a parquet-listing + head job on the serving hot path
@@ -1107,8 +1155,12 @@ class GraftEngine(spark: SparkSession, root: String) {
                          m: Manifest): Map[Long, String] =
     idStrMapCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
       // inverted-list snapshots keep (id, id_str) in vectors/; IVF_PQ
-      // snapshots keep them alongside the codes
-      val sub = if (m.algo == "IVF_PQ") "ivfpq/codes" else "vectors"
+      // snapshots alongside the codes; HNSW in its idmap table
+      val sub = m.algo match {
+        case "IVF_PQ" => "ivfpq/codes"
+        case "HNSW" => "idmap"
+        case _ => "vectors"
+      }
       spark.read.parquet(s"${snapDir(tenant, index, m)}/$sub")
         .select("id", "id_str").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap

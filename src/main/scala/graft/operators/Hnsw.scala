@@ -276,6 +276,97 @@ object Hnsw {
     }
   }
 
+  /** Residency bound for [[loadResident]]: graphs hold their full float
+    * vectors plus adjacency, so the economics match IvfFlat's packed
+    * tier — ~512 MB of graph state serves driver-side; bigger corpora
+    * keep the distributed fan-out. */
+  val ResidentMaxBytes: Long = 512L << 20
+  /** JVM-wide ceiling across ALL resident graph sets (weak-keyed — a
+    * dropped handle frees its share on GC; same accounting as the
+    * IvfFlat/IvfPq resident registries). */
+  val ResidentGlobalMaxBytes: Long = 1024L << 20
+  private val residentRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, java.lang.Long]())
+  private def residentBudgetUsed: Long = {
+    val it = residentRegistry.synchronized {
+      new java.util.ArrayList(residentRegistry.values())
+    }
+    var s = 0L
+    it.forEach(v => s += v.longValue())
+    s
+  }
+
+  /** Load a snapshot's graphs DRIVER-RESIDENT for zero-job serving, or
+    * None past the byte bounds. The bound is checked BEFORE collecting,
+    * from the meta table (n_nodes, m — one driver-sized read) and one
+    * tiny dim probe on nodes/: rows × (vector + adjacency + ids)
+    * estimated conservatively. The reference serves every HNSW query
+    * from one process's heap (HnswVectorIndex.cs "Flat Vector Storage");
+    * this is the honest analog for graphs inside the bound. */
+  def loadResident(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Option[Array[(Int, Graph)]] = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("n_nodes", "m").collect()
+    val rows = meta.map(_.getInt(0).toLong).sum
+    if (rows == 0L) return Some(Array.empty)
+    val mWidth = meta.map(_.getInt(1)).max
+    val dim = spark.read.parquet(s"$path/nodes")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("vec"))).head.getInt(0)
+    // per node: dim floats + ~2 adjacency lists of ≤ m ints (level-0 can
+    // hold 2m in classic HNSW; this build prunes to m) + id + object
+    // headers — a deliberate over-estimate so the bound fails safe
+    val bytes = rows * (4L * dim + 8L * mWidth + 64L)
+    if (bytes > ResidentMaxBytes ||
+        residentBudgetUsed + bytes > ResidentGlobalMaxBytes) None
+    else {
+      val parts = load(spark, path).collect()
+      residentRegistry.put(parts, java.lang.Long.valueOf(bytes))
+      Some(parts)
+    }
+  }
+
+  /** Zero-job HNSW serving for driver-local query batches: each query
+    * beam-searches every resident sub-graph (k per graph — the SAME
+    * per-graph fetch as the distributed [[search]] fan-out) and a
+    * bounded (score desc, id asc) merge takes the global top-k, the
+    * exact tie order of the plan's TopKHits. Deterministic graph
+    * traversal ⇒ bit-identical rows to the distributed path. Batches
+    * parallelize across queries on the common pool (results are
+    * per-query, so ordering is unaffected). */
+  def searchLocalRows(graphs: Array[(Int, Graph)],
+                      queries: Array[(Long, Array[Float])],
+                      k: Int, efSearch: Int = 50): Array[(Long, Int, Long, Double)] =
+    searchLocalCandidates(graphs, queries, k, efSearch)
+      .groupBy(_._1).iterator.flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((_, id, s), r) => (qid, r + 1, id, s) }
+      }.toArray
+
+  /** The per-(query, graph) top-k pool WITHOUT the global cut —
+    * (query_id, id, score) rows, exactly the candidate set the
+    * distributed [[search]] feeds its final TopK (callers that mask
+    * candidates before ranking, e.g. the engine's head merge, need the
+    * uncut pool or masking could not backfill). ≤ graphs × k rows per
+    * query — driver-sized by construction. */
+  def searchLocalCandidates(graphs: Array[(Int, Graph)],
+                            queries: Array[(Long, Array[Float])],
+                            k: Int, efSearch: Int = 50): Array[(Long, Long, Double)] = {
+    if (queries.isEmpty || graphs.isEmpty) return Array.empty
+    val out = new Array[Array[(Long, Long, Double)]](queries.length)
+    val idxs = java.util.stream.IntStream.range(0, queries.length)
+    val body = { (qi: Int) =>
+      val (qid, qv) = queries(qi)
+      out(qi) = graphs.iterator.flatMap { case (_, g) =>
+        g.search(qv, k, efSearch).iterator
+          .map { case (id, s) => (qid, id, s) }
+      }.toArray
+    }
+    if (queries.length >= 4) idxs.parallel().forEach(qi => body(qi))
+    else idxs.forEach(qi => body(qi))
+    out.flatten
+  }
+
   /** Fan the query batch out to every per-partition graph and merge with a
     * bounded global top-k.
     *

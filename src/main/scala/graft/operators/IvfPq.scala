@@ -158,18 +158,28 @@ object IvfPq {
     * distributed ADC plan and collect its bounded top-k (nq × k rows). */
   def searchLocalRows(index: Index, queries: Array[(Long, Array[Float])],
                       k: Int, nprobe: Int,
-                      spark: org.apache.spark.sql.SparkSession): Array[(Long, Int, Long, Double)] =
-    searchLocalRowsPath(index, queries, k, nprobe, spark)
+                      spark: org.apache.spark.sql.SparkSession,
+                      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] =
+    searchLocalRowsPath(index, queries, k, nprobe, spark,
+      allowedSorted = allowedSorted)
 
   /** [[searchLocalRows]] with the tier bounds exposed for path-equality
     * tests (force the MT branch / the distributed fallback on small
-    * fixtures — same pattern as IvfFlat.searchLocalRowsPath). */
+    * fixtures — same pattern as IvfFlat.searchLocalRowsPath).
+    *
+    * `allowedSorted` (optional): SORTED admissible surrogate ids — the
+    * serving-side conjunctive tag filter. Non-members are skipped BEFORE
+    * the ADC lookups (one binary search per probed row), matching the
+    * batch plan's filter-then-top-k over the same candidates. Null on
+    * the distributed fallback is a caller error (the fallback plan has
+    * no filter hook) — filtered callers must gate on residency first. */
   private[graft] def searchLocalRowsPath(
       index: Index, queries: Array[(Long, Array[Float])],
       k: Int, nprobe: Int,
       spark: org.apache.spark.sql.SparkSession,
       stBound: Long = PqServeMaxLookups,
-      mtBound: Long = PqServeMaxLookupsMT): Array[(Long, Int, Long, Double)] = {
+      mtBound: Long = PqServeMaxLookupsMT,
+      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] = {
     val nq = queries.length
     if (nq == 0) return Array.empty
     val cents = index.centroidsLocal
@@ -199,14 +209,18 @@ object IvfPq {
       case Some(parts) =>
         val partials =
           if (lookups <= stBound)
-            scanCodes(parts, queries.map(_._2), probeMap, centOf, index.cb, k)
+            scanCodes(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
+              allowedSorted)
           else
-            scanCodesMT(parts, queries.map(_._2), probeMap, centOf, index.cb, k)
+            scanCodesMT(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
+              allowedSorted)
         partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
           rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
             .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
         }.toArray
       case None =>
+        require(allowedSorted == null,
+          "filtered PQ serving requires a resident index; gate on packedDriver")
         import spark.implicits._
         val qDf = queries.toSeq
           .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
@@ -228,7 +242,8 @@ object IvfPq {
                         probeMap: Map[Int, Array[Int]],
                         centOf: Map[Int, Array[Float]],
                         cb: Pq.Codebook,
-                        k: Int): Array[(Int, Long, Double)] = {
+                        k: Int,
+                        allowedSorted: Array[Long] = null): Array[(Int, Long, Double)] = {
     val bufs = Array.fill(qvecs.length)(new TopKBuf(k))
     val kk = cb.k
     parts.foreach { p =>
@@ -255,14 +270,19 @@ object IvfPq {
             val buf = bufs(q)
             var r = range(0); val end = range(0) + range(1)
             while (r < end) {
-              val off = r * mWidth
-              var s = 0.0
-              mi = 0
-              while (mi < mWidth) {
-                s += flat(mi * kk + (p.codes(off + mi) & 0xff)); mi += 1
+              if (allowedSorted != null &&
+                  java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0) {
+                r += 1
+              } else {
+                val off = r * mWidth
+                var s = 0.0
+                mi = 0
+                while (mi < mWidth) {
+                  s += flat(mi * kk + (p.codes(off + mi) & 0xff)); mi += 1
+                }
+                buf.add(p.ids(r), -s)
+                r += 1
               }
-              buf.add(p.ids(r), -s)
-              r += 1
             }
             i += 1
           }
@@ -285,7 +305,8 @@ object IvfPq {
                           probeMap: Map[Int, Array[Int]],
                           centOf: Map[Int, Array[Float]],
                           cb: Pq.Codebook,
-                          k: Int): Array[(Int, Long, Double)] = {
+                          k: Int,
+                          allowedSorted: Array[Long] = null): Array[(Int, Long, Double)] = {
     val pool = pqScanPool
     val nThreads = pqScanThreads
     val nq = qvecs.length
@@ -301,7 +322,8 @@ object IvfPq {
                 val in = probing.filter(q => q >= lo && q < hi)
                 if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
               }.toMap
-              scanCodes(parts, localQv, localProbes, centOf, cb, k)
+              scanCodes(parts, localQv, localProbes, centOf, cb, k,
+                  allowedSorted)
                 .map { case (qi, id, s) => (qi + lo, id, s) }
             }
           }
@@ -310,7 +332,8 @@ object IvfPq {
         parts.toSeq.map { p =>
           new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
             override def call(): Array[(Int, Long, Double)] =
-              scanCodes(Array(p), qvecs, probeMap, centOf, cb, k)
+              scanCodes(Array(p), qvecs, probeMap, centOf, cb, k,
+                allowedSorted)
           }
         }
       }

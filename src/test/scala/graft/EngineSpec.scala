@@ -680,6 +680,44 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("engine searchRows HNSW: resident graph tier equals the plan incl. dirty head") {
+    val root = Files.createTempDirectory("engine_hnswrows").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(53)
+    val recs = (0 until 80).map(i =>
+      (s"v$i", Seq.fill(6)(rng.nextFloat()), null: String,
+        Seq.empty[String], 100L))
+    eng.add(mkRecords(recs).withColumn("index_name", lit("hn")))
+    eng.build("t1", "hn", nlist = 3, algo = "HNSW")
+    val qs = (0 until 3).map(i =>
+      (i.toLong, Array.fill(6)(rng.nextFloat()))).toArray
+    val qDf = qs.toSeq.map { case (q0, v) => (q0, v.toSeq) }
+      .toDF("query_id", "qvec")
+    def plan(k: Int): Seq[(Long, Int, String, Double)] =
+      eng.search("t1", "hn", qDf, k, nprobe = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    // clean head: resident graph tier, candidate pool == the plan's
+    // parts×k fan-out, bit-equal rows
+    val (rows0, tr0) = eng.searchRowsTraced("t1", "hn", qs, k = 5, nprobe = 4)
+    assert(tr0.path == "head+hnswtail", tr0)
+    assert(rows0.sortBy(r => (r._1, r._2)).toSeq == plan(5))
+    // dirty head: fresh add (exact-match rank 1), re-write, tombstone —
+    // masking backfills from the UNCUT pool exactly like the plan
+    eng.add(mkRecords(Seq(
+      ("vnew", qs(0)._2.toSeq, null, Seq.empty[String], 200L)))
+      .withColumn("index_name", lit("hn")))
+    eng.upsert(mkRecords(Seq(
+      ("v0", recs(1)._2, null, Seq.empty[String], 205L)))
+      .withColumn("index_name", lit("hn")))
+    eng.delete("t1", "hn", Seq("v5"), version = 210L)
+    val (merged, tr1) = eng.searchRowsTraced("t1", "hn", qs, k = 5, nprobe = 4)
+    assert(tr1.path == "head+hnswtail", tr1)
+    assert(merged.find(r => r._1 == 0L && r._2 == 1).map(_._3).contains("vnew"))
+    assert(!merged.exists(_._3 == "v5"))
+    assert(merged.sortBy(r => (r._1, r._2)).toSeq == plan(5))
+  }
+
   test("per-call trace: serving path, head/tail counts, cache layers, timing") {
     val root = Files.createTempDirectory("engine_trace").toString
     val eng = new GraftEngine(spark, root)
@@ -842,15 +880,22 @@ class EngineSpec extends SparkSpec {
       k = 5, nprobe = 4, now = 1006L)
     assert(lu == "MISS", s"unfiltered call must not hit a tag-scoped entry")
     assert(rowsU.toSeq == plan(Nil).map(t => (t._1, t._2, t._3)))
-    // non-inverted-list tails stay on the always-correct batch cascade
+    // IVF_PQ tails serve filtered calls rows-native through the resident
+    // byte-code tier — exact parity with the batch plan's filtered answer
     eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
     eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
-    assert(eng.searchRowsFilteredTraced("t1", "pq",
-      Array((1L, qv)), 3, "L2", 2, Seq("red")).isEmpty)
+    def planPq(tags: Seq[String]): Seq[(Int, String, Double)] =
+      eng.search("t1", "pq", q(1L, qv.toSeq, tags), 3, nprobe = 2).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    val resPq = eng.searchRowsFilteredTraced("t1", "pq",
+      Array((1L, qv)), 3, "L2", 2, Seq("red"))
+    assert(resPq.isDefined, "resident PQ corpus must be rows-servable")
+    assert(resPq.get._2.path == "head+pqtail-filtered", resPq.get._2)
+    assert(resPq.get._1.map(r => (r._2, r._3, r._4)).toSeq == planPq(Seq("red")))
     val (lpq, rowsPq, trPq) = eng.searchCachedRowsTraced("t1", "pq", 101L,
       qv, k = 3, nprobe = 2, now = 1010L, tags = Seq("red"))
-    assert(lpq == "MISS" && trPq.headLive == -1, trPq) // batch fallback
-    assert(rowsPq.nonEmpty)
+    assert(lpq == "MISS" && trPq.headLive >= 0, trPq) // rows-native now
+    assert(rowsPq.toSeq == planPq(Seq("red")))
   }
 
   test("crash recovery: the pending-queue loss window is bounded and converges; flushed state survives") {
