@@ -14,7 +14,37 @@ import graft.operators.{BruteForceKnn, IvfFlat, TopK}
   * the comparable number is queries-answered / wall-seconds.
   */
 object Bench {
+
+  // Measurement scratch dirs (load-throughput parquet dumps, throwaway
+  // engine roots). The 10M load alone writes ~5 GB — six undeleted runs
+  // filled the build host's disk and failed a rung with ENOSPC, so every
+  // dir registers here and a shutdown hook scrubs them even on a crash;
+  // the big dumps are additionally scrubbed inline the moment their
+  // timing row is recorded.
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(d)
+    d
+  }
+  private def scrubOne(d: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      tempDirs.remove(d)
+    } catch { case scala.util.control.NonFatal(_) => }
+  private def scrubTempDirs(): Unit = {
+    var d = tempDirs.poll()
+    while (d != null) { scrubOne(d); d = tempDirs.poll() }
+  }
+
   def main(args: Array[String]): Unit = {
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => scrubTempDirs(), "bench-temp-scrub"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -162,7 +192,7 @@ object Bench {
     q100.count()
 
     val tLoad = timeOnce {
-      val dir = java.nio.file.Files.createTempDirectory("bench_load").toString
+      val dir = tempDir("bench_load")
       synth.write.mode("overwrite").parquet(dir + "/vectors")
     }
     sentinel("before_serving_runs")
@@ -333,7 +363,7 @@ object Bench {
     // the cascade's L0 probe is one equi-join against the entry table.
     val (cachedQps, cachedHitP50, cachedHitP99, cachedHitQps, prefetchHitP50) = {
       val eng = new GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("bench_cache").toString)
+        tempDir("bench_cache"))
       val recs = synth.filter(col("id") < 20000)
         .select(col("id").cast("string").as("id"), col("vec").as("vector"))
         .withColumn("tenant_id", lit("t0"))
@@ -416,7 +446,7 @@ object Bench {
     // the reference's in-process per-query P50/P99 (5.595/9.745 ms).
     val (engP50, engP99, respMissP50, respMissP99, respMissQps, respHitP50,
          respFiltP50, respFiltP99) = {
-      val engRoot = java.nio.file.Files.createTempDirectory("bench_eng_rows").toString
+      val engRoot = tempDir("bench_eng_rows")
       val eng = new GraftEngine(spark, engRoot)
       eng.add(synth
         .select(col("id").cast("string").as("id"), col("vec").as("vector"))
@@ -572,7 +602,7 @@ object Bench {
         .repartition(nCpus).cache()
       synth5k.count()
       val eng = new GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("bench_delta").toString)
+        tempDir("bench_delta"))
       def recsOf(df: org.apache.spark.sql.DataFrame, ts: Long) = df
         .select(col("id").cast("string").as("id"), col("vec").as("vector"))
         .withColumn("tenant_id", lit("t0"))
@@ -638,7 +668,7 @@ object Bench {
     val synth500 = synthVecs(500000).cache()
     synth500.count()
     val tLoad500 = timeOnce {
-      val dir = java.nio.file.Files.createTempDirectory("bench_load500").toString
+      val dir = tempDir("bench_load500")
       synth500.write.mode("overwrite").parquet(dir + "/vectors")
     }
     val tB0 = System.nanoTime()
@@ -685,7 +715,7 @@ object Bench {
     val synth1m = synthVecs(1000000).cache()
     synth1m.count()
     val tLoad1m = timeOnce {
-      val dir = java.nio.file.Files.createTempDirectory("bench_load1m").toString
+      val dir = tempDir("bench_load1m")
       synth1m.write.mode("overwrite").parquet(dir + "/vectors")
     }
 
@@ -745,11 +775,12 @@ object Bench {
     try {
       val n10m = 10000000L
       val synth10m = synthVecs(n10m)
+      val dir10m = tempDir("bench_load10m")
       val tLoad10m = timeOnce {
-        val dir = java.nio.file.Files.createTempDirectory("bench_load10m").toString
-        synth10m.write.mode("overwrite").parquet(dir + "/vectors")
+        synth10m.write.mode("overwrite").parquet(dir10m + "/vectors")
       }
       System.err.println(f"# bench-runs load_10m $tLoad10m%.4f")
+      scrubOne(dir10m) // ~5 GB, never read back — free it before the rung
       val tB10m = System.nanoTime()
       val idx10m = IvfFlat.build(synth10m.select(col("id"), col("vec")),
         nlist = 512, metric = "L2", seed = 42L, maxIter = 5)

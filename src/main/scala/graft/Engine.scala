@@ -549,15 +549,9 @@ class GraftEngine(spark: SparkSession, root: String) {
     // only ids that exist in the TAIL can mask tail rows — fresh adds
     // never do, so they must not inflate the per-query over-fetch
     val kTail = headState.map(k + _.maskInTail).getOrElse(k)
-    // HNSW keeps the UNCUT per-graph pool (parity with the plan's
-    // mask-then-top-k over parts × k candidates) — budget that pool
-    val tailBudgetRows =
-      if (algoHnsw)
-        queries.length.toLong * k * math.max(1, hnswGraphs.get.length)
-      else queries.length.toLong * kTail
     val servable = algoOk && headState.isDefined &&
       headWork <= IvfFlat.DriverServeMaxScanElems &&
-      tailBudgetRows <= 4_000_000L // top-k buffer budget
+      queries.length.toLong * kTail <= 4_000_000L // top-k buffer budget
     if (!servable) {
       import spark.implicits._
       val qDf = queries.toSeq
@@ -579,11 +573,10 @@ class GraftEngine(spark: SparkSession, root: String) {
       val tailRows =
         if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
         else if (algoHnsw)
-          // per-graph fetch is EXACTLY k (the plan's kFetch), pool kept
-          // uncut — masking backfills from it like the plan's final top-k
-          graft.operators.Hnsw
-            .searchLocalCandidates(hnswGraphs.get, queries, k)
-            .map { case (qid, surr, s) => (qid, 0, surr, s) }
+          // per-graph fetch AND global cut at kTail = k + maskInTail —
+          // exactly the plan's kFetch over-fetch, so masking backfills
+          // identically on both tiers
+          graft.operators.Hnsw.searchLocalRows(hnswGraphs.get, queries, kTail)
         else IvfFlat.searchLocalRows(
           tailIndexOf(tenant, index, m), queries, metric, kTail, nprobe, spark)
       val byQuery = tailRows.groupBy(_._1)
@@ -905,10 +898,21 @@ class GraftEngine(spark: SparkSession, root: String) {
     val tailScored = m.algo match {
       case "HNSW" =>
         // graphs return ranked hits already; over-fetch when a tag filter
-        // will prune afterwards, the final top-k re-trims
+        // will prune afterwards, the final top-k re-trims.
+        // ALSO over-fetch by the head's tail-mask count: the per-graph cut
+        // happens BEFORE maskHead, so without it a masked row's slot is
+        // lost and the final top-k comes up short (the reference's own
+        // delta shortfall, DeltaVectorIndex.cs:76-122) — maskInTail more
+        // rows guarantees backfill. The count is the epoch-memoized LWW
+        // head state (driver-bounded); corpora past the id-map gate or
+        // heads past the serve bound keep the shortfall (and should
+        // compact).
         val graphs = graft.operators.Hnsw.load(spark, s"$snap/hnsw")
         val idmap = spark.read.parquet(s"$snap/idmap")
-        val kFetch = if (tagFilter) k * 10 else k
+        val maskExtra =
+          if (m.headDirty == 0 || m.nVectors > IdMapMaxRows) 0
+          else headStateOf(tenant, index, m).map(_.maskInTail).getOrElse(0)
+        val kFetch = (if (tagFilter) k * 10 else k) + maskExtra
         val hnswHits = graft.operators.Hnsw.search(graphs, baseQueries, kFetch)
           .select(col("query_id"), col("id"), col("score"))
         maskHead(idmap.join(broadcast(hnswHits), Seq("id")))
@@ -1229,6 +1233,17 @@ class GraftEngine(spark: SparkSession, root: String) {
     }
     tagSurrogatesCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) tagSurrogatesCache.remove(k)
+    }
+    // resident-tier handles: dropping the map entry releases the packed
+    // byte codes / graphs to GC, which also frees their share of the
+    // weak-keyed global residency budgets — without this, every rebuild
+    // leaks its predecessor's resident arrays for the engine's lifetime
+    // and the budget eventually denies residency to LIVE versions
+    pqIndexCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) pqIndexCache.remove(k)
+    }
+    hnswGraphsCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) hnswGraphsCache.remove(k)
     }
   }
 

@@ -345,10 +345,10 @@ object Hnsw {
 
   /** The per-(query, graph) top-k pool WITHOUT the global cut —
     * (query_id, id, score) rows, exactly the candidate set the
-    * distributed [[search]] feeds its final TopK (callers that mask
-    * candidates before ranking, e.g. the engine's head merge, need the
-    * uncut pool or masking could not backfill). ≤ graphs × k rows per
-    * query — driver-sized by construction. */
+    * distributed [[search]] feeds its final TopK. ≤ graphs × k rows per
+    * query — driver-sized by construction. (Callers needing plan parity
+    * under head masking use [[searchLocalRows]] with the SAME over-
+    * fetched k the plan passes — both tiers cut identically.) */
   def searchLocalCandidates(graphs: Array[(Int, Graph)],
                             queries: Array[(Long, Array[Float])],
                             k: Int, efSearch: Int = 50): Array[(Long, Long, Double)] = {

@@ -34,8 +34,9 @@ object IvfPq {
     @transient lazy val centroidsLocal: Array[(Int, Array[Float])] =
       centroids.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
-    /** (rows, dim-of-codes) of the assigned table — one tiny agg job,
-      * memoized; feeds the residency bound. */
+    /** Row count of the assigned table — one tiny agg job, memoized;
+      * with the codebook's fixed M bytes/row it decides the residency
+      * bound BEFORE any collect. */
     @transient lazy val sizeStats: Long =
       assigned.agg(count(lit(1))).head.getLong(0)
 

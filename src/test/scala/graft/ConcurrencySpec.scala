@@ -181,4 +181,60 @@ class ConcurrencySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
     assert(fast.sortBy(_._2).toSeq == slow.sortBy(_._2).toSeq)
   }
+
+  test("PQ/HNSW resident tiers stay well-formed under concurrent writes and a rebuild") {
+    val root = Files.createTempDirectory("conc_algo_rows").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(11)
+    for (index <- Seq("pq", "hn")) {
+      eng.add(mkRecords((0 until 40).map(i =>
+        (s"v$i", Seq.fill(4)(rng.nextFloat()), 100L)))
+        .withColumn("index_name", lit(index)))
+    }
+    eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    eng.build("t1", "hn", nlist = 2, algo = "HNSW")
+    val qs = Array((0L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+
+    val start = new CountDownLatch(1)
+    val readers = Seq("pq", "hn").flatMap { index =>
+      (1 to 2).map { t =>
+        new Thread(() => {
+          start.await(60, TimeUnit.SECONDS)
+          (1 to 8).foreach { _ =>
+            val rows = eng.searchRows("t1", index, qs, k = 5, nprobe = 2)
+            assert(rows.length == 5)
+            assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to 5))
+            assert(rows.map(_._3).distinct.length == 5)
+            assert(rows.sortBy(_._2).map(_._4).sliding(2)
+              .forall(w => w.length < 2 || w(0) >= w(1)))
+          }
+        }, s"$index-reader-$t")
+      }
+    }
+    // writes dirty the heads mid-flight; a REBUILD swaps the pq snapshot
+    // version under the memoized resident handles
+    val writer = new Thread(() => {
+      start.await(60, TimeUnit.SECONDS)
+      (1 to 3).foreach { i =>
+        for (index <- Seq("pq", "hn"))
+          eng.upsert(mkRecords(Seq(
+            (s"v$i", Seq.fill(4)(rng.nextFloat()), 200L + i)))
+            .withColumn("index_name", lit(index)))
+      }
+      eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    }, "algo-writer")
+
+    start.countDown()
+    val errs = runAll(readers :+ writer)
+    assert(errs.isEmpty, s"concurrent tier serving threw: ${errs.map(_.toString)}")
+    // quiesced: both resident tiers equal their batch plans again
+    for (index <- Seq("pq", "hn")) {
+      val fast = eng.searchRows("t1", index, qs, k = 5, nprobe = 2)
+      val slow = eng.search("t1", index,
+          Seq((0L, qs(0)._2.toSeq)).toDF("query_id", "qvec"), 5, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      assert(fast.sortBy(_._2).toSeq == slow.sortBy(_._2).toSeq, index)
+    }
+  }
 }

@@ -703,7 +703,9 @@ class EngineSpec extends SparkSpec {
     assert(tr0.path == "head+hnswtail", tr0)
     assert(rows0.sortBy(r => (r._1, r._2)).toSeq == plan(5))
     // dirty head: fresh add (exact-match rank 1), re-write, tombstone —
-    // masking backfills from the UNCUT pool exactly like the plan
+    // both tiers over-fetch k + maskInTail before the cut, so masking
+    // backfills identically (ConcurrencySpec caught the cut-then-mask
+    // shortfall this pins)
     eng.add(mkRecords(Seq(
       ("vnew", qs(0)._2.toSeq, null, Seq.empty[String], 200L)))
       .withColumn("index_name", lit("hn")))

@@ -143,6 +143,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IVF_PQ resident tier == distributed ADC plan on random corpora/params") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(20, 120)
+      dim <- Gen.oneOf(4, 8, 16)
+      nlist <- Gen.chooseNum(2, 6)
+      m <- Gen.oneOf(2, 4)
+      nprobe <- Gen.chooseNum(1, 4)
+      k <- Gen.chooseNum(1, 8)
+      seed <- Gen.chooseNum(1L, 10000L)
+    } yield (n, dim, nlist, m, nprobe, k, seed)
+    checkN(8)(Prop.forAll(caseGen) { case (n, dim, nlist, m, nprobe, k, seed) =>
+      val rng = new scala.util.Random(seed)
+      val vectors = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+      val queries = (0 until 3).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+      val idx = graft.operators.IvfPq.build(vectors, nlist, m, k = 8,
+        seed = seed)
+      val planRows = graft.operators.IvfPq
+        .search(idx, queries.toDF("query_id", "qvec"), k, nprobe).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val qArr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+      val tier = graft.operators.IvfPq
+        .searchLocalRows(idx, qArr, k, nprobe, spark)
+        .sortBy(t => (t._1, t._2)).toSeq
+      tier == planRows
+    })
+  }
+
   test("span dedup matches a local model on any corpus: removal set, order, reassembly") {
     import org.apache.spark.sql.functions.col
     val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
