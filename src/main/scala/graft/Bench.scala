@@ -650,6 +650,60 @@ object Bench {
       (lat(49), lat(98), qps)
     }
 
+    // Structured Streaming ingest (St1 write side): 100k records through
+    // upsertStream as 10 file-source micro-batches (maxFilesPerTrigger=1)
+    // — the engine's LWW log append + epoch bump per batch, i.e. the
+    // write half of the reference's continuous RESP stream. Source files
+    // are pre-written OUTSIDE the timed window; the row is drain rate.
+    sentinel("before_stream_ingest")
+    val streamIngestRate = {
+      val srcDir = tempDir("bench_stream_src")
+      val engS = new GraftEngine(spark, tempDir("bench_stream_root"))
+      val dim32 = 32
+      (0 until 10).foreach { b =>
+        spark.range(b * 10000L, (b + 1) * 10000L)
+          .select(col("id").cast("string").as("id"),
+            array((0 until dim32).map(i =>
+              (pmod(xxhash64(col("id"), lit(i)), lit(2000000)) / 1000000.0 - 1.0)
+                .cast("float")): _*).as("vector"))
+          .withColumn("tenant_id", lit("t0"))
+          .withColumn("index_name", lit("s"))
+          .withColumn("meta", lit(null).cast("string"))
+          .withColumn("tags", lit(null).cast("array<string>"))
+          .withColumn("updated_at", lit(100L + b))
+          .coalesce(1).write.parquet(s"$srcDir/b$b")
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("vector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("tenant_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("index_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("updated_at",
+          org.apache.spark.sql.types.LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/b*/")
+      val qS = engS.upsertStream(stream, tempDir("bench_stream_ckpt"))
+      val tS0 = System.nanoTime()
+      qS.processAllAvailable()
+      val tStream = (System.nanoTime() - tS0) / 1e9
+      qS.stop()
+      val landed = engS.currentState("t0", "s").count()
+      require(landed == 100000L, s"stream ingest landed $landed rows")
+      System.err.println(
+        f"# bench-runs stream_ingest_100k $tStream%.4f rows_per_sec=${100000.0 / tStream}%.0f")
+      100000.0 / tStream
+    }
+
     // Scale ladder past the reference's published ceiling: its 500k
     // IVF-Flat row serves 192.7 QPS and its 1M load "stalled at 93%" is a
     // documented known limit (BASELINE.md; benchmark_500k_ivf.md:38-44).
@@ -912,6 +966,7 @@ object Bench {
       "delta_head_p50_ms" -> deltaP50,
       "delta_head_p99_ms" -> deltaP99,
       "delta_head_qps" -> deltaQps,
+      "stream_ingest_rows_per_sec" -> streamIngestRate,
       "cached_hit_p50_ms" -> cachedHitP50,
       "cached_hit_p99_ms" -> cachedHitP99,
       "cached_hit_qps" -> cachedHitQps,
