@@ -210,6 +210,45 @@ object Queries {
 
   private val HnswExactN = 2000
 
+  /** The RESIDENT serving tiers under the driver's DuckDB gate. Same
+    * exhaustive-probe exactness argument as ivf_flat_search, but
+    * answered by `IvfFlat.searchLocalRows` — the zero-job driver tier
+    * (residency check, ST/MT work dispatch, packed flat scan) that the
+    * wire actually serves from — instead of the DataFrame plan. The row
+    * array converts to a DataFrame only to cross the gate. */
+  val ivfRowsSearch: QueryFn = (s, dir) => {
+    import s.implicits._
+    val idx = built(s, s"$dir:ivf_l2") {
+      IvfFlat.build(vectorsOf(s, dir), nlist = 10, metric = "L2", seed = 42L)
+    }
+    val qs = queriesOf(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    IvfFlat.searchLocalRows(idx, qs, "L2", K, nprobe = 10, s).toSeq
+      .map { case (q, rank, id, _) => (q, rank, id) }
+      .toDF("query_id", "rank", "id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[hnswSearch]]'s provably-exact configuration served by the
+    * RESIDENT graph tier (`Hnsw.searchLocalRows` over collected
+    * sub-graphs — the engine's head+hnswtail serving path) instead of
+    * the distributed fan-out; shares the same oracle. */
+  val hnswRowsSearch: QueryFn = (s, dir) => {
+    import s.implicits._
+    val parts = built(s, s"$dir:hnsw_exact_parts") {
+      graft.operators.Hnsw.build(
+        vectorsOf(s, dir).filter(col("id") < HnswExactN), "L2",
+        m = HnswExactN, efConstruction = HnswExactN, numPartitions = 16)
+        .collect()
+    }
+    val qs = queriesOf(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.operators.Hnsw.searchLocalRows(parts, qs, K, efSearch = HnswExactN)
+      .toSeq.map { case (q, rank, id, _) => (q, rank, id) }
+      .toDF("query_id", "rank", "id")
+      .orderBy("query_id", "rank")
+  }
+
   val hnswExactSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
@@ -1570,10 +1609,12 @@ object Queries {
     "sql_knn_cosine" -> sqlKnnCosine,
     "knn_l2" -> knnL2,
     "ivf_flat_search" -> ivfFlatSearch,
+    "ivf_rows_search" -> ivfRowsSearch,
     "ivf_cosine_search" -> ivfCosineSearch,
     "ivf_pq_search" -> ivfPqSearch,
     "sq8_search" -> sq8Search,
     "hnsw_search" -> hnswSearch,
+    "hnsw_rows_search" -> hnswRowsSearch,
     "engine_pq_search" -> enginePqSearch,
     "engine_pq_cosine" -> enginePqCosine,
     "engine_pq_ip" -> enginePqIp,
@@ -1637,12 +1678,14 @@ object Queries {
     // exhaustive-probe configs are exact ⇒ the IVF family shares the
     // brute-force oracles (rank-only where our score scale differs)
     "ivf_flat_search" -> knnL2Sql,
+    "ivf_rows_search" -> knnL2Sql,
     "ivf_cosine_search" -> knnCosineSql,
     "ivf_pq_search" -> knnL2Sql,
     "engine_pq_search" -> knnL2Sql,
     "engine_pq_cosine" -> knnCosineRankSql,
     "engine_pq_ip" -> knnDotSql,
     "hnsw_search" -> hnswExactSql,
+    "hnsw_rows_search" -> hnswExactSql,
     "fingerprint_dup_pairs" -> fingerprintDupPairsSql,
     "simhash_dup_pairs" -> simhashDupPairsSql,
     "sq8_search" -> sq8SearchSql,
