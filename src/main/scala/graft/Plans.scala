@@ -38,6 +38,15 @@ object Plans {
     spark.read.parquet(s"$tmp/vectors")
       .filter(col("cluster_id").isin(1, 2)).explain("formatted")
 
+    println("==== PLAN: IVF_PQ driver-known ADC scoring (cluster-pruned scan) ====")
+    val pqIdx = graft.operators.IvfPq.build(vectors, nlist = 8, m = 4, k = 8)
+    val pqTmp = java.nio.file.Files.createTempDirectory("plans_pq").toString
+    graft.operators.IvfPq.save(pqIdx, pqTmp)
+    graft.operators.IvfPq
+      .scoredCandidates(graft.operators.IvfPq.load(spark, pqTmp),
+        queries, nprobe = 2)
+      .explain("formatted")
+
     println("==== PLAN: shingle-join jaccard pairs (no cross product) ====")
     TextDedup.jaccardPairs(
       spark.read.parquet(s"$dir/documents.parquet"), 3, 0.5).explain("formatted")
