@@ -489,10 +489,13 @@ class GraftEngine(spark: SparkSession, root: String) {
     * [[HeadServeMaxRows]] serves the delta merge driver-side — epoch-
     * memoized LWW head state, exact head scan, tail over-fetch + mask,
     * one bounded merge (the reference's Head+Tail serving shape,
-    * DeltaVectorIndex.cs:76-122). HNSW/IVF_PQ tails, oversized corpora
-    * or heads, and big batches fall back to the full [[search]] plan and
-    * collect it — always correct, just not always zero-job. Tag filters /
-    * meta hydration stay on the DataFrame API. */
+    * DeltaVectorIndex.cs:76-122). IVF_PQ tails serve from resident
+    * packed byte codes and HNSW tails from resident graphs (same head
+    * merge, plan-exact folds/cuts); oversized corpora or heads, non-
+    * resident indexes, and big batches fall back to the full [[search]]
+    * plan and collect it — always correct, just not always zero-job.
+    * Meta hydration stays on the DataFrame API; tag filters serve
+    * rows-native for inverted-list and PQ tails (searchRowsFilteredTraced). */
   def searchRows(tenant: String, index: String,
                  queries: Array[(Long, Array[Float])], k: Int,
                  metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] =
@@ -2502,7 +2505,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         // the batch plan picks by content hash and this path keeps the
         // later write; both are valid entries for that key and a full
         // reload re-ranks identically to the plan. Calls outside the
-        // rows-tier gates (HNSW/IVF_PQ tail, oversized corpus/head)
+        // rows-tier gates (non-resident tail, oversized corpus/head)
         // keep the batch cascade below.
         val rowsNative: Option[(Array[(Long, Int, String, Double)], SearchTrace)] =
           if (tags.isEmpty)

@@ -442,7 +442,16 @@ object IvfPq {
           while (mi < codes.length) { s += adc(mi * kk + (codes(mi) & 0xff)); mi += 1 }
           -s
         }
+        // same partition-pruning IN as the driver-known branch, via one
+        // bounded job (distinct probed clusters ≤ nlist rows): at scale
+        // nlist is large and a moderate batch probes a small fraction of
+        // the lists — without the predicate this branch scans the whole
+        // cluster-partitioned snapshot. The ranking re-evaluation this
+        // costs is nq × nlist float ops, noise next to the scan it prunes.
+        val probedClusters = probeSet.select("cluster_id").distinct()
+          .collect().map(_.getInt(0)).toSeq
         index.assigned
+          .filter(col("cluster_id").isInCollection(probedClusters))
           .join(withTables, Seq("cluster_id"))
           .select(col("query_id"), col("id"),
             score(col("adc"), col("codes")).as("score"))

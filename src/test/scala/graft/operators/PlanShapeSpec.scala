@@ -45,6 +45,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [In(cluster_id"), plan)
   }
 
+  test("IVF_PQ distributed scoring prunes the snapshot scan by probed cluster") {
+    val vectors = (0 until 200).map(i => (i.toLong, Seq.fill(4)(i.toFloat)))
+      .toDF("id", "vec")
+    val idx = IvfPq.build(vectors, nlist = 4, m = 4, k = 8)
+    val dir = Files.createTempDirectory("pq_prune_dist").toString
+    IvfPq.save(idx, dir)
+    val loaded = IvfPq.load(spark, dir)
+    val queries = Seq((0L, Seq.fill(4)(5f))).toDF("query_id", "qvec")
+    // maxLocalQueries=0 forces the distributed ADC branch; its IN over
+    // the probed clusters must prune the partitioned codes scan too
+    val scored = IvfPq.scoredCandidates(loaded, queries, nprobe = 2,
+      maxLocalQueries = 0)
+    scored.collect() // finalize the adaptive plan
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster_id.*"), plan)
+    assert(!plan.contains("PushedFilters: [In(cluster_id"), plan)
+  }
+
   test("parquet scan prunes columns: 2-column projection reads 2 columns") {
     val dir = Files.createTempDirectory("cols").toString + "/data"
     (0 until 100).map(i => (i.toLong, i.toString, i * 1.0, Seq(i.toFloat)))
