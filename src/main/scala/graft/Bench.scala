@@ -921,6 +921,62 @@ object Bench {
         "ivf_pq_10m_qps" -> 100.0 / tPq10m,
         "ivf_pq_10m_p50_ms" -> latPq10m(49),
         "ivf_pq_10m_p99_ms" -> latPq10m(98))
+
+      // ENGINE-level serving at the same rung: the full product path —
+      // log ingest, the engine's own build (state resolve + KMeans +
+      // encode + snapshot commit), manifest gates, the compact resident
+      // id pool, packed codes, head merge. This is the row that says the
+      // WIRE reaches 10M, not just the operator kernel. Runs after the
+      // operator rung releases its cached tables (two resident 5 GB
+      // cached corpora would churn the 32g heap). Own guard: a failure
+      // costs these rows only.
+      try {
+        val engRoot = tempDir("bench_engine10m")
+        val eng = new GraftEngine(spark, engRoot)
+        val recs10m = synth10m.select(
+          concat(lit("v"), col("id")).as("id"), col("vec").as("vector"))
+          .withColumn("meta", lit(null).cast("string"))
+          .withColumn("tags", lit(null).cast("array<string>"))
+          .withColumn("updated_at", lit(100L))
+          .withColumn("tenant_id", lit("t1"))
+          .withColumn("index_name", lit("big"))
+        val tIngest = timeOnce { eng.upsert(recs10m); () }
+        System.err.println(f"# bench-runs engine_10m_ingest $tIngest%.4f")
+        val tEngBuild = timeOnce {
+          eng.build("t1", "big", nlist = 512, algo = "IVF_PQ",
+            pqM = 8, pqK = 256)
+        }
+        System.err.println(f"# bench-runs engine_10m_build $tEngBuild%.4f")
+        // cold first call packs the codes + builds the id pool + serves
+        val tCold = timeOnce {
+          require(eng.searchRows("t1", "big", Array(q100x10m.head), 10,
+            nprobe = 10).nonEmpty)
+        }
+        (0 until 3).foreach { _ =>
+          eng.searchRows("t1", "big", q100x10m, 10, nprobe = 10)
+        }
+        val latEng = q100x10m.map { q =>
+          val t0 = System.nanoTime()
+          val (rows, tr) = eng.searchRowsTraced("t1", "big", Array(q), 10,
+            nprobe = 10)
+          require(rows.length == 10 && tr.path == "head+pqtail",
+            s"engine 10M rung expected head+pqtail, got ${tr.path}")
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        System.err.println(
+          f"# bench-runs engine_pq_10m_single_query_ms p50=${latEng(49)}%.3f " +
+            f"p99=${latEng(98)}%.3f cold=$tCold%.2f")
+        results("engine_10m_ingest_sec") = tIngest
+        results("engine_10m_build_sec") = tEngBuild
+        rates10m = rates10m ++ Map(
+          "engine_pq_10m_cold_first_call_sec" -> tCold,
+          "engine_pq_10m_p50_ms" -> latEng(49),
+          "engine_pq_10m_p99_ms" -> latEng(98))
+        scrubOne(engRoot)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"# bench-runs engine_10m FAILED: ${e.getMessage}")
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"# bench-runs ivf_10m FAILED: ${e.getMessage}")

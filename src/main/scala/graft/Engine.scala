@@ -55,9 +55,22 @@ object GraftEngine {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(root: String, tenant: String, index: String): Object =
     manifestLocks.getOrElseUpdate(s"$root#$tenant/$index", new Object)
+
+  /** Default per-snapshot residency bound for the rows tier's [[IdPool]]
+    * (compact surrogate → id map): 512 MB covers ~25M ids at typical id
+    * lengths — the same ceiling class as the packed-codes/graph tiers. */
+  val IdPoolMaxBytesDefault: Long = 512L << 20
+
+  /** JVM-wide ceiling across ALL resident id pools; engines share it the
+    * way resident PQ codes share [[graft.operators.IvfPq.PackedCodesGlobalMaxBytes]].
+    * Eviction ([[GraftEngine.evictStaleHandles]]) returns a pool's share. */
+  val IdPoolGlobalMaxBytes: Long = 1024L << 20
+  private[graft] val idPoolBytesUsed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
-class GraftEngine(spark: SparkSession, root: String) {
+class GraftEngine(spark: SparkSession, root: String,
+                  idPoolMaxBytes: Long = GraftEngine.IdPoolMaxBytesDefault) {
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -519,23 +532,29 @@ class GraftEngine(spark: SparkSession, root: String) {
     // cheap manifest gates FIRST: a dirty-head HNSW/oversized index must
     // not pay the bounded head-read job just to fall back
     val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
-      m.nVectors <= IdMapMaxRows
+      m.nVectors <= RowsServeMaxRows
     // IVF_PQ rows tier: codes are M bytes/vec (32× under raw floats at
     // dim 128 / M 8), so the driver-RESIDENT tier reaches corpora whose
     // float vectors never could (10M codes ≈ 240 MB packed). Gated on
     // ACTUAL residency — memoized per snapshot version; a too-big codes
     // table memoizes None once and every later call short-circuits here.
-    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= IdMapMaxRows &&
+    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
       pqIndexOf(tenant, index, m).packedDriver.isDefined
     // HNSW rows tier: graphs hold their full vectors, so residency
     // economics match IvfFlat's (bound checked before collect, memoized
     // per snapshot version — a too-big graph set memoizes None once)
     val hnswGraphs: Option[Array[(Int, graft.operators.Hnsw.Graph)]] =
-      if (m.algo == "HNSW" && m.nVectors <= IdMapMaxRows)
+      if (m.algo == "HNSW" && m.nVectors <= RowsServeMaxRows)
         hnswGraphsOf(tenant, index, m)
       else None
     val algoHnsw = hnswGraphs.isDefined
-    val algoOk = algoFlat || algoPq || algoHnsw
+    // the rows tier resolves result surrogates through the resident
+    // [[IdPool]] — a pool past its measured-byte budgets memoizes None
+    // and the call keeps the DataFrame plan (broadcast-join id resolve)
+    val poolOpt: Option[IdPool] =
+      if (algoFlat || algoPq || algoHnsw) idPoolOf(tenant, index, m)
+      else None
+    val algoOk = (algoFlat || algoPq || algoHnsw) && poolOpt.isDefined
     // the head path below is exact-scan; the reference's RESP serving has
     // the same shape (fresh delta head scanned per query,
     // DeltaVectorIndex.cs:76-122)
@@ -570,7 +589,7 @@ class GraftEngine(spark: SparkSession, root: String) {
           metric.equalsIgnoreCase(m.metric),
         s"index built with metric=${m.metric}; cannot search with metric=$metric")
       val hs = headState.get
-      val idMap = idStrMapOf(tenant, index, m)
+      val idMap = poolOpt.get
       // over-fetch from the tail so masking re-written/tombstoned ids
       // can't leave a query short (≤ maskInTail tail rows can be masked)
       val tailRows =
@@ -697,13 +716,15 @@ class GraftEngine(spark: SparkSession, root: String) {
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
     val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
-      m.nVectors <= IdMapMaxRows
+      m.nVectors <= TagMapMaxRows
     // filtered PQ serving piggybacks the resident byte-code tier (the
-    // scan kernel takes the same sorted allowed set) — same gate as the
-    // unfiltered rows path
-    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= IdMapMaxRows &&
+    // scan kernel takes the same sorted allowed set); the tag index keeps
+    // the tighter TagMapMaxRows bound — see its doc
+    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= TagMapMaxRows &&
       pqIndexOf(tenant, index, m).packedDriver.isDefined
-    val algoOk = algoFlat || algoPq
+    val poolOpt: Option[IdPool] =
+      if (algoFlat || algoPq) idPoolOf(tenant, index, m) else None
+    val algoOk = (algoFlat || algoPq) && poolOpt.isDefined
     val headState: Option[HeadServeState] =
       if (!algoOk) None
       else if (m.headDirty == 0) Some(HeadServeState.empty)
@@ -733,7 +754,7 @@ class GraftEngine(spark: SparkSession, root: String) {
           sorted.head.filter(sg => sorted.tail.forall(arr =>
             java.util.Arrays.binarySearch(arr, sg) >= 0))
         }
-      val idMap = idStrMapOf(tenant, index, m)
+      val idMap = poolOpt.get
       val tailRows =
         if (allowed.isEmpty) Array.empty[(Long, Int, Long, Double)]
         else if (algoPq)
@@ -819,27 +840,33 @@ class GraftEngine(spark: SparkSession, root: String) {
                 if (r.isNullAt(4)) Array.empty[String]
                 else r.getSeq[String](4).toArray)
           }
-          def surr(s: String): Long =
-            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s),
-              org.apache.spark.sql.types.StringType, 42L)
-          val mask = new java.util.HashSet[java.lang.Long]()
-          val live = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Array[Float], String, Array[String])]
-          val tailIds = idStrMapOf(tenant, index, m)
-          var maskInTail = 0
-          latest.foreach { case (id, (_, deleted, vec, tags)) =>
-            val sg = surr(id)
-            mask.add(sg)
-            if (tailIds.contains(sg)) maskInTail += 1
-            if (!deleted) live += ((sg, vec, id, tags))
+          // tail-mask pricing needs the resident id pool; a pool past
+          // its byte budgets means no rows tier for this index anyway,
+          // so the head state has no consumer — fall back
+          idPoolOf(tenant, index, m) match {
+            case None => None
+            case Some(tailIds) =>
+              def surr(s: String): Long =
+                org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                  org.apache.spark.sql.types.StringType, 42L)
+              val mask = new java.util.HashSet[java.lang.Long]()
+              val live = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Float], String, Array[String])]
+              var maskInTail = 0
+              latest.foreach { case (id, (_, deleted, vec, tags)) =>
+                val sg = surr(id)
+                mask.add(sg)
+                if (tailIds.contains(sg)) maskInTail += 1
+                if (!deleted) live += ((sg, vec, id, tags))
+              }
+              val hs = HeadServeState(mask,
+                live.map(_._1).toArray, live.map(_._2).toArray,
+                live.map(l => l._1 -> l._3).toMap, maskInTail,
+                live.map(_._4).toArray)
+              headStateCache.put(key, (m.epoch, hs))
+              Some(hs)
           }
-          val hs = HeadServeState(mask,
-            live.map(_._1).toArray, live.map(_._2).toArray,
-            live.map(l => l._1 -> l._3).toMap, maskInTail,
-            live.map(_._4).toArray)
-          headStateCache.put(key, (m.epoch, hs))
-          Some(hs)
         }
       }
     }
@@ -913,7 +940,7 @@ class GraftEngine(spark: SparkSession, root: String) {
         val graphs = graft.operators.Hnsw.load(spark, s"$snap/hnsw")
         val idmap = spark.read.parquet(s"$snap/idmap")
         val maskExtra =
-          if (m.headDirty == 0 || m.nVectors > IdMapMaxRows) 0
+          if (m.headDirty == 0 || m.nVectors > RowsServeMaxRows) 0
           else headStateOf(tenant, index, m).map(_.maskInTail).getOrElse(0)
         val kFetch = (if (tagFilter) k * 10 else k) + maskExtra
         val hnswHits = graft.operators.Hnsw.search(graphs, baseQueries, kFetch)
@@ -1153,14 +1180,17 @@ class GraftEngine(spark: SparkSession, root: String) {
       spark.read.parquet(s"${snapDir(tenant, index, m)}/ivfpq/mips")
         .head.getDouble(0))
 
-  // surrogate → user-facing string id for the rows serving entry —
-  // immutable per snapshot; bounded by the searchRows manifest gate
-  // (nVectors ≤ IdMapMaxRows) before it is ever materialized
-  private val idStrMapCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
-  private def idStrMapOf(tenant: String, index: String,
-                         m: Manifest): Map[Long, String] =
-    idStrMapCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+  // surrogate → user-facing string id for the rows serving entry — a
+  // compact [[IdPool]], immutable per snapshot. Residency is decided by
+  // EXACT measured bytes (one bounded agg) BEFORE any collect, against a
+  // per-pool and a JVM-global budget; denial memoizes None and the rows
+  // tier falls back to the plan. The pool itself is built from
+  // executor-side pre-sorted packed runs (never n boxed driver rows).
+  private val idPoolCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[IdPool]]
+  private def idPoolOf(tenant: String, index: String,
+                       m: Manifest): Option[IdPool] =
+    idPoolCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
       // inverted-list snapshots keep (id, id_str) in vectors/; IVF_PQ
       // snapshots alongside the codes; HNSW in its idmap table
       val sub = m.algo match {
@@ -1168,15 +1198,34 @@ class GraftEngine(spark: SparkSession, root: String) {
         case "HNSW" => "idmap"
         case _ => "vectors"
       }
-      spark.read.parquet(s"${snapDir(tenant, index, m)}/$sub")
-        .select("id", "id_str").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val df = spark.read.parquet(s"${snapDir(tenant, index, m)}/$sub")
+        .select(col("id"), col("id_str"))
+      val stats = df.agg(count(lit(1)),
+        sum(octet_length(col("id_str")))).head
+      val n = stats.getLong(0)
+      val strBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      val est = n * 12L + strBytes + 32L
+      if (est > idPoolMaxBytes ||
+          GraftEngine.idPoolBytesUsed.get() + est >
+            GraftEngine.IdPoolGlobalMaxBytes) None
+      else {
+        val runs = df.queryExecution.toRdd.mapPartitions { it =>
+          // toString materializes an owned copy — UnsafeRow buffers are
+          // reused across next() calls, so the bytes must not alias them
+          IdPool.packRun(it.map(r => (r.getLong(0),
+            r.getUTF8String(1).toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        }.collect()
+        val pool = IdPool.merge(runs)
+        GraftEngine.idPoolBytesUsed.addAndGet(pool.bytes)
+        Some(pool)
+      }
     })
 
   // tag → sorted surrogate-id array for the FILTERED rows serving tier
   // (the reference keeps per-record tags in the same process heap it
   // scans, VectorCommandSet.cs:461-480). Immutable per snapshot version;
-  // bounded by the same nVectors ≤ IdMapMaxRows gate as idStrMapOf —
+  // bounded by the TagMapMaxRows gate on the filtered rows path —
   // total entries = Σ tags per record, a few ×8 bytes per row. Sorted
   // arrays (not hash sets) so the scan kernel's membership test is one
   // allocation-free binary search.
@@ -1231,8 +1280,10 @@ class GraftEngine(spark: SparkSession, root: String) {
     mipsMaxSqCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) mipsMaxSqCache.remove(k)
     }
-    idStrMapCache.keys.toSeq.foreach { k =>
-      if (versionOf(k).exists(_ < keep)) idStrMapCache.remove(k)
+    idPoolCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep))
+        idPoolCache.remove(k).foreach(_.foreach(p =>
+          GraftEngine.idPoolBytesUsed.addAndGet(-p.bytes)))
     }
     tagSurrogatesCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) tagSurrogatesCache.remove(k)
@@ -1407,11 +1458,23 @@ class GraftEngine(spark: SparkSession, root: String) {
     * so unbounded appends would grow per-call cost with serving duration. */
   private val CacheGcFileThreshold = 64L
 
-  /** Row bound for the driver-resident surrogate→string id map behind
-    * [[searchRows]]: ~1M entries is tens of MB of driver heap; bigger
-    * corpora fall back to the DataFrame plan, which resolves ids with a
-    * broadcast semi-join instead of a resident map. */
-  private val IdMapMaxRows = 1000000L
+  /** Row ceiling for the rows serving tier's manifest gate: the
+    * surrogate → id resolver behind [[searchRows]] is a compact [[IdPool]]
+    * (sorted longs + one UTF-8 blob, ~12 bytes + id length per entry), so
+    * 16M ids ≈ 350 MB of driver heap — actual residency is still decided
+    * by exact measured bytes in [[idPoolOf]] (per-pool + JVM-global
+    * budgets); corpora past either fall back to the DataFrame plan, which
+    * resolves ids with a broadcast semi-join instead of a resident map.
+    * (Was 1M when the resolver was a boxed Map — the compact pool is what
+    * lets the wire serve the 10M rung driver-side.) */
+  private val RowsServeMaxRows = 16000000L
+
+  /** Row ceiling for the FILTERED rows tier: the tag → surrogate index
+    * ([[tagSurrogatesOf]]) still collects one row per (record, tag) when
+    * it materializes, so it keeps the tighter bound until it gets the
+    * same packed-run treatment as [[IdPool]]. Filtered calls on bigger
+    * corpora keep the always-correct distributed filtered plan. */
+  private val TagMapMaxRows = 1000000L
 
   /** Miss-batch bound for [[searchCached]]'s zero-job serving shortcut:
     * batches at most this size collect their miss queries (≤1024 × dim

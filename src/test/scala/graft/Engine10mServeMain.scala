@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off measurement: ENGINE-level rows serving at the 10M rung — the
+  * full product path (manifest gates, resident id pool, packed PQ codes,
+  * head merge), not just the operator kernel the bench's 10M rows time.
+  * Builds a 10M×dim128 IVF_PQ index through the engine's own log+build
+  * pipeline, then measures single-query `searchRowsTraced` latency and
+  * asserts the zero-job `head+pqtail` path actually served it.
+  * Not part of the test suite; run with
+  * `Test/runMain graft.Engine10mServeMain [n]`. */
+object Engine10mServeMain {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val dim = 128
+    val nlist = 512
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("engine10m").toString
+    sys.addShutdownHook {
+      scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+    val eng = new GraftEngine(spark, root)
+
+    def vecExpr = transform(sequence(lit(1), lit(dim)),
+      i => (pmod(xxhash64(col("seq") * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0)
+        .cast("float"))
+    def records(m: Long) = spark.range(m).select(col("id").as("seq"))
+      .select(concat(lit("v"), col("seq")).as("id"), vecExpr.as("vector"))
+      .withColumn("meta", lit(null).cast("string"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .withColumn("updated_at", lit(100L))
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("index_name", lit("big"))
+
+    var t0 = System.nanoTime()
+    eng.upsert(records(n))
+    println(f"upsert_${n}%d_sec ${(System.nanoTime() - t0) / 1e9}%.1f")
+    t0 = System.nanoTime()
+    eng.build("t1", "big", nlist = nlist, algo = "IVF_PQ", pqM = 8, pqK = 256)
+    println(f"engine_build_sec ${(System.nanoTime() - t0) / 1e9}%.1f")
+
+    val qs = records(100).select(col("id"), col("vector")).collect()
+      .map(r => (r.getString(0).stripPrefix("v").toLong,
+        r.getSeq[Float](1).toArray))
+    // cold first call: codes pack + id pool build + serve, all at once
+    t0 = System.nanoTime()
+    val (firstRows, firstTrace) =
+      eng.searchRowsTraced("t1", "big", Array(qs.head), k = 10, nprobe = 10)
+    println(f"cold_first_call_sec ${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"path=${firstTrace.path} rows=${firstRows.length}")
+    require(firstRows.nonEmpty)
+    (0 until 3).foreach { _ =>
+      eng.searchRows("t1", "big", qs, k = 10, nprobe = 10)
+    }
+    val lat = qs.map { q =>
+      val t = System.nanoTime()
+      val (rows, tr) = eng.searchRowsTraced("t1", "big", Array(q), k = 10,
+        nprobe = 10)
+      require(rows.length == 10 && tr.path == "head+pqtail",
+        s"expected zero-job PQ serving, got ${tr.path} / ${rows.length} rows")
+      (System.nanoTime() - t) / 1e6
+    }.sorted
+    println(f"engine_pq_${n}%d_single_query_ms p50=${lat(49)}%.3f p99=${lat(98)}%.3f")
+    spark.stop()
+  }
+}

@@ -1285,4 +1285,32 @@ class EngineSpec extends SparkSpec {
     assert(aliased.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq ==
       canonHits.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq)
   }
+
+  test("id-pool budget denial: rows path falls back to the plan with identical results") {
+    val root = Files.createTempDirectory("engine_idpool").toString
+    // a budget too small for ANY pool: every rows-tier call must take the
+    // plan fallback (the gate memoizes the denial — measured bytes, not
+    // row counts, decide residency)
+    val denied = new GraftEngine(spark, root, idPoolMaxBytes = 16L)
+    val rng = new scala.util.Random(43)
+    val recs = (0 until 40).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    denied.add(mkRecords(recs))
+    denied.build("t1", "idx", nlist = 2)
+    val qs = Array((0L, Array.fill(4)(rng.nextFloat())))
+    val (rowsD, trD) = denied.searchRowsTraced("t1", "idx", qs, k = 5, nprobe = 2)
+    assert(trD.path == "plan-fallback", trD)
+    // same root, default budget: serves rows-native with the same answer
+    val eng = new GraftEngine(spark, root)
+    val (rowsN, trN) = eng.searchRowsTraced("t1", "idx", qs, k = 5, nprobe = 2)
+    assert(trN.path == "head+tail", trN)
+    assert(rowsD.toSeq == rowsN.toSeq)
+    // dirty head exercises headStateOf's pool-absent branch the same way
+    denied.add(mkRecords(Seq(("vx", qs(0)._2.toSeq, null, Seq.empty[String], 200L))))
+    val (rowsD2, trD2) = denied.searchRowsTraced("t1", "idx", qs, k = 5, nprobe = 2)
+    assert(trD2.path == "plan-fallback", trD2)
+    val (rowsN2, trN2) = eng.searchRowsTraced("t1", "idx", qs, k = 5, nprobe = 2)
+    assert(trN2.path == "head+tail", trN2)
+    assert(rowsD2.toSeq == rowsN2.toSeq)
+  }
 }
