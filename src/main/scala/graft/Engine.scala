@@ -63,10 +63,26 @@ object GraftEngine {
 
   /** JVM-wide ceiling across ALL resident id pools; engines share it the
     * way resident PQ codes share [[graft.operators.IvfPq.PackedCodesGlobalMaxBytes]].
-    * Eviction ([[GraftEngine.evictStaleHandles]]) returns a pool's share. */
+    * WEAK-keyed by the pool itself (same accounting as the PQ registry):
+    * handle eviction removes a pool's share explicitly, and an engine
+    * instance dropped without eviction returns its share on GC — a plain
+    * counter would leak those bytes for the JVM's lifetime and starve
+    * later pools. */
   val IdPoolGlobalMaxBytes: Long = 1024L << 20
-  private[graft] val idPoolBytesUsed =
-    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val idPoolRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, java.lang.Long]())
+  private[graft] def idPoolBytesUsed: Long = {
+    val it = idPoolRegistry.synchronized {
+      new java.util.ArrayList(idPoolRegistry.values())
+    }
+    var s = 0L
+    it.forEach(v => s += v.longValue())
+    s
+  }
+  private[graft] def registerResident(h: AnyRef, bytes: Long): Unit =
+    idPoolRegistry.put(h, java.lang.Long.valueOf(bytes))
+  private[graft] def unregisterResident(h: AnyRef): Unit =
+    idPoolRegistry.remove(h)
 }
 
 class GraftEngine(spark: SparkSession, root: String,
@@ -716,15 +732,21 @@ class GraftEngine(spark: SparkSession, root: String,
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
     val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
-      m.nVectors <= TagMapMaxRows
+      m.nVectors <= RowsServeMaxRows
     // filtered PQ serving piggybacks the resident byte-code tier (the
-    // scan kernel takes the same sorted allowed set); the tag index keeps
-    // the tighter TagMapMaxRows bound — see its doc
-    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= TagMapMaxRows &&
+    // scan kernel takes the same sorted allowed set)
+    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
       pqIndexOf(tenant, index, m).packedDriver.isDefined
     val poolOpt: Option[IdPool] =
       if (algoFlat || algoPq) idPoolOf(tenant, index, m) else None
-    val algoOk = (algoFlat || algoPq) && poolOpt.isDefined
+    // the resident tag index shares the id pool's budgets; denial keeps
+    // the distributed filtered plan
+    val tagIdxOpt: Option[Map[String, Array[Long]]] =
+      if ((algoFlat || algoPq) && poolOpt.isDefined)
+        tagSurrogatesOf(tenant, index, m)
+      else None
+    val algoOk = (algoFlat || algoPq) && poolOpt.isDefined &&
+      tagIdxOpt.isDefined
     val headState: Option[HeadServeState] =
       if (!algoOk) None
       else if (m.headDirty == 0) Some(HeadServeState.empty)
@@ -743,7 +765,7 @@ class GraftEngine(spark: SparkSession, root: String,
           metric.equalsIgnoreCase(m.metric),
         s"index built with metric=${m.metric}; cannot search with metric=$metric")
       val hs = headState.get
-      val tagIdx = tagSurrogatesOf(tenant, index, m)
+      val tagIdx = tagIdxOpt.get
       val lists = tags.map(t => tagIdx.getOrElse(t, Array.empty[Long]))
       // conjunctive allowed set: intersect per-tag lists, smallest first —
       // cost |smallest| × (T-1) binary searches, driver-local
@@ -1206,7 +1228,7 @@ class GraftEngine(spark: SparkSession, root: String,
       val strBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       val est = n * 12L + strBytes + 32L
       if (est > idPoolMaxBytes ||
-          GraftEngine.idPoolBytesUsed.get() + est >
+          GraftEngine.idPoolBytesUsed + est >
             GraftEngine.IdPoolGlobalMaxBytes) None
       else {
         val runs = df.queryExecution.toRdd.mapPartitions { it =>
@@ -1217,7 +1239,7 @@ class GraftEngine(spark: SparkSession, root: String,
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
         }.collect()
         val pool = IdPool.merge(runs)
-        GraftEngine.idPoolBytesUsed.addAndGet(pool.bytes)
+        GraftEngine.registerResident(pool, pool.bytes)
         Some(pool)
       }
     })
@@ -1225,24 +1247,60 @@ class GraftEngine(spark: SparkSession, root: String,
   // tag → sorted surrogate-id array for the FILTERED rows serving tier
   // (the reference keeps per-record tags in the same process heap it
   // scans, VectorCommandSet.cs:461-480). Immutable per snapshot version;
-  // bounded by the TagMapMaxRows gate on the filtered rows path —
-  // total entries = Σ tags per record, a few ×8 bytes per row. Sorted
-  // arrays (not hash sets) so the scan kernel's membership test is one
-  // allocation-free binary search.
+  // sorted arrays (not hash sets) so the scan kernel's membership test
+  // is one allocation-free binary search. Built like [[IdPool]]: each
+  // partition groups its (tag, surrogate) pairs into per-tag arrays on
+  // the EXECUTORS, the driver concatenates + sorts per tag — transient
+  // driver footprint = the final index, never one boxed row per
+  // (record, tag). Residency by exact measured bytes (one bounded agg)
+  // against the same per-index bound and JVM-global registry as the id
+  // pool; denial memoizes None and filtered calls keep the distributed
+  // filtered plan.
   private val tagSurrogatesCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, Array[Long]]]
+    scala.collection.concurrent.TrieMap.empty[String, Option[Map[String, Array[Long]]]]
   private def tagSurrogatesOf(tenant: String, index: String,
-                              m: Manifest): Map[String, Array[Long]] =
-    tagSurrogatesCache.getOrElseUpdate(s"$tenant/$index/v${m.version}",
-      spark.read.parquet(s"${snapDir(tenant, index, m)}/records")
-        .select(xxhash64(col("id_str")).as("sg"),
-          explode(coalesce(col("tags"),
-            array().cast("array<string>"))).as("tag"))
-        .collect()
-        .groupBy(_.getString(1))
-        .map { case (t, rs) =>
-          val a = rs.map(_.getLong(0)); java.util.Arrays.sort(a); t -> a
-        })
+                              m: Manifest): Option[Map[String, Array[Long]]] =
+    tagSurrogatesCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+      val recs = spark.read.parquet(s"${snapDir(tenant, index, m)}/records")
+      val tagsCol = coalesce(col("tags"), array().cast("array<string>"))
+      // size() yields -1 for null arrays under legacy configs; coalesce
+      // makes it 0. Bytes ≈ 8 per (record, tag) entry — the per-DISTINCT-
+      // tag key strings are noise next to the long arrays.
+      val stats = recs.agg(sum(size(tagsCol))).head
+      val entries = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val est = entries * 8L + 64L
+      if (est > idPoolMaxBytes ||
+          GraftEngine.idPoolBytesUsed + est >
+            GraftEngine.IdPoolGlobalMaxBytes) None
+      else {
+        val parts = recs
+          .select(xxhash64(col("id_str")).as("sg"),
+            explode(tagsCol).as("tag"))
+          .queryExecution.toRdd.mapPartitions { it =>
+            val local = scala.collection.mutable.HashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+            while (it.hasNext) {
+              val r = it.next()
+              // toString: an owned copy, never the reused UnsafeRow buffer
+              local.getOrElseUpdate(r.getUTF8String(1).toString,
+                scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(0)
+            }
+            local.iterator.map { case (t, buf) => (t, buf.toArray) }
+          }.collect()
+        val idx = parts.groupBy(_._1).map { case (t, runs) =>
+          val total = runs.map(_._2.length).sum
+          val a = new Array[Long](total)
+          var o = 0
+          runs.foreach { case (_, run) =>
+            System.arraycopy(run, 0, a, o, run.length); o += run.length
+          }
+          java.util.Arrays.sort(a)
+          t -> a
+        }
+        GraftEngine.registerResident(idx, est)
+        Some(idx)
+      }
+    })
 
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
@@ -1282,11 +1340,11 @@ class GraftEngine(spark: SparkSession, root: String,
     }
     idPoolCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep))
-        idPoolCache.remove(k).foreach(_.foreach(p =>
-          GraftEngine.idPoolBytesUsed.addAndGet(-p.bytes)))
+        idPoolCache.remove(k).foreach(_.foreach(GraftEngine.unregisterResident))
     }
     tagSurrogatesCache.keys.toSeq.foreach { k =>
-      if (versionOf(k).exists(_ < keep)) tagSurrogatesCache.remove(k)
+      if (versionOf(k).exists(_ < keep))
+        tagSurrogatesCache.remove(k).foreach(_.foreach(GraftEngine.unregisterResident))
     }
     // resident-tier handles: dropping the map entry releases the packed
     // byte codes / graphs to GC, which also frees their share of the
@@ -1468,13 +1526,6 @@ class GraftEngine(spark: SparkSession, root: String,
     * (Was 1M when the resolver was a boxed Map — the compact pool is what
     * lets the wire serve the 10M rung driver-side.) */
   private val RowsServeMaxRows = 16000000L
-
-  /** Row ceiling for the FILTERED rows tier: the tag → surrogate index
-    * ([[tagSurrogatesOf]]) still collects one row per (record, tag) when
-    * it materializes, so it keeps the tighter bound until it gets the
-    * same packed-run treatment as [[IdPool]]. Filtered calls on bigger
-    * corpora keep the always-correct distributed filtered plan. */
-  private val TagMapMaxRows = 1000000L
 
   /** Miss-batch bound for [[searchCached]]'s zero-job serving shortcut:
     * batches at most this size collect their miss queries (≤1024 × dim
