@@ -768,12 +768,18 @@ class GraftEngine(spark: SparkSession, root: String,
       val tagIdx = tagIdxOpt.get
       val lists = tags.map(t => tagIdx.getOrElse(t, Array.empty[Long]))
       // conjunctive allowed set: intersect per-tag lists, smallest first —
-      // cost |smallest| × (T-1) binary searches, driver-local
+      // cost |smallest| × (T-1) binary searches, driver-local. The
+      // single-tag case (the common wire shape) serves the MEMOIZED
+      // array directly: a per-call copy of a half-corpus tag list is
+      // milliseconds at 10M, pure waste when there is nothing to
+      // intersect (callers never mutate the allowed set).
       val allowed: Array[Long] =
         if (lists.exists(_.isEmpty)) Array.empty[Long]
+        else if (lists.lengthCompare(1) == 0) lists.head
         else {
           val sorted = lists.sortBy(_.length)
-          sorted.head.filter(sg => sorted.tail.forall(arr =>
+          val rest = sorted.tail
+          sorted.head.filter(sg => rest.forall(arr =>
             java.util.Arrays.binarySearch(arr, sg) >= 0))
         }
       val idMap = poolOpt.get

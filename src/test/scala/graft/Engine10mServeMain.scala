@@ -36,9 +36,11 @@ object Engine10mServeMain {
       i => (pmod(xxhash64(col("seq") * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0)
         .cast("float"))
     def records(m: Long) = spark.range(m).select(col("id").as("seq"))
-      .select(concat(lit("v"), col("seq")).as("id"), vecExpr.as("vector"))
+      .select(concat(lit("v"), col("seq")).as("id"), vecExpr.as("vector"),
+        // half-corpus tag so the FILTERED tier is measurable at this
+        // scale too (10M (record, tag) entries through the packed build)
+        array(when(col("seq") % 2 === 0, "even").otherwise("odd")).as("tags"))
       .withColumn("meta", lit(null).cast("string"))
-      .withColumn("tags", lit(null).cast("array<string>"))
       .withColumn("updated_at", lit(100L))
       .withColumn("tenant_id", lit("t1"))
       .withColumn("index_name", lit("big"))
@@ -72,6 +74,29 @@ object Engine10mServeMain {
       (System.nanoTime() - t) / 1e6
     }.sorted
     println(f"engine_pq_${n}%d_single_query_ms p50=${lat(49)}%.3f p99=${lat(98)}%.3f")
+    // FILTERED serving at the same rung: first call builds the packed
+    // tag index (10M (record, tag) entries → per-tag sorted arrays),
+    // then steady-state latency over the half-corpus "even" tag
+    t0 = System.nanoTime()
+    val f0 = eng.searchRowsFilteredTraced("t1", "big", Array(qs.head), 10,
+      "L2", 10, Seq("even"))
+    println(f"cold_filtered_call_sec ${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"path=${f0.map(_._2.path)}")
+    require(f0.exists(_._1.nonEmpty), "filtered rows tier must serve at 10M")
+    (0 until 3).foreach { _ =>
+      eng.searchRowsFilteredTraced("t1", "big", qs, 10, "L2", 10, Seq("even"))
+    }
+    val latF = qs.map { q =>
+      val t = System.nanoTime()
+      val Some((rows, tr)) = eng.searchRowsFilteredTraced("t1", "big",
+        Array(q), 10, "L2", 10, Seq("even")): @unchecked
+      require(rows.length == 10 && tr.path == "head+pqtail-filtered",
+        s"expected filtered PQ serving, got ${tr.path} / ${rows.length} rows")
+      require(rows.forall(_._3.stripPrefix("v").toLong % 2 == 0),
+        "filtered results must respect the tag")
+      (System.nanoTime() - t) / 1e6
+    }.sorted
+    println(f"engine_pq_${n}%d_filtered_single_query_ms p50=${latF(49)}%.3f p99=${latF(98)}%.3f")
     spark.stop()
   }
 }
