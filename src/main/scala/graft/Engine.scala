@@ -659,7 +659,8 @@ class GraftEngine(spark: SparkSession, root: String,
                          queries: Array[(Long, Array[Float])],
                          metricU: String, kTail: Int,
                          nprobe: Int,
-                         allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] = {
+                         allowedSorted: Array[Long] = null,
+                         allowedHash: graft.operators.LongHashSet = null): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, fold): (Array[(Long, Array[Float])], (Long, Double) => Double) =
       metricU match {
@@ -680,7 +681,7 @@ class GraftEngine(spark: SparkSession, root: String,
         case _ => (queries, (_, s) => s)
       }
     graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark,
-        allowedSorted = allowedSorted)
+        allowedSorted = allowedSorted, allowedHash = allowedHash)
       .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
   }
 
@@ -783,13 +784,24 @@ class GraftEngine(spark: SparkSession, root: String,
             java.util.Arrays.binarySearch(arr, sg) >= 0))
         }
       val idMap = poolOpt.get
+      // large single-tag allowed sets get a memoized open-addressing
+      // membership set: the sorted array costs ~5-7 cache-missing tree
+      // levels PER PROBED ROW at half-corpus sizes, the probe chain 1-2.
+      // Multi-tag intersections are per-call arrays — building a set per
+      // call would cost more than it saves, so they stay on binary search.
+      val allowedHash: graft.operators.LongHashSet =
+        if (tags.lengthCompare(1) == 0 &&
+            allowed.length >= HashAllowedMinEntries)
+          tagHashSetOf(tenant, index, m, tags.head, allowed)
+        else null
       val tailRows =
         if (allowed.isEmpty) Array.empty[(Long, Int, Long, Double)]
         else if (algoPq)
           pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe,
-            allowedSorted = allowed)
+            allowedSorted = allowed, allowedHash = allowedHash)
         else IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m), queries,
-          metric, kTail, nprobe, spark, allowedSorted = allowed)
+          metric, kTail, nprobe, spark, allowedSorted = allowed,
+          allowedHash = allowedHash)
       val byQuery = tailRows.groupBy(_._1)
       val rows = queries.flatMap { case (qid, qv) =>
         val tailCands = byQuery.getOrElse(qid, Array.empty)
@@ -1308,6 +1320,28 @@ class GraftEngine(spark: SparkSession, root: String,
       }
     })
 
+  /** Allowed-set size from which the filtered scan kernels test a
+    * [[graft.operators.LongHashSet]] instead of binary-searching the
+    * sorted array: below ~131k entries (~1 MB) the array is
+    * cache-resident and the tree walk is cheap; above it each probed
+    * row pays ~5-7 cache-missing levels. */
+  private val HashAllowedMinEntries = 1 << 17
+
+  // memoized per-(snapshot, tag) hash membership for large single-tag
+  // filters — same residency registry as the pools/tag arrays (the set
+  // is ~2× the array's bytes; only tags that actually serve large
+  // filtered calls pay it)
+  private val tagHashSetCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.LongHashSet]
+  private def tagHashSetOf(tenant: String, index: String, m: Manifest,
+                           tag: String,
+                           sorted: Array[Long]): graft.operators.LongHashSet =
+    tagHashSetCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
+      val set = graft.operators.LongHashSet.from(sorted)
+      GraftEngine.registerResident(set, set.bytes)
+      set
+    })
+
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
   // layer), while constructing an IvfFlat.Index eagerly resolves the
@@ -1351,6 +1385,11 @@ class GraftEngine(spark: SparkSession, root: String,
     tagSurrogatesCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep))
         tagSurrogatesCache.remove(k).foreach(_.foreach(GraftEngine.unregisterResident))
+    }
+    tagHashSetCache.keys.toSeq.foreach { k =>
+      // keys carry a "#tag" suffix after the version
+      if (versionOf(k.takeWhile(_ != '#')).exists(_ < keep))
+        tagHashSetCache.remove(k).foreach(GraftEngine.unregisterResident)
     }
     // resident-tier handles: dropping the map entry releases the packed
     // byte codes / graphs to GC, which also frees their share of the

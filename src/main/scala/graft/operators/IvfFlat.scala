@@ -464,9 +464,11 @@ object IvfFlat {
   def searchLocalRows(index: Index, queries: Array[(Long, Array[Float])],
                       metric: String, k: Int, nprobe: Int,
                       spark: org.apache.spark.sql.SparkSession,
-                      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] =
+                      allowedSorted: Array[Long] = null,
+                      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] =
     searchLocalRowsPath(index, queries, metric, k, nprobe, spark,
-      forceDistributed = false, allowedSorted = allowedSorted)
+      forceDistributed = false, allowedSorted = allowedSorted,
+      allowedHash = allowedHash)
 
   /** [[searchLocalRows]] with the tier dispatch exposed for path-equality
     * tests: `forceDistributed = true` always runs the packed-RDD job even
@@ -475,11 +477,19 @@ object IvfFlat {
     * `allowedSorted` (optional): a SORTED array of admissible surrogate
     * ids — the serving-side conjunctive tag filter (F1) resolved to an id
     * set by the caller. Candidates outside the set are skipped BEFORE
-    * scoring (one binary search per probed row, no dot product), so the
+    * scoring (one membership test per probed row, no dot product), so the
     * filtered scan equals the batch plan's filter-then-top-k over the
     * same probed candidate set (the reference filters in-process during
     * its scan, VectorCommandSet.cs:461-480). The tier dispatch is
-    * unchanged: the scan still visits every probed row. */
+    * unchanged: the scan still visits every probed row.
+    *
+    * `allowedHash` (optional): the same membership as a [[LongHashSet]] —
+    * the DRIVER tiers test it instead of binary-searching the array
+    * (a large allowed set costs ~5-7 cache misses per probed row as a
+    * sorted tree, ~1-2 as a probe chain); the distributed branch keeps
+    * the sorted array (broadcasting a second, larger copy of the same
+    * membership buys nothing on executors). Callers pass a set built
+    * from EXACTLY `allowedSorted` — results are identical either way. */
   private[graft] def searchLocalRowsPath(
       index: Index, queries: Array[(Long, Array[Float])],
       metric: String, k: Int, nprobe: Int,
@@ -487,7 +497,8 @@ object IvfFlat {
       forceDistributed: Boolean,
       stBound: Long = DriverServeMaxScanElems,
       mtBound: Long = DriverServeMaxScanElemsMT,
-      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] = {
+      allowedSorted: Array[Long] = null,
+      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -545,10 +556,11 @@ object IvfFlat {
           // indexes inside the residency bound)
           countTier("driver")
           scanPacked(parts.iterator, qvecs, probeMap, metricU, kLoc,
-            allowedSorted).toArray
+            allowedSorted, allowedHash).toArray
         case Some(parts) =>
           countTier("driverMT")
-          scanPackedMT(parts, qvecs, probeMap, metricU, kLoc, allowedSorted)
+          scanPackedMT(parts, qvecs, probeMap, metricU, kLoc, allowedSorted,
+            allowedHash)
         case None =>
           countTier("distributed")
           // partition-pruned job: only partitions holding a probed
@@ -583,7 +595,8 @@ object IvfFlat {
   private def scanPacked(pit: Iterator[PackedLists], qv: Array[Array[Float]],
                          probes: Map[Int, Array[Int]], metricU: String,
                          k: Int,
-                         allowedSorted: Array[Long] = null): Iterator[(Int, Long, Double)] = {
+                         allowedSorted: Array[Long] = null,
+                         allowedHash: LongHashSet = null): Iterator[(Int, Long, Double)] = {
     val bufs = Array.fill(qv.length)(new TopKBuf(k))
     while (pit.hasNext) {
       val p = pit.next()
@@ -591,7 +604,7 @@ object IvfFlat {
         val range = p.ranges.get(cid)
         if (range != null)
           scanRangeInto(bufs, p, probing, qv, metricU,
-            range(0), range(0) + range(1), allowedSorted)
+            range(0), range(0) + range(1), allowedSorted, allowedHash)
       }
     }
     bufs.iterator.zipWithIndex.flatMap { case (b, i) =>
@@ -612,13 +625,15 @@ object IvfFlat {
   private def scanRangeInto(bufs: Array[TopKBuf], p: PackedLists,
                             probing: Array[Int], qv: Array[Array[Float]],
                             metricU: String, start: Int, end: Int,
-                            allowedSorted: Array[Long]): Unit = {
+                            allowedSorted: Array[Long],
+                            allowedHash: LongHashSet = null): Unit = {
     val isL2 = metricU == "L2"
     val dim = p.dim
     var r = start
     while (r < end) {
       if (allowedSorted != null &&
-          java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0) {
+          (if (allowedHash != null) !allowedHash.contains(p.ids(r))
+           else java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0)) {
         r += 1
       } else {
         val off = r * dim
@@ -655,7 +670,8 @@ object IvfFlat {
                            qv: Array[Array[Float]],
                            probes: Map[Int, Array[Int]], metricU: String,
                            k: Int,
-                           allowedSorted: Array[Long] = null): Array[(Int, Long, Double)] = {
+                           allowedSorted: Array[Long] = null,
+                           allowedHash: LongHashSet = null): Array[(Int, Long, Double)] = {
     val pool = driverScanPool
     val nThreads = driverScanThreads
     val nq = qv.length
@@ -674,7 +690,7 @@ object IvfFlat {
                 if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
               }.toMap
               scanPacked(parts.iterator, localQv, localProbes, metricU, k,
-                  allowedSorted)
+                  allowedSorted, allowedHash)
                 .map { case (qi, id, s) => (qi + lo, id, s) }.toArray
             }
           }
@@ -720,7 +736,7 @@ object IvfFlat {
               val bufs = new Array[TopKBuf](nq)
               probing.foreach(q => bufs(q) = new TopKBuf(k))
               scanRangeInto(bufs, p, probing, qv, metricU, s, e,
-                allowedSorted)
+                allowedSorted, allowedHash)
               probing.iterator.flatMap { q =>
                 val b = bufs(q); b.compact()
                 (0 until b.n).iterator.map(j => (q, b.ids(j), b.scores(j)))

@@ -160,9 +160,10 @@ object IvfPq {
   def searchLocalRows(index: Index, queries: Array[(Long, Array[Float])],
                       k: Int, nprobe: Int,
                       spark: org.apache.spark.sql.SparkSession,
-                      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] =
+                      allowedSorted: Array[Long] = null,
+                      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] =
     searchLocalRowsPath(index, queries, k, nprobe, spark,
-      allowedSorted = allowedSorted)
+      allowedSorted = allowedSorted, allowedHash = allowedHash)
 
   /** [[searchLocalRows]] with the tier bounds exposed for path-equality
     * tests (force the MT branch / the distributed fallback on small
@@ -180,7 +181,8 @@ object IvfPq {
       spark: org.apache.spark.sql.SparkSession,
       stBound: Long = PqServeMaxLookups,
       mtBound: Long = PqServeMaxLookupsMT,
-      allowedSorted: Array[Long] = null): Array[(Long, Int, Long, Double)] = {
+      allowedSorted: Array[Long] = null,
+      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] = {
     val nq = queries.length
     if (nq == 0) return Array.empty
     val cents = index.centroidsLocal
@@ -211,10 +213,10 @@ object IvfPq {
         val partials =
           if (lookups <= stBound)
             scanCodes(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
-              allowedSorted)
+              allowedSorted, allowedHash)
           else
             scanCodesMT(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
-              allowedSorted)
+              allowedSorted, allowedHash)
         partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
           rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
             .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
@@ -244,7 +246,8 @@ object IvfPq {
                         centOf: Map[Int, Array[Float]],
                         cb: Pq.Codebook,
                         k: Int,
-                        allowedSorted: Array[Long] = null): Array[(Int, Long, Double)] = {
+                        allowedSorted: Array[Long] = null,
+                        allowedHash: LongHashSet = null): Array[(Int, Long, Double)] = {
     val bufs = Array.fill(qvecs.length)(new TopKBuf(k))
     val kk = cb.k
     parts.foreach { p =>
@@ -272,7 +275,8 @@ object IvfPq {
             var r = range(0); val end = range(0) + range(1)
             while (r < end) {
               if (allowedSorted != null &&
-                  java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0) {
+                  (if (allowedHash != null) !allowedHash.contains(p.ids(r))
+                   else java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0)) {
                 r += 1
               } else {
                 val off = r * mWidth
@@ -307,7 +311,8 @@ object IvfPq {
                           centOf: Map[Int, Array[Float]],
                           cb: Pq.Codebook,
                           k: Int,
-                          allowedSorted: Array[Long] = null): Array[(Int, Long, Double)] = {
+                          allowedSorted: Array[Long] = null,
+                          allowedHash: LongHashSet = null): Array[(Int, Long, Double)] = {
     val pool = pqScanPool
     val nThreads = pqScanThreads
     val nq = qvecs.length
@@ -324,7 +329,7 @@ object IvfPq {
                 if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
               }.toMap
               scanCodes(parts, localQv, localProbes, centOf, cb, k,
-                  allowedSorted)
+                  allowedSorted, allowedHash)
                 .map { case (qi, id, s) => (qi + lo, id, s) }
             }
           }
@@ -334,7 +339,7 @@ object IvfPq {
           new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
             override def call(): Array[(Int, Long, Double)] =
               scanCodes(Array(p), qvecs, probeMap, centOf, cb, k,
-                allowedSorted)
+                allowedSorted, allowedHash)
           }
         }
       }
