@@ -267,11 +267,17 @@ class GraftEngine(spark: SparkSession, root: String,
     n
   }
 
-  /** VEC.UPSERT: last-write-wins append. */
+  /** VEC.UPSERT: last-write-wins append. One aggregation pass yields
+    * both the row count and the touched (tenant, index) set — the naive
+    * count() + distinct() shape costs a third job per call, which is
+    * pure fixed overhead on the streaming path where this runs once per
+    * micro-batch. */
   def upsert(records: DataFrame): Long = {
-    val n = records.count()
+    val touchedCounts = records.groupBy("tenant_id", "index_name")
+      .agg(count(lit(1))).collect()
+    val n = touchedCounts.map(_.getLong(2)).sum
     appendLog(records.withColumn("deleted", lit(false)))
-    touched(records).foreach { case (t, i) => bumpEpoch(t, i) }
+    touchedCounts.foreach(r => bumpEpoch(r.getString(0), r.getString(1)))
     n
   }
 
@@ -660,7 +666,8 @@ class GraftEngine(spark: SparkSession, root: String,
                          metricU: String, kTail: Int,
                          nprobe: Int,
                          allowedSorted: Array[Long] = null,
-                         allowedHash: graft.operators.LongHashSet = null): Array[(Long, Int, Long, Double)] = {
+                         allowedHash: graft.operators.LongHashSet = null,
+                         allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, fold): (Array[(Long, Array[Float])], (Long, Double) => Double) =
       metricU match {
@@ -681,7 +688,8 @@ class GraftEngine(spark: SparkSession, root: String,
         case _ => (queries, (_, s) => s)
       }
     graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark,
-        allowedSorted = allowedSorted, allowedHash = allowedHash)
+        allowedSorted = allowedSorted, allowedHash = allowedHash,
+        allowedBits = allowedBits)
       .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
   }
 
@@ -794,14 +802,31 @@ class GraftEngine(spark: SparkSession, root: String,
             allowed.length >= HashAllowedMinEntries)
           tagHashSetOf(tenant, index, m, tags.head, allowed)
         else null
+      // same gate again, one level better: when the tail is RESIDENT,
+      // pre-resolve the membership into per-part row bitmaps once per
+      // (snapshot, tag) — the scan then tests a sequential bit instead
+      // of probing any table at all
+      val allowedBits: Array[Array[Long]] =
+        if (allowedHash == null) null
+        else if (algoPq)
+          tagRowBitsOf(tenant, index, m, tags.head,
+            pqIndexOf(tenant, index, m).packedDriver.get.map(_.ids),
+            allowedHash)
+        else tailIndexOf(tenant, index, m).packedDriver match {
+          case Some(parts) =>
+            tagRowBitsOf(tenant, index, m, tags.head, parts.map(_.ids),
+              allowedHash)
+          case None => null // non-resident floats: distributed scan path
+        }
       val tailRows =
         if (allowed.isEmpty) Array.empty[(Long, Int, Long, Double)]
         else if (algoPq)
           pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe,
-            allowedSorted = allowed, allowedHash = allowedHash)
+            allowedSorted = allowed, allowedHash = allowedHash,
+            allowedBits = allowedBits)
         else IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m), queries,
           metric, kTail, nprobe, spark, allowedSorted = allowed,
-          allowedHash = allowedHash)
+          allowedHash = allowedHash, allowedBits = allowedBits)
       val byQuery = tailRows.groupBy(_._1)
       val rows = queries.flatMap { case (qid, qv) =>
         val tailCands = byQuery.getOrElse(qid, Array.empty)
@@ -1342,6 +1367,33 @@ class GraftEngine(spark: SparkSession, root: String,
       set
     })
 
+  // per-(snapshot, tag) ROW-POSITION bitmaps aligned with the resident
+  // tier's parts array: filtered membership becomes a sequential bit
+  // test in scan order — no per-row probe into any large table (the
+  // allowed-set endgame; ~nRows/8 bytes per tag, registered like the
+  // rest). Alignment is sound because parts arrays are lazy vals on the
+  // per-version memoized handles, so their identity and row order are
+  // fixed for the snapshot's lifetime.
+  private val tagBitsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+  private def tagRowBitsOf(tenant: String, index: String, m: Manifest,
+                           tag: String, idsPerPart: Array[Array[Long]],
+                           member: graft.operators.LongHashSet): Array[Array[Long]] =
+    tagBitsCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
+      val bits = idsPerPart.map { ids =>
+        val b = new Array[Long]((ids.length + 63) >>> 6)
+        var r = 0
+        while (r < ids.length) {
+          if (member.contains(ids(r))) b(r >>> 6) |= 1L << (r & 63)
+          r += 1
+        }
+        b
+      }
+      GraftEngine.registerResident(bits,
+        bits.map(_.length.toLong * 8L).sum + 64L)
+      bits
+    })
+
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
   // layer), while constructing an IvfFlat.Index eagerly resolves the
@@ -1390,6 +1442,10 @@ class GraftEngine(spark: SparkSession, root: String,
       // keys carry a "#tag" suffix after the version
       if (versionOf(k.takeWhile(_ != '#')).exists(_ < keep))
         tagHashSetCache.remove(k).foreach(GraftEngine.unregisterResident)
+    }
+    tagBitsCache.keys.toSeq.foreach { k =>
+      if (versionOf(k.takeWhile(_ != '#')).exists(_ < keep))
+        tagBitsCache.remove(k).foreach(GraftEngine.unregisterResident)
     }
     // resident-tier handles: dropping the map entry releases the packed
     // byte codes / graphs to GC, which also frees their share of the

@@ -465,10 +465,11 @@ object IvfFlat {
                       metric: String, k: Int, nprobe: Int,
                       spark: org.apache.spark.sql.SparkSession,
                       allowedSorted: Array[Long] = null,
-                      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] =
+                      allowedHash: LongHashSet = null,
+                      allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] =
     searchLocalRowsPath(index, queries, metric, k, nprobe, spark,
       forceDistributed = false, allowedSorted = allowedSorted,
-      allowedHash = allowedHash)
+      allowedHash = allowedHash, allowedBits = allowedBits)
 
   /** [[searchLocalRows]] with the tier dispatch exposed for path-equality
     * tests: `forceDistributed = true` always runs the packed-RDD job even
@@ -498,7 +499,8 @@ object IvfFlat {
       stBound: Long = DriverServeMaxScanElems,
       mtBound: Long = DriverServeMaxScanElemsMT,
       allowedSorted: Array[Long] = null,
-      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] = {
+      allowedHash: LongHashSet = null,
+      allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -556,11 +558,11 @@ object IvfFlat {
           // indexes inside the residency bound)
           countTier("driver")
           scanPacked(parts.iterator, qvecs, probeMap, metricU, kLoc,
-            allowedSorted, allowedHash).toArray
+            allowedSorted, allowedHash, allowedBits).toArray
         case Some(parts) =>
           countTier("driverMT")
           scanPackedMT(parts, qvecs, probeMap, metricU, kLoc, allowedSorted,
-            allowedHash)
+            allowedHash, allowedBits)
         case None =>
           countTier("distributed")
           // partition-pruned job: only partitions holding a probed
@@ -596,16 +598,23 @@ object IvfFlat {
                          probes: Map[Int, Array[Int]], metricU: String,
                          k: Int,
                          allowedSorted: Array[Long] = null,
-                         allowedHash: LongHashSet = null): Iterator[(Int, Long, Double)] = {
+                         allowedHash: LongHashSet = null,
+                         allowedBits: Array[Array[Long]] = null): Iterator[(Int, Long, Double)] = {
     val bufs = Array.fill(qv.length)(new TopKBuf(k))
+    // allowedBits is aligned with the DRIVER parts array, indexed by
+    // consumption order — executor callers (partition iterators) must
+    // pass null, their ordinals are partition-local
+    var pi = 0
     while (pit.hasNext) {
       val p = pit.next()
+      val bits = if (allowedBits != null) allowedBits(pi) else null
       probes.foreach { case (cid, probing) =>
         val range = p.ranges.get(cid)
         if (range != null)
           scanRangeInto(bufs, p, probing, qv, metricU,
-            range(0), range(0) + range(1), allowedSorted, allowedHash)
+            range(0), range(0) + range(1), allowedSorted, allowedHash, bits)
       }
+      pi += 1
     }
     bufs.iterator.zipWithIndex.flatMap { case (b, i) =>
       b.compact()
@@ -626,12 +635,17 @@ object IvfFlat {
                             probing: Array[Int], qv: Array[Array[Float]],
                             metricU: String, start: Int, end: Int,
                             allowedSorted: Array[Long],
-                            allowedHash: LongHashSet = null): Unit = {
+                            allowedHash: LongHashSet = null,
+                            bits: Array[Long] = null): Unit = {
     val isL2 = metricU == "L2"
     val dim = p.dim
     var r = start
     while (r < end) {
-      if (allowedSorted != null &&
+      // membership priority: this part's row-position bitmap (sequential
+      // bit test) > hash set (1-2 probes) > sorted-array binary search
+      if (bits != null && ((bits(r >>> 6) >>> (r & 63)) & 1L) == 0L) {
+        r += 1
+      } else if (bits == null && allowedSorted != null &&
           (if (allowedHash != null) !allowedHash.contains(p.ids(r))
            else java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0)) {
         r += 1
@@ -671,7 +685,8 @@ object IvfFlat {
                            probes: Map[Int, Array[Int]], metricU: String,
                            k: Int,
                            allowedSorted: Array[Long] = null,
-                           allowedHash: LongHashSet = null): Array[(Int, Long, Double)] = {
+                           allowedHash: LongHashSet = null,
+                           allowedBits: Array[Array[Long]] = null): Array[(Int, Long, Double)] = {
     val pool = driverScanPool
     val nThreads = driverScanThreads
     val nq = qv.length
@@ -690,7 +705,7 @@ object IvfFlat {
                 if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
               }.toMap
               scanPacked(parts.iterator, localQv, localProbes, metricU, k,
-                  allowedSorted, allowedHash)
+                  allowedSorted, allowedHash, allowedBits)
                 .map { case (qi, id, s) => (qi + lo, id, s) }.toArray
             }
           }
@@ -714,8 +729,12 @@ object IvfFlat {
         val targetTasks = 4 * nThreads
         val workPerTask =
           math.max(1024L, (totalWork + targetTasks - 1) / targetTasks)
-        val units = Seq.newBuilder[(PackedLists, Array[Int], Int, Int)]
-        parts.foreach { p =>
+        val units =
+          Seq.newBuilder[(PackedLists, Array[Int], Int, Int, Array[Long])]
+        var upi = 0
+        while (upi < parts.length) {
+          val p = parts(upi)
+          val bits = if (allowedBits != null) allowedBits(upi) else null
           probes.foreach { case (cid, probing) =>
             val range = p.ranges.get(cid)
             if (range != null) {
@@ -724,19 +743,20 @@ object IvfFlat {
               var s = range(0); val end = range(0) + range(1)
               while (s < end) {
                 val e = math.min(end, s + chunkRows)
-                units += ((p, probing, s, e))
+                units += ((p, probing, s, e, bits))
                 s = e
               }
             }
           }
+          upi += 1
         }
-        units.result().map { case (p, probing, s, e) =>
+        units.result().map { case (p, probing, s, e, bits) =>
           new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
             override def call(): Array[(Int, Long, Double)] = {
               val bufs = new Array[TopKBuf](nq)
               probing.foreach(q => bufs(q) = new TopKBuf(k))
               scanRangeInto(bufs, p, probing, qv, metricU, s, e,
-                allowedSorted, allowedHash)
+                allowedSorted, allowedHash, bits)
               probing.iterator.flatMap { q =>
                 val b = bufs(q); b.compact()
                 (0 until b.n).iterator.map(j => (q, b.ids(j), b.scores(j)))

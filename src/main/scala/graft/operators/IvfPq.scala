@@ -161,9 +161,11 @@ object IvfPq {
                       k: Int, nprobe: Int,
                       spark: org.apache.spark.sql.SparkSession,
                       allowedSorted: Array[Long] = null,
-                      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] =
+                      allowedHash: LongHashSet = null,
+                      allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] =
     searchLocalRowsPath(index, queries, k, nprobe, spark,
-      allowedSorted = allowedSorted, allowedHash = allowedHash)
+      allowedSorted = allowedSorted, allowedHash = allowedHash,
+      allowedBits = allowedBits)
 
   /** [[searchLocalRows]] with the tier bounds exposed for path-equality
     * tests (force the MT branch / the distributed fallback on small
@@ -182,7 +184,8 @@ object IvfPq {
       stBound: Long = PqServeMaxLookups,
       mtBound: Long = PqServeMaxLookupsMT,
       allowedSorted: Array[Long] = null,
-      allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] = {
+      allowedHash: LongHashSet = null,
+      allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] = {
     val nq = queries.length
     if (nq == 0) return Array.empty
     val cents = index.centroidsLocal
@@ -213,10 +216,10 @@ object IvfPq {
         val partials =
           if (lookups <= stBound)
             scanCodes(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
-              allowedSorted, allowedHash)
+              allowedSorted, allowedHash, allowedBits)
           else
             scanCodesMT(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
-              allowedSorted, allowedHash)
+              allowedSorted, allowedHash, allowedBits)
         partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
           rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
             .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
@@ -247,10 +250,17 @@ object IvfPq {
                         cb: Pq.Codebook,
                         k: Int,
                         allowedSorted: Array[Long] = null,
-                        allowedHash: LongHashSet = null): Array[(Int, Long, Double)] = {
+                        allowedHash: LongHashSet = null,
+                        allowedBits: Array[Array[Long]] = null): Array[(Int, Long, Double)] = {
     val bufs = Array.fill(qvecs.length)(new TopKBuf(k))
     val kk = cb.k
-    parts.foreach { p =>
+    var pi = 0
+    while (pi < parts.length) {
+      val p = parts(pi)
+      // per-PART row-position bitmap (aligned with `parts`): membership
+      // becomes a sequential bit test in scan order — no per-row probe
+      // into a large table at all (the filtered-tier endgame)
+      val bits = if (allowedBits != null) allowedBits(pi) else null
       val mWidth = p.m
       probeMap.foreach { case (cid, probing) =>
         val range = p.ranges.get(cid)
@@ -274,7 +284,10 @@ object IvfPq {
             val buf = bufs(q)
             var r = range(0); val end = range(0) + range(1)
             while (r < end) {
-              if (allowedSorted != null &&
+              if (bits != null &&
+                  ((bits(r >>> 6) >>> (r & 63)) & 1L) == 0L) {
+                r += 1
+              } else if (bits == null && allowedSorted != null &&
                   (if (allowedHash != null) !allowedHash.contains(p.ids(r))
                    else java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0)) {
                 r += 1
@@ -293,6 +306,7 @@ object IvfPq {
           }
         }
       }
+      pi += 1
     }
     bufs.iterator.zipWithIndex.flatMap { case (b, i) =>
       b.compact()
@@ -312,7 +326,8 @@ object IvfPq {
                           cb: Pq.Codebook,
                           k: Int,
                           allowedSorted: Array[Long] = null,
-                          allowedHash: LongHashSet = null): Array[(Int, Long, Double)] = {
+                          allowedHash: LongHashSet = null,
+                          allowedBits: Array[Array[Long]] = null): Array[(Int, Long, Double)] = {
     val pool = pqScanPool
     val nThreads = pqScanThreads
     val nq = qvecs.length
@@ -329,17 +344,18 @@ object IvfPq {
                 if (in.isEmpty) None else Some(cid -> in.map(_ - lo))
               }.toMap
               scanCodes(parts, localQv, localProbes, centOf, cb, k,
-                  allowedSorted, allowedHash)
+                  allowedSorted, allowedHash, allowedBits)
                 .map { case (qi, id, s) => (qi + lo, id, s) }
             }
           }
         }
       } else {
-        parts.toSeq.map { p =>
+        parts.toSeq.zipWithIndex.map { case (p, pi) =>
           new java.util.concurrent.Callable[Array[(Int, Long, Double)]] {
             override def call(): Array[(Int, Long, Double)] =
               scanCodes(Array(p), qvecs, probeMap, centOf, cb, k,
-                allowedSorted, allowedHash)
+                allowedSorted, allowedHash,
+                if (allowedBits == null) null else Array(allowedBits(pi)))
           }
         }
       }

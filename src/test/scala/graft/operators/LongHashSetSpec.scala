@@ -52,6 +52,55 @@ class LongHashSetSpec extends SparkSpec {
     assert(viaArray.toSeq == viaHash.toSeq)
   }
 
+  private def bitsFor(idsPerPart: Array[Array[Long]],
+                      allowed: Array[Long]): Array[Array[Long]] =
+    idsPerPart.map { ids =>
+      val b = new Array[Long]((ids.length + 63) >>> 6)
+      ids.zipWithIndex.foreach { case (id, r) =>
+        if (java.util.Arrays.binarySearch(allowed, id) >= 0)
+          b(r >>> 6) |= 1L << (r & 63)
+      }
+      b
+    }
+
+  test("IvfFlat filtered scan: row-bitmap membership == binary-search membership") {
+    val rng = new Random(23)
+    val vectors = (0 until 600).map(i =>
+      (rng.nextLong(), Seq.fill(8)(rng.nextFloat()))).toDF("id", "vec")
+    val idx = IvfFlat.build(vectors, nlist = 4)
+    val allowed = idx.assigned.select("id").collect().map(_.getLong(0))
+      .filter(_ % 2 == 0)
+    java.util.Arrays.sort(allowed)
+    require(idx.packedDriver.isDefined)
+    val bits = bitsFor(idx.packedDriver.get.map(_.ids), allowed)
+    val queries = Array((1L, Array.fill(8)(rng.nextFloat())),
+      (2L, Array.fill(8)(rng.nextFloat())))
+    val viaArray = IvfFlat.searchLocalRows(idx, queries, "L2", 5, nprobe = 2,
+      spark, allowedSorted = allowed)
+    val viaBits = IvfFlat.searchLocalRows(idx, queries, "L2", 5, nprobe = 2,
+      spark, allowedSorted = allowed, allowedBits = bits)
+    assert(viaArray.toSeq == viaBits.toSeq)
+  }
+
+  test("IvfPq filtered scan: row-bitmap membership == binary-search membership") {
+    val rng = new Random(29)
+    val vectors = (0 until 600).map(i =>
+      (rng.nextLong(), Seq.fill(8)(rng.nextFloat()))).toDF("id", "vec")
+    val idx = IvfPq.build(vectors, nlist = 4, m = 4, k = 16)
+    val allowed = idx.assigned.select("id").collect().map(_.getLong(0))
+      .filter(_ % 2 == 0)
+    java.util.Arrays.sort(allowed)
+    require(idx.packedDriver.isDefined)
+    val bits = bitsFor(idx.packedDriver.get.map(_.ids), allowed)
+    val queries = Array((1L, Array.fill(8)(rng.nextFloat())),
+      (2L, Array.fill(8)(rng.nextFloat())))
+    val viaArray = IvfPq.searchLocalRows(idx, queries, 5, nprobe = 2, spark,
+      allowedSorted = allowed)
+    val viaBits = IvfPq.searchLocalRows(idx, queries, 5, nprobe = 2, spark,
+      allowedSorted = allowed, allowedBits = bits)
+    assert(viaArray.toSeq == viaBits.toSeq)
+  }
+
   test("IvfPq filtered scan: hash-set membership == binary-search membership") {
     val rng = new Random(19)
     val vectors = (0 until 600).map(i =>
