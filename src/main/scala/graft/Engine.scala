@@ -86,7 +86,8 @@ object GraftEngine {
 }
 
 class GraftEngine(spark: SparkSession, root: String,
-                  idPoolMaxBytes: Long = GraftEngine.IdPoolMaxBytesDefault) {
+                  idPoolMaxBytes: Long = GraftEngine.IdPoolMaxBytesDefault,
+                  hashAllowedMinEntries: Int = 1 << 17) {
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -1346,11 +1347,12 @@ class GraftEngine(spark: SparkSession, root: String,
     })
 
   /** Allowed-set size from which the filtered scan kernels test a
-    * [[graft.operators.LongHashSet]] instead of binary-searching the
-    * sorted array: below ~131k entries (~1 MB) the array is
-    * cache-resident and the tree walk is cheap; above it each probed
-    * row pays ~5-7 cache-missing levels. */
-  private val HashAllowedMinEntries = 1 << 17
+    * [[graft.operators.LongHashSet]] / row bitmap instead of
+    * binary-searching the sorted array: below ~131k entries (~1 MB) the
+    * array is cache-resident and the tree walk is cheap; above it each
+    * probed row pays ~5-7 cache-missing levels. Constructor-tunable so
+    * specs can force the hash/bitmap wiring on small fixtures. */
+  private val HashAllowedMinEntries = hashAllowedMinEntries
 
   // memoized per-(snapshot, tag) hash membership for large single-tag
   // filters — same residency registry as the pools/tag arrays (the set

@@ -1286,6 +1286,39 @@ class EngineSpec extends SparkSpec {
       canonHits.map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"))).toSeq)
   }
 
+  test("filtered serving: forced hash+bitmap membership equals the default array path") {
+    val root = Files.createTempDirectory("engine_hashgate").toString
+    // threshold 1 forces the LongHashSet + row-bitmap wiring that
+    // production only takes at 131k+ allowed entries
+    val forced = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val rng = new scala.util.Random(47)
+    val recs = (0 until 60).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String,
+        Seq(if (i % 2 == 0) "even" else "odd"), 100L))
+    forced.add(mkRecords(recs))
+    forced.build("t1", "idx", nlist = 2)
+    forced.add(mkRecords(Seq(("vh", Seq.fill(4)(0.5f), null, Seq("even"), 200L))))
+    val qs = Array((0L, Array.fill(4)(rng.nextFloat())))
+    val viaHash = forced.searchRowsFilteredTraced("t1", "idx", qs, 5, "L2", 2,
+      Seq("even"))
+    val default = new GraftEngine(spark, root)
+    val viaArray = default.searchRowsFilteredTraced("t1", "idx", qs, 5, "L2", 2,
+      Seq("even"))
+    assert(viaHash.isDefined && viaArray.isDefined)
+    assert(viaHash.get._1.toSeq == viaArray.get._1.toSeq)
+    assert(viaHash.get._1.nonEmpty)
+    // same for an IVF_PQ index (the PQ kernel's bitmap branch)
+    forced.add(mkRecords(recs).withColumn("index_name", lit("pq")))
+    forced.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    val pqHash = forced.searchRowsFilteredTraced("t1", "pq", qs, 5, "L2", 2,
+      Seq("even"))
+    val pqArray = default.searchRowsFilteredTraced("t1", "pq", qs, 5, "L2", 2,
+      Seq("even"))
+    assert(pqHash.isDefined && pqArray.isDefined)
+    assert(pqHash.get._1.toSeq == pqArray.get._1.toSeq)
+    assert(pqHash.get._1.nonEmpty)
+  }
+
   test("id-pool budget denial: rows path falls back to the plan with identical results") {
     val root = Files.createTempDirectory("engine_idpool").toString
     // a budget too small for ANY pool: every rows-tier call must take the
