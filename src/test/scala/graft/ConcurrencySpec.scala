@@ -237,4 +237,65 @@ class ConcurrencySpec extends SparkSpec {
       assert(fast.sortBy(_._2).toSeq == slow.sortBy(_._2).toSeq, index)
     }
   }
+
+  test("filtered tiers (tag index + hash + bitmaps) stay well-formed under writes and a rebuild") {
+    val root = Files.createTempDirectory("conc_filtered").toString
+    // threshold 1 keeps the memoized hash-set + row-bitmap caches in
+    // play for every call — the structures a version swap must not
+    // corrupt (they memoize per snapshot version, evicted on rebuild)
+    val eng = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val rng = new scala.util.Random(13)
+    def tagged(rows: Seq[(String, Seq[Float], Long)]): DataFrame =
+      rows.toDF("id", "vector", "updated_at")
+        .withColumn("meta", lit(null).cast("string"))
+        .withColumn("tags",
+          when(xxhash64(col("id")) % 2 === 0, typedLit(Seq("even")))
+            .otherwise(typedLit(Seq("odd"))))
+        .withColumn("tenant_id", lit("t1"))
+        .withColumn("index_name", lit("idx"))
+        .withColumn("deleted", lit(false))
+    eng.add(tagged((0 until 50).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), 100L))))
+    eng.build("t1", "idx", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    val qs = Array((0L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+
+    val start = new CountDownLatch(1)
+    val readers = (1 to 3).map { t =>
+      new Thread(() => {
+        start.await(60, TimeUnit.SECONDS)
+        (1 to 8).foreach { _ =>
+          eng.searchRowsFilteredTraced("t1", "idx", qs, 5, "L2", 2,
+            Seq("even")).foreach { case (rows, _) =>
+              assert(rows.length <= 5)
+              assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to rows.length))
+              assert(rows.map(_._3).distinct.length == rows.length)
+          }
+        }
+      }, s"filtered-reader-$t")
+    }
+    // upserts dirty the head (tagged rows); a rebuild swaps the snapshot
+    // version under the memoized tag-index/hash/bitmap caches
+    val writer = new Thread(() => {
+      start.await(60, TimeUnit.SECONDS)
+      (1 to 3).foreach { i =>
+        eng.upsert(tagged(Seq((s"v$i", Seq.fill(4)(rng.nextFloat()), 200L + i))))
+      }
+      eng.build("t1", "idx", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    }, "filtered-writer")
+
+    start.countDown()
+    val errs = runAll(readers :+ writer)
+    assert(errs.isEmpty, s"concurrent filtered serving threw: ${errs.map(_.toString)}")
+    // quiesced: filtered rows tier == the batch plan's filtered search
+    val fast = eng.searchRowsFilteredTraced("t1", "idx", qs, 5, "L2", 2,
+      Seq("even"))
+    assert(fast.isDefined)
+    val slow = eng.search("t1", "idx",
+        Seq((0L, qs(0)._2.toSeq)).toDF("query_id", "qvec")
+          .withColumn("filter_tags", typedLit(Seq("even"))), 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(fast.get._1.sortBy(_._2).toSeq == slow.sortBy(_._2).toSeq)
+    assert(fast.get._1.nonEmpty)
+  }
 }
