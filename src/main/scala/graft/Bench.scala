@@ -338,6 +338,33 @@ object Bench {
     val hnswRecallEf128 = hnswRecallAt(128)
     System.err.println(
       f"# bench-runs hnsw_100k_recall_at_10 build=$tHnswBuild%.2f ef32=$hnswRecallEf32%.4f ef64=$hnswRecallEf64%.4f ef128=$hnswRecallEf128%.4f")
+    // PQ recall on the SAME gauge completes the triptych (IVF: nprobe,
+    // HNSW: ef, PQ: quantization + rerank). The σ=1.1 gauge makes the
+    // true neighbors nearly equidistant, so raw M=8 ADC (16 dims/byte)
+    // cannot resolve the top-10 — ~0.16 FLAT across nprobe, which says
+    // the limiter is quantization, not pruning. That is the honest
+    // price of 64× compression on hard data, and the refine rows show
+    // the designed answer: exact re-scoring of the top k·refine ADC
+    // candidates recovers 0.675 (refine 10) → 0.995 (refine 50). A
+    // builder M-sweep (PqRecallProbeMain) places the compression axis:
+    // ADC-only 0.156 / 0.365 / 0.590 at M = 8/16/32. Same coarse
+    // clusters as idxC (buildFrom), so rows are apples-to-apples.
+    val pqC = graft.operators.IvfPq.buildFrom(idxC, m = 8, k = 256)
+    pqC.assigned.cache().count()
+    val pqRecallNp10 = recallVs(exactC, hitSets(
+      graft.operators.IvfPq.searchLocalRows(pqC, qC, 10, 10, spark)))
+    def pqRefined(refine: Int): Double = recallVs(exactC,
+      graft.operators.IvfPq.searchRefined(
+          pqC, synthC.select(col("id"), col("vec")), qcDf, 10, nprobe = 10,
+          refine = refine)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet })
+    val pqRefined10 = pqRefined(10)
+    val pqRefined50 = pqRefined(50)
+    System.err.println(
+      f"# bench-runs pq_100k_recall_at_10 adc_np10=$pqRecallNp10%.4f refined10=$pqRefined10%.4f refined50=$pqRefined50%.4f")
+    pqC.assigned.unpersist()
     // Resident graph serving at the same gauge: per-call zero-job beam
     // search over the collected sub-graphs (the engine's head+hnswtail
     // tier) — the distributed fan-out above pays a job per chunk; this
@@ -1036,6 +1063,9 @@ object Bench {
       "hnsw_100k_recall10_ef32" -> hnswRecallEf32,
       "hnsw_100k_recall10_ef64" -> hnswRecallEf64,
       "hnsw_100k_recall10_ef128" -> hnswRecallEf128,
+      "pq_100k_recall10_adc_np10" -> pqRecallNp10,
+      "pq_100k_recall10_refined10" -> pqRefined10,
+      "pq_100k_recall10_refined50" -> pqRefined50,
       "hnsw_100k_serving_p50_ms" -> hnswServeP50,
       "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++ rates10m
 
