@@ -49,6 +49,15 @@ object ServerMain {
       println(s"sidecar loop up: contract=$dir")
       loop
     }
+    // warm the resident serving tiers in the background: the planes are
+    // already accepting, and any index touched before its warm completes
+    // just pays the (memoized) materialization its first call always paid
+    val warmer = new Thread(() => {
+      val (ok, skipped) = mgmt.engine.warmServing()
+      println(s"serving tiers warm: $ok indexes resident, $skipped skipped")
+    }, "graft-warm")
+    warmer.setDaemon(true)
+    warmer.start()
     println(s"graft server up: root=$root RESP=localhost:$rp HTTP=localhost:$hp")
     sys.addShutdownHook {
       sidecar.foreach(_.close())

@@ -1319,6 +1319,30 @@ class EngineSpec extends SparkSpec {
     assert(pqHash.get._1.nonEmpty)
   }
 
+  test("warmServing materializes resident handles for every built index, skips unbuilt") {
+    val root = Files.createTempDirectory("engine_warm").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(53)
+    val recs = (0 until 40).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2)
+    eng.add(mkRecords(recs).withColumn("index_name", lit("pq")))
+    eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    eng.add(mkRecords(recs).withColumn("index_name", lit("unbuilt")))
+    // a fresh engine over the same root: nothing memoized yet
+    val cold = new GraftEngine(spark, root)
+    val (ok, skipped) = cold.warmServing()
+    assert(ok == 2, s"($ok, $skipped)")
+    assert(skipped == 1, s"($ok, $skipped)") // the unbuilt index
+    // post-warm calls serve rows-native immediately with correct results
+    val qs = Array((0L, Array.fill(4)(rng.nextFloat())))
+    val (rowsF, trF) = cold.searchRowsTraced("t1", "idx", qs, k = 3, nprobe = 2)
+    assert(trF.path == "head+tail" && rowsF.nonEmpty, trF)
+    val (rowsP, trP) = cold.searchRowsTraced("t1", "pq", qs, k = 3, nprobe = 2)
+    assert(trP.path == "head+pqtail" && rowsP.nonEmpty, trP)
+  }
+
   test("id-pool budget denial: rows path falls back to the plan with identical results") {
     val root = Files.createTempDirectory("engine_idpool").toString
     // a budget too small for ANY pool: every rows-tier call must take the
