@@ -87,7 +87,9 @@ object GraftEngine {
 
 class GraftEngine(spark: SparkSession, root: String,
                   idPoolMaxBytes: Long = GraftEngine.IdPoolMaxBytesDefault,
-                  hashAllowedMinEntries: Int = 1 << 17) {
+                  hashAllowedMinEntries: Int = 1 << 17,
+                  pqServeMaxLookupsMT: Long =
+                    graft.operators.IvfPq.PqServeMaxLookupsMT) {
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -665,34 +667,60 @@ class GraftEngine(spark: SparkSession, root: String,
   private def pqTailRows(tenant: String, index: String, m: Manifest,
                          queries: Array[(Long, Array[Float])],
                          metricU: String, kTail: Int,
-                         nprobe: Int,
-                         allowedSorted: Array[Long] = null,
-                         allowedHash: graft.operators.LongHashSet = null,
-                         allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] = {
+                         nprobe: Int): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
-    val (tq, fold): (Array[(Long, Array[Float])], (Long, Double) => Double) =
-      metricU match {
-        case "COSINE" =>
-          (queries.map { case (qid, qv) => (qid, unitLocal(qv)) },
-            (_, s) => 1.0 + s / 2)
-        case "IP" =>
-          val cbDim = pqIdx.cb.m * pqIdx.cb.dsub
-          val maxSq = mipsMaxSqOf(tenant, index, m)
-          val qn2 = queries.map { case (qid, qv) =>
-            var s = 0.0; var i = 0
-            while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
-            qid -> s
-          }.toMap
-          (queries.map { case (qid, qv) =>
-            (qid, java.util.Arrays.copyOf(qv, cbDim)) },
-            (qid, s) => (s + qn2(qid) + maxSq) / 2)
-        case _ => (queries, (_, s) => s)
-      }
-    graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark,
-        allowedSorted = allowedSorted, allowedHash = allowedHash,
-        allowedBits = allowedBits)
+    val (tq, fold) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
+    graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark)
       .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
   }
+
+  /** Filtered variant of [[pqTailRows]]: the distributed ADC plan has no
+    * filter hook, so this serves ONLY from the resident byte-code tier —
+    * None (over-budget batch or non-resident codes) tells the caller to
+    * keep the distributed filtered plan instead of throwing at serve
+    * time (the r7 ADVICE failure: a filtered batch past
+    * PqServeMaxLookupsMT hit the unfiltered fallback's require). */
+  private def pqTailRowsFiltered(tenant: String, index: String, m: Manifest,
+                                 queries: Array[(Long, Array[Float])],
+                                 metricU: String, kTail: Int, nprobe: Int,
+                                 allowedSorted: Array[Long],
+                                 allowedHash: graft.operators.LongHashSet,
+                                 allowedBits: Array[Array[Long]]): Option[Array[(Long, Int, Long, Double)]] = {
+    val pqIdx = pqIndexOf(tenant, index, m)
+    val (tq, fold) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
+    graft.operators.IvfPq.searchResidentRows(pqIdx, tq, kTail, nprobe,
+        mtBound = pqServeMaxLookupsMT,
+        allowedSorted = allowedSorted, allowedHash = allowedHash,
+        allowedBits = allowedBits)
+      .map(_.map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) })
+  }
+
+  /** Metric transform + score fold shared by the PQ rows tiers: COSINE
+    * unit-normalizes queries (bit-matching the plan's `vector_unit`) and
+    * folds 1 + s/2; IP zero-pads to codebook dim and folds the MIPS
+    * (s + ‖q‖² + M²)/2; L2 passes through. Folds are strictly monotone
+    * per query, so folding after the local top-k preserves ranks/ties. */
+  private def pqFoldedQueries(tenant: String, index: String, m: Manifest,
+                              pqIdx: graft.operators.IvfPq.Index,
+                              queries: Array[(Long, Array[Float])],
+                              metricU: String): (Array[(Long, Array[Float])], (Long, Double) => Double) =
+    metricU match {
+      case "COSINE" =>
+        (queries.map { case (qid, qv) => (qid, unitLocal(qv)) },
+          (_, s) => 1.0 + s / 2)
+      case "IP" =>
+        val cbDim = pqIdx.cb.m * pqIdx.cb.dsub
+        val maxSq = mipsMaxSqOf(tenant, index, m)
+        val qn2 = queries.map { case (qid, qv) =>
+          var s = 0.0; var i = 0
+          while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          qid -> s
+        }.toMap
+        (queries.map { case (qid, qv) =>
+          (qid, java.util.Arrays.copyOf(qv, cbDim)) },
+          (qid, s) => (s + qn2(qid) + maxSq) / 2)
+      case _ => (queries, (_, s) => s)
+    }
 
   /** Bit-exact local mirror of the `vector_unit` UDF (same norm
     * accumulation, same Float division) — the COSINE PQ tail transforms
@@ -819,15 +847,21 @@ class GraftEngine(spark: SparkSession, root: String,
               allowedHash)
           case None => null // non-resident floats: distributed scan path
         }
-      val tailRows =
-        if (allowed.isEmpty) Array.empty[(Long, Int, Long, Double)]
+      val tailRowsOpt: Option[Array[(Long, Int, Long, Double)]] =
+        if (allowed.isEmpty) Some(Array.empty[(Long, Int, Long, Double)])
         else if (algoPq)
-          pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe,
-            allowedSorted = allowed, allowedHash = allowedHash,
+          // resident-only: None (probed work past the scan bounds) falls
+          // back to the distributed filtered plan via the early return —
+          // the PQ distributed plan has no filter hook, so over-budget
+          // filtered batches MUST NOT reach its unfiltered fallback
+          pqTailRowsFiltered(tenant, index, m, queries, metricU, kTail,
+            nprobe, allowedSorted = allowed, allowedHash = allowedHash,
             allowedBits = allowedBits)
-        else IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m), queries,
-          metric, kTail, nprobe, spark, allowedSorted = allowed,
-          allowedHash = allowedHash, allowedBits = allowedBits)
+        else Some(IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m),
+          queries, metric, kTail, nprobe, spark, allowedSorted = allowed,
+          allowedHash = allowedHash, allowedBits = allowedBits))
+      if (tailRowsOpt.isEmpty) return None
+      val tailRows = tailRowsOpt.get
       val byQuery = tailRows.groupBy(_._1)
       val rows = queries.flatMap { case (qid, qv) =>
         val tailCands = byQuery.getOrElse(qid, Array.empty)
@@ -1358,16 +1392,31 @@ class GraftEngine(spark: SparkSession, root: String,
   // filters — same residency registry as the pools/tag arrays (the set
   // is ~2× the array's bytes; only tags that actually serve large
   // filtered calls pay it)
-  private val tagHashSetCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.LongHashSet]
+  // private[graft]: specs assert budget-denial memoization directly
+  private[graft] val tagHashSetCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[graft.operators.LongHashSet]]
   private def tagHashSetOf(tenant: String, index: String, m: Manifest,
                            tag: String,
                            sorted: Array[Long]): graft.operators.LongHashSet =
     tagHashSetCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
-      val set = graft.operators.LongHashSet.from(sorted)
-      GraftEngine.registerResident(set, set.bytes)
-      set
-    })
+      // budget BEFORE building: a half-corpus tag's set is ~128 MB at
+      // 10M rows (capacity = next pow2 ≥ 2n, 8 B/slot) and memoizes per
+      // (version, tag) — many large tags could otherwise grow driver
+      // heap unboundedly and starve future id pools. Denial memoizes
+      // None (null to the kernels) and the scan keeps the sorted-array
+      // binary search — slower, never wrong.
+      var cap = 16L
+      while (cap < sorted.length.toLong * 2L) cap <<= 1
+      val est = cap * 8L + 32L
+      if (est > idPoolMaxBytes ||
+          GraftEngine.idPoolBytesUsed + est >
+            GraftEngine.IdPoolGlobalMaxBytes) None
+      else {
+        val set = graft.operators.LongHashSet.from(sorted)
+        GraftEngine.registerResident(set, set.bytes)
+        Some(set)
+      }
+    }).orNull
 
   // per-(snapshot, tag) ROW-POSITION bitmaps aligned with the resident
   // tier's parts array: filtered membership becomes a sequential bit
@@ -1377,24 +1426,34 @@ class GraftEngine(spark: SparkSession, root: String,
   // per-version memoized handles, so their identity and row order are
   // fixed for the snapshot's lifetime.
   private val tagBitsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+    scala.collection.concurrent.TrieMap.empty[String, Option[Array[Array[Long]]]]
   private def tagRowBitsOf(tenant: String, index: String, m: Manifest,
                            tag: String, idsPerPart: Array[Array[Long]],
                            member: graft.operators.LongHashSet): Array[Array[Long]] =
     tagBitsCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
-      val bits = idsPerPart.map { ids =>
-        val b = new Array[Long]((ids.length + 63) >>> 6)
-        var r = 0
-        while (r < ids.length) {
-          if (member.contains(ids(r))) b(r >>> 6) |= 1L << (r & 63)
-          r += 1
+      // same budget gate as the hash set (est BEFORE building, denial
+      // memoized): bitmaps are small (~nRows/8 bytes per tag) but
+      // per-(version, tag) residents all draw from one pool
+      val est = idsPerPart.iterator
+        .map(ids => ((ids.length + 63) >>> 6).toLong * 8L).sum + 64L
+      if (est > idPoolMaxBytes ||
+          GraftEngine.idPoolBytesUsed + est >
+            GraftEngine.IdPoolGlobalMaxBytes) None
+      else {
+        val bits = idsPerPart.map { ids =>
+          val b = new Array[Long]((ids.length + 63) >>> 6)
+          var r = 0
+          while (r < ids.length) {
+            if (member.contains(ids(r))) b(r >>> 6) |= 1L << (r & 63)
+            r += 1
+          }
+          b
         }
-        b
+        GraftEngine.registerResident(bits,
+          bits.map(_.length.toLong * 8L).sum + 64L)
+        Some(bits)
       }
-      GraftEngine.registerResident(bits,
-        bits.map(_.length.toLong * 8L).sum + 64L)
-      bits
-    })
+    }).orNull
 
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
@@ -1489,11 +1548,11 @@ class GraftEngine(spark: SparkSession, root: String,
     tagHashSetCache.keys.toSeq.foreach { k =>
       // keys carry a "#tag" suffix after the version
       if (versionOf(k.takeWhile(_ != '#')).exists(_ < keep))
-        tagHashSetCache.remove(k).foreach(GraftEngine.unregisterResident)
+        tagHashSetCache.remove(k).foreach(_.foreach(GraftEngine.unregisterResident))
     }
     tagBitsCache.keys.toSeq.foreach { k =>
       if (versionOf(k.takeWhile(_ != '#')).exists(_ < keep))
-        tagBitsCache.remove(k).foreach(GraftEngine.unregisterResident)
+        tagBitsCache.remove(k).foreach(_.foreach(GraftEngine.unregisterResident))
     }
     // resident-tier handles: dropping the map entry releases the packed
     // byte codes / graphs to GC, which also frees their share of the

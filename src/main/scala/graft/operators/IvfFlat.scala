@@ -565,6 +565,13 @@ object IvfFlat {
             allowedHash, allowedBits)
         case None =>
           countTier("distributed")
+          // the executor scan filters via the broadcast SORTED array only
+          // (hash sets / bitmaps are driver-resident accelerations) — a
+          // hash-only filter reaching this tier must fail loudly, never
+          // silently scan unfiltered
+          require(allowedHash == null || allowedSorted != null,
+            "distributed filtered scan needs allowedSorted; " +
+              "hash-only membership is a driver-tier acceleration")
           // partition-pruned job: only partitions holding a probed
           // cluster's list get a task (the packed exchange keys by
           // cluster, so the map below is exact) — a single nprobe-10
@@ -645,9 +652,12 @@ object IvfFlat {
       // bit test) > hash set (1-2 probes) > sorted-array binary search
       if (bits != null && ((bits(r >>> 6) >>> (r & 63)) & 1L) == 0L) {
         r += 1
-      } else if (bits == null && allowedSorted != null &&
+      } else if (bits == null && (allowedHash != null || allowedSorted != null) &&
           (if (allowedHash != null) !allowedHash.contains(p.ids(r))
            else java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0)) {
+        // membership from WHICHEVER representation is present — a caller
+        // passing only the hash set must not get the filter silently
+        // dropped (engine callers pass both; the signature permits either)
         r += 1
       } else {
         val off = r * dim

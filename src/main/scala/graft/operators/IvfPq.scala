@@ -186,8 +186,44 @@ object IvfPq {
       allowedSorted: Array[Long] = null,
       allowedHash: LongHashSet = null,
       allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] = {
+    if (queries.isEmpty) return Array.empty
+    searchResidentRows(index, queries, k, nprobe, stBound, mtBound,
+      allowedSorted, allowedHash, allowedBits) match {
+      case Some(rows) => rows
+      case None =>
+        // the distributed ADC plan has no filter hook — FILTERED callers
+        // must use [[searchResidentRows]] directly and keep their own
+        // distributed filtered plan on None; reaching here filtered is a
+        // programming error, not a fallback
+        require(allowedSorted == null && allowedHash == null &&
+            allowedBits == null,
+          "filtered PQ serving requires the resident tier; " +
+            "callers must gate on searchResidentRows returning Some")
+        import spark.implicits._
+        val qDf = queries.toSeq
+          .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
+        search(index, qDf, k, nprobe).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
+  }
+
+  /** Resident-tier core: Some(rows) when the probed work fits the scan
+    * bounds AND the packed codes are resident; None otherwise (over-budget
+    * batch or non-resident index). Filtered serving gates on THIS — a
+    * None keeps the caller's always-correct distributed filtered plan
+    * instead of throwing at serve time (the r7 failure mode: a large
+    * filtered batch past PqServeMaxLookupsMT hit the unfiltered
+    * distributed fallback's require). */
+  private[graft] def searchResidentRows(
+      index: Index, queries: Array[(Long, Array[Float])],
+      k: Int, nprobe: Int,
+      stBound: Long = PqServeMaxLookups,
+      mtBound: Long = PqServeMaxLookupsMT,
+      allowedSorted: Array[Long] = null,
+      allowedHash: LongHashSet = null,
+      allowedBits: Array[Array[Long]] = null): Option[Array[(Long, Int, Long, Double)]] = {
     val nq = queries.length
-    if (nq == 0) return Array.empty
+    if (nq == 0) return Some(Array.empty)
     val cents = index.centroidsLocal
     val centOf = cents.toMap
     // per-query probe ranking (identical kernel to the distributed
@@ -211,27 +247,18 @@ object IvfPq {
     }
     val resident =
       if (lookups <= mtBound) index.packedDriver else None
-    resident match {
-      case Some(parts) =>
-        val partials =
-          if (lookups <= stBound)
-            scanCodes(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
-              allowedSorted, allowedHash, allowedBits)
-          else
-            scanCodesMT(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
-              allowedSorted, allowedHash, allowedBits)
-        partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
-          rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
-            .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
-        }.toArray
-      case None =>
-        require(allowedSorted == null,
-          "filtered PQ serving requires a resident index; gate on packedDriver")
-        import spark.implicits._
-        val qDf = queries.toSeq
-          .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
-        search(index, qDf, k, nprobe).collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    resident.map { parts =>
+      val partials =
+        if (lookups <= stBound)
+          scanCodes(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
+            allowedSorted, allowedHash, allowedBits)
+        else
+          scanCodesMT(parts, queries.map(_._2), probeMap, centOf, index.cb, k,
+            allowedSorted, allowedHash, allowedBits)
+      partials.groupBy(_._1).iterator.flatMap { case (i, rows) =>
+        rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((_, id, s), r) => (queries(i)._1, r + 1, id, s) }
+      }.toArray
     }
   }
 
@@ -287,9 +314,12 @@ object IvfPq {
               if (bits != null &&
                   ((bits(r >>> 6) >>> (r & 63)) & 1L) == 0L) {
                 r += 1
-              } else if (bits == null && allowedSorted != null &&
+              } else if (bits == null &&
+                  (allowedHash != null || allowedSorted != null) &&
                   (if (allowedHash != null) !allowedHash.contains(p.ids(r))
                    else java.util.Arrays.binarySearch(allowedSorted, p.ids(r)) < 0)) {
+                // membership from whichever representation is present —
+                // hash-only callers must not lose the filter silently
                 r += 1
               } else {
                 val off = r * mWidth

@@ -41,10 +41,15 @@ object LongHashSet {
   }
 
   /** Build from distinct values (duplicates tolerated — set semantics).
-    * Capacity = next power of two ≥ 2n (load ≤ 0.5). */
+    * Capacity = next power of two ≥ 2n (load ≤ 0.5). The target is
+    * computed in Long: with Int arithmetic, values.length ≥ 2^30 would
+    * overflow negative, the loop would exit at cap = 16, and the
+    * insertion loop below would spin forever once 16 slots filled —
+    * the size require must fire instead. */
   def from(values: Array[Long]): LongHashSet = {
+    val target = values.length.toLong * 2L
     var cap = 16
-    while (cap < values.length * 2 && cap > 0) cap <<= 1
+    while (cap < target && cap > 0) cap <<= 1
     require(cap > 0, s"LongHashSet too large: ${values.length} values")
     val keys = new Array[Long](cap)
     val mask = cap - 1

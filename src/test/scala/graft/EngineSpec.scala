@@ -1370,4 +1370,66 @@ class EngineSpec extends SparkSpec {
     assert(trN2.path == "head+tail", trN2)
     assert(rowsD2.toSeq == rowsN2.toSeq)
   }
+
+  test("over-budget filtered PQ: sentinel keeps the distributed filtered plan instead of throwing") {
+    val root = Files.createTempDirectory("engine_pqftbudget").toString
+    // MT lookup bound of 0: EVERY resident filtered PQ scan is over
+    // budget — the r7 ADVICE failure mode made this throw
+    // IllegalArgumentException from the unfiltered fallback's require;
+    // the sentinel must keep the always-correct distributed filtered plan
+    val eng = new GraftEngine(spark, root, pqServeMaxLookupsMT = 0L)
+    val rng = new scala.util.Random(61)
+    val recs = (0 until 40).map { i =>
+      val tg = if (i % 2 == 0) Seq("even") else Seq.empty[String]
+      (s"v$i", Seq.fill(6)(rng.nextFloat()), null: String, tg, 100L)
+    }
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    val qv = Array.fill(6)(rng.nextFloat())
+    // rows tier declines (no exception) …
+    val res = eng.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 3, "L2", 2, Seq("even"))
+    assert(res.isEmpty, "over-budget filtered PQ must return the sentinel")
+    // … and the full cascade still answers via the batch plan, matching
+    // an unconstrained engine exactly
+    val (layer, rows, tr) = eng.searchCachedRowsTraced("t1", "idx", 1L, qv,
+      k = 3, nprobe = 2, now = 1000L, tags = Seq("even"))
+    assert(layer == "MISS" && tr.headLive == -1,
+      s"over-budget filtered miss must serve via the batch plan: $layer $tr")
+    val free = new GraftEngine(spark, root)
+    val resFree = free.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 3, "L2", 2, Seq("even"))
+    assert(resFree.isDefined &&
+      resFree.get._2.path == "head+pqtail-filtered", resFree.map(_._2))
+    assert(rows.toSeq == resFree.get._1.map(r => (r._2, r._3, r._4)).toSeq)
+  }
+
+  test("tag hash-set budget denial: memoized None, sorted-array path serves identically") {
+    val root = Files.createTempDirectory("engine_tagbudget").toString
+    val rng = new scala.util.Random(67)
+    // every record carries "all" so the tag's hash-set capacity estimate
+    // (next pow2 ≥ 2n slots × 8 B) EXCEEDS the id pool's bytes — a budget
+    // can then admit the pool + tag index but deny the set
+    val recs = (0 until 40).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String, Seq("all"), 100L))
+    // pool est ≈ 40·12 + Σ|id| + 32 ≈ 650 B; tag index ≈ 40·8 + 64 = 384 B;
+    // hash set est = nextPow2(80)·8 + 32 = 1056 B → denied at 800
+    val eng = new GraftEngine(spark, root, idPoolMaxBytes = 800L,
+      hashAllowedMinEntries = 1)
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2)
+    val qv = Array.fill(4)(rng.nextFloat())
+    val res = eng.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", 2, Seq("all"))
+    assert(res.isDefined, "denied hash set must NOT block rows serving")
+    // the denial is memoized (None), not silently rebuilt per call
+    assert(eng.tagHashSetCache.values.toSeq == Seq(None),
+      eng.tagHashSetCache.toMap)
+    // parity with an unconstrained engine whose set IS built
+    val free = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val resFree = free.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", 2, Seq("all"))
+    assert(resFree.isDefined && free.tagHashSetCache.values.forall(_.isDefined))
+    assert(res.get._1.toSeq == resFree.get._1.toSeq)
+  }
 }

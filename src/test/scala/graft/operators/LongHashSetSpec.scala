@@ -118,4 +118,30 @@ class LongHashSetSpec extends SparkSpec {
       allowedSorted = allowed, allowedHash = LongHashSet.from(allowed))
     assert(viaArray.toSeq == viaHash.toSeq)
   }
+
+  test("hash-ONLY membership filters (sorted array absent) on both kernels") {
+    // the public signatures permit allowedHash without allowedSorted —
+    // the r7 kernels silently DROPPED the filter in that combination
+    val rng = new Random(31)
+    val vectors = (0 until 600).map(i =>
+      (rng.nextLong(), Seq.fill(8)(rng.nextFloat()))).toDF("id", "vec")
+    val queries = Array((1L, Array.fill(8)(rng.nextFloat())),
+      (2L, Array.fill(8)(rng.nextFloat())))
+    val flat = IvfFlat.build(vectors, nlist = 4)
+    val allowed = flat.assigned.select("id").collect().map(_.getLong(0))
+      .filter(_ % 2 == 0)
+    java.util.Arrays.sort(allowed)
+    val set = LongHashSet.from(allowed)
+    val flatSorted = IvfFlat.searchLocalRows(flat, queries, "L2", 5,
+      nprobe = 2, spark, allowedSorted = allowed)
+    val flatHashOnly = IvfFlat.searchLocalRows(flat, queries, "L2", 5,
+      nprobe = 2, spark, allowedHash = set)
+    assert(flatHashOnly.toSeq == flatSorted.toSeq)
+    val pq = IvfPq.build(vectors, nlist = 4, m = 4, k = 16)
+    val pqSorted = IvfPq.searchLocalRows(pq, queries, 5, nprobe = 2, spark,
+      allowedSorted = allowed)
+    val pqHashOnly = IvfPq.searchLocalRows(pq, queries, 5, nprobe = 2, spark,
+      allowedHash = set)
+    assert(pqHashOnly.toSeq == pqSorted.toSeq)
+  }
 }
