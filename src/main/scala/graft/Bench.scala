@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BruteForceKnn, IvfFlat, TopK}
+import graft.operators.{BruteForceKnn, Components, IvfFlat, TextDedup, TopK}
 
 /** Per-round benchmark: one JSON line on stdout.
   *
@@ -1009,6 +1009,118 @@ object Bench {
         System.err.println(s"# bench-runs ivf_10m FAILED: ${e.getMessage}")
     }
 
+    // 1M-DOCUMENT dedup rung — the LLM-pipeline analog of the ANN scale
+    // ladder: the dedup operators are DuckDB-proven at the sf0.1 oracle
+    // corpus (~900 rows) and this rung times the 100-TB RECIPE (star-edge
+    // LSH candidates → exact-Jaccard verify → connected components →
+    // keep-set; plus C4 span dedup) at 1,000× that, with the two
+    // adversarial structures a real crawl corpus carries planted in:
+    //   · ONE GIANT near-dup cluster (10k members, 2% token mutation) —
+    //     the boilerplate cluster that makes all-pairs-per-bucket
+    //     candidate generation quadratic (64 bands × C(10k,2) ≈ 3.2G
+    //     candidate rows); the star form pays Θ(bands·c) instead, and
+    //     the printed pair count is the sub-quadratic proof
+    //   · a HUB SPAN (10-token boilerplate shared by 100k docs) — the
+    //     span-count skew case (absorbed map-side) and an LSH
+    //     shared-shingle collision source whose star edges the exact
+    //     verify must reject at linear cost
+    // The corpus is seeded + expression-only (xxhash64 streams), written
+    // to scrubbed parquet so the measured pipeline reads real files.
+    sentinel("before_dedup_1m_rung")
+    var ratesDedup: Map[String, Double] = Map.empty
+    try {
+      val nDocs = 1000000L
+      val docLen = 120
+      val vocab = 500000
+      // planted layout by doc_id:
+      //   [0, 10k)      giant near-dup cluster of doc 0
+      //   [10k, 110k)   20k near-dup clusters of 5
+      //   [110k, 160k)  25k exact-dup clusters of 2
+      //   [160k, 260k)  100k unique docs behind the shared hub span
+      //   [260k, 1M)    unique
+      val srcCol = when(col("doc_id") < 10000L, lit(0L))
+        .when(col("doc_id") < 110000L,
+          (floor((col("doc_id") - 10000L) / 5) * 5 + 10000L).cast("long"))
+        .when(col("doc_id") < 160000L,
+          (floor((col("doc_id") - 110000L) / 2) * 2 + 110000L).cast("long"))
+        .otherwise(col("doc_id"))
+      val hub = (0 until 10).map(i => s"hub$i").mkString(" ")
+      val toksCol = transform(sequence(lit(0), lit(docLen - 1)), i =>
+        when(col("mut") &&
+            pmod(xxhash64(lit("sel"), col("doc_id"), i), lit(50)) === 0,
+          concat(lit("m"), pmod(xxhash64(lit("mut"), col("doc_id"), i), lit(1L << 40))))
+          .otherwise(
+            // (src, i) as a MULTI-ARG hash: an arithmetic key like
+            // src*K+i overlaps across consecutive ids, handing adjacent
+            // "unique" docs shifted copies of one token stream — which
+            // chains the whole corpus into one component
+            concat(lit("w"), pmod(xxhash64(lit("tok"), col("src"), i), lit(vocab)))))
+      val gen = spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("src", srcCol)
+        .withColumn("mut",
+          col("doc_id") < 110000L && col("doc_id") =!= col("src"))
+        .withColumn("body", concat_ws(" ", toksCol))
+        .withColumn("text",
+          when(col("doc_id") >= 160000L && col("doc_id") < 260000L,
+            concat(lit(hub + " "), col("body"))).otherwise(col("body")))
+        .select("doc_id", "text")
+      val docsDir = tempDir("bench_docs1m")
+      val tGen = timeOnce {
+        gen.repartition(nCpus).write.mode("overwrite").parquet(docsDir)
+      }
+      System.err.println(f"# bench-runs docs_1m_gen $tGen%.4f")
+      val docs1m = spark.read.parquet(docsDir)
+      var nPairs = 0L; var rounds = 0; var kept = 0L
+      val tPipe = timeOnce {
+        val pairs = TextDedup.minhashLshStarPairs(docs1m, n = 3, tau = 0.5)
+          .persist()
+        nPairs = pairs.count()
+        val (comp, r) = Components.connectedComponentsWithRounds(pairs)
+        rounds = r
+        kept = TextDedup.keepCanonicalFrom(docs1m.select("doc_id"), comp)
+          .filter(col("keep")).count()
+        pairs.unpersist()
+      }
+      System.err.println(f"# bench-runs dedup_pipeline_1m $tPipe%.4f " +
+        s"pairs=$nPairs rounds=$rounds kept=$kept")
+      // planted answer: 1 giant-cluster canonical + 20k + 25k cluster
+      // canonicals + 100k hub docs + 740k uniques = 885,001 survivors —
+      // xxhash-deterministic, so the rung is its own correctness gate
+      require(kept == 885001L,
+        s"dedup_pipeline_1m kept=$kept, expected 885001")
+      require(nPairs < 1000000L,
+        s"star candidate generation must stay sub-quadratic: $nPairs pairs")
+      // C4 span dedup at the same corpus: exactly 12 spans/doc + the hub
+      // span for its 100k carriers = 12.1M spans, hub absorbed map-side
+      var removedDocs = 0L; var nSpans = 0L
+      val tSpan = timeOnce {
+        val agg = TextDedup.dedupSpans(docs1m, width = 10).agg(
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
+          sum("n_spans")).head
+        removedDocs = agg.getLong(0); nSpans = agg.getLong(1)
+      }
+      System.err.println(f"# bench-runs span_dedup_1m $tSpan%.4f " +
+        s"removedDocs=$removedDocs spans=$nSpans")
+      require(nSpans == 12100000L, s"span count drifted: $nSpans")
+      // every planted-duplication carrier (10k giant + 100k near-dup +
+      // 50k exact + 100k hub) loses ≥1 span — deterministic
+      require(removedDocs == 260000L,
+        s"span dedup must strip the planted duplication: $removedDocs")
+      scrubOne(docsDir)
+      results("docs_1m_gen_sec") = tGen
+      results("dedup_pipeline_1m_sec") = tPipe
+      results("span_dedup_1m_sec") = tSpan
+      ratesDedup = Map(
+        "dedup_pipeline_1m_pairs" -> nPairs.toDouble,
+        "dedup_pipeline_1m_kept" -> kept.toDouble,
+        "components_rounds_1m" -> rounds.toDouble,
+        "span_dedup_1m_removed_docs" -> removedDocs.toDouble)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"# bench-runs dedup_1m FAILED: ${e.getMessage}")
+    }
+    sentinel("after_dedup_1m_rung")
+
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused
     results("ivf_100k_dim128_100q_sec") = tIvf100k
@@ -1067,7 +1179,7 @@ object Bench {
       "pq_100k_recall10_refined10" -> pqRefined10,
       "pq_100k_recall10_refined50" -> pqRefined50,
       "hnsw_100k_serving_p50_ms" -> hnswServeP50,
-      "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++ rates10m
+      "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++ rates10m ++ ratesDedup
 
     sentinel("end")
     val total = results.filter(_._2 >= 0).values.sum

@@ -33,7 +33,15 @@ object Components {
     * `pairs` needs `id1`/`id2` columns; self-loops and duplicate /
     * reversed pairs are tolerated.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds to convergence — the O(log² n) bound as a measurable number
+    * (bench rungs print it; a round count creeping with corpus size
+    * would falsify the scale claim before a wall-clock blowup does). */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+                                    maxRounds: Int = 50): (DataFrame, Int) = {
     var edges = pairs
       .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -57,9 +65,9 @@ object Components {
     require(round < maxRounds || isStarForest(edges),
       s"connectedComponents did not converge in $maxRounds rounds")
     // stars point child -> center; the center itself is its own canonical
-    edges.select(col("dst").as("doc_id"), col("src").as("canonical_id"))
+    (edges.select(col("dst").as("doc_id"), col("src").as("canonical_id"))
       .union(edges.select(col("src").as("doc_id"), col("src").as("canonical_id")))
-      .groupBy("doc_id").agg(min("canonical_id").as("canonical_id"))
+      .groupBy("doc_id").agg(min("canonical_id").as("canonical_id")), round)
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum

@@ -352,6 +352,56 @@ object TextDedup {
     } finally docShingles.unpersist()
   }
 
+  /** MinHash-LSH near-dup edges sufficient for CONNECTIVITY, at
+    * O(bucket) instead of O(bucket²) per LSH bucket: within every
+    * (band, band-hash) bucket, connect each member to the bucket's
+    * MINIMUM doc_id (a star) instead of enumerating all pairs, then
+    * verify the star edges with exact n-gram Jaccard ≥ tau.
+    *
+    * Use this — not [[minhashLshPairs]] — as the candidate stage of the
+    * dedup KEEP-SET recipe at corpus scale. The quadratic hazard it
+    * removes is real: a boilerplate cluster of c near-identical
+    * documents lands most of its members in the same bucket in every
+    * band, so all-pairs candidate generation costs Θ(bands·c²) rows
+    * from that one cluster (c = 10⁴, 64 bands → ~3×10⁹ candidate rows
+    * through the distinct's shuffle) while the star costs Θ(bands·c)
+    * (~6×10⁵) — the difference between a straggler-free job and an
+    * un-runnable one. The trade: the result is no longer the complete
+    * ≥ tau PAIR LIST (pair queries keep [[minhashLshPairs]]); it is
+    * connectivity-equivalent for clusters whose members are mutual
+    * near-dups of the bucket minimum — exactly the duplication
+    * structure dedup targets — and the exact verify still rejects
+    * every false bucket edge, so a hash-collision bucket (e.g. a
+    * shared boilerplate shingle dominating the min-hashes of otherwise
+    * unrelated documents) cannot merge strangers: its star edges fail
+    * Jaccard and the bucket contributes nothing, at linear cost.
+    * Same candidate shape as public large-scale MinHash dedup
+    * pipelines (reference behavior match: the keep-set the reference's
+    * dedup recipe computes, at the scale its docs claim). */
+  def minhashLshStarPairs(docs: DataFrame, n: Int, tau: Double,
+                          numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val docShingles = docShingleTable(docs, n).persist()
+    try {
+      val sigs = docShingles.select(col("doc_id"),
+        minhashUdf(numHashes)(col("shingles")).as("sig"))
+      val banded = bandedTable(sigs, numHashes, bands)
+        .repartition(col("band"), col("bh")).persist()
+      try {
+        // bucket minimum via partial-aggregating groupBy (the giant
+        // bucket is absorbed map-side), joined back on the bucket key —
+        // both branches read the cache with its (band, bh) distribution
+        val mins = banded.groupBy("band", "bh").agg(min("doc_id").as("id1"))
+        val star = banded.join(mins, Seq("band", "bh"))
+          .filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
+          .select(col("id1"), col("doc_id").as("id2"))
+          .distinct()
+        verifyPairLocal(docShingles, star)
+          .filter(col("jaccard") >= tau)
+          .localCheckpoint() // one materialization; frees both caches
+      } finally banded.unpersist()
+    } finally docShingles.unpersist()
+  }
+
   /** LSH candidate generation: pairs agreeing on >= 1 signature band.
     * Band hashes are emitted by ONE pass over the signature (no
     * per-band explode of the full signature array). */
@@ -553,7 +603,12 @@ object TextDedup {
     * ([[Components.connectedComponents]]); the corpus side is one
     * left join (singletons are their own canonical). */
   def keepCanonical(docs: DataFrame, pairs: DataFrame): DataFrame =
-    docs.join(Components.connectedComponents(pairs), Seq("doc_id"), "left")
+    keepCanonicalFrom(docs, Components.connectedComponents(pairs))
+
+  /** [[keepCanonical]] over an ALREADY-COMPUTED component table — for
+    * callers that need the components (or their round count) anyway. */
+  def keepCanonicalFrom(docs: DataFrame, components: DataFrame): DataFrame =
+    docs.join(components, Seq("doc_id"), "left")
       .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
       .withColumn("keep", col("canonical_id") === col("doc_id"))
 

@@ -173,4 +173,72 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_removed") == 0L)
     assert(r.getAs[String]("clean_text") == "p q r s t")
   }
+
+  // seeded cluster corpus: `clusters` groups of `size` near-dups (each
+  // member mutates ~1/mutMod of the source's tokens) + `unique` singletons
+  private def clusterCorpus(clusters: Int, size: Int, unique: Int,
+                            docLen: Int = 60, mutMod: Int = 50) = {
+    val rng = new Random(97)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    (0 until clusters).foreach { c =>
+      val src = Array.fill(docLen)(s"w${rng.nextInt(500000)}")
+      (0 until size).foreach { m =>
+        val toks =
+          if (m == 0) src
+          else src.map(t => if (rng.nextInt(mutMod) == 0) s"m${rng.nextInt(1 << 30)}" else t)
+        rows += ((id, toks.mkString(" "))); id += 1
+      }
+    }
+    (0 until unique).foreach { _ =>
+      rows += ((id, Array.fill(docLen)(s"u${rng.nextInt(1 << 30)}").mkString(" ")))
+      id += 1
+    }
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("star-edge LSH keep-set == all-pairs LSH keep-set on clean clusters") {
+    // the star variant trades the complete pair list for connectivity —
+    // on mutual-near-dup clusters (the structure dedup targets) the
+    // downstream keep-set must be IDENTICAL to the all-pairs recipe's
+    val corpus = clusterCorpus(clusters = 12, size = 5, unique = 40)
+    def keepSet(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextDedup.keepCanonical(corpus.select("doc_id"), pairs)
+        .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    val all = keepSet(TextDedup.minhashLshPairs(corpus, n = 3, tau = 0.5))
+    val star = keepSet(TextDedup.minhashLshStarPairs(corpus, n = 3, tau = 0.5))
+    assert(star == all)
+    // sanity on the structure itself: 12 cluster canonicals + 40 singletons
+    assert(all.values.toSet.size == 52, all.values.toSet.size)
+  }
+
+  test("star-edge LSH: a giant near-dup cluster costs O(c) verified edges, one canonical") {
+    // ONE cluster of 60 near-identical docs: all-pairs candidate
+    // generation would enumerate C(60,2) = 1770 pairs per colliding band;
+    // the star emits ≤ ~bands distinct edges per member and the verify
+    // keeps the cluster intact as a single component
+    val c = 60
+    val corpus = clusterCorpus(clusters = 1, size = c, unique = 20)
+    val star = TextDedup.minhashLshStarPairs(corpus, n = 3, tau = 0.5)
+    val nEdges = star.count()
+    assert(nEdges < 6L * c, s"star edges must stay ~linear in c: $nEdges")
+    val (comp, rounds) = Components.connectedComponentsWithRounds(star)
+    val canon = TextDedup.keepCanonicalFrom(corpus.select("doc_id"), comp)
+    assert(canon.filter(col("keep")).count() == 1 + 20)
+    assert(canon.filter(col("canonical_id") === 0L).count() == c)
+    assert(rounds >= 1 && rounds <= 10, s"rounds=$rounds")
+  }
+
+  test("star-edge LSH: a boilerplate-collision bucket cannot merge unrelated docs") {
+    // 20 docs share a 10-token boilerplate prefix but are otherwise
+    // disjoint: their shared shingles can dominate min-hashes into
+    // common buckets, yet every star edge must fail the exact-Jaccard
+    // verify — linear cost, zero false merges
+    val rng = new Random(131)
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    val corpus = (0L until 20L).map(i =>
+      (i, boiler + " " + Array.fill(50)(s"x${rng.nextInt(1 << 30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextDedup.minhashLshStarPairs(corpus, n = 3, tau = 0.5).isEmpty)
+  }
 }
