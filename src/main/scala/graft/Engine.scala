@@ -71,6 +71,33 @@ object GraftEngine {
   val IdPoolGlobalMaxBytes: Long = 1024L << 20
   private val idPoolRegistry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
+
+  /** Per-index ceiling for the resident SQ8 rerank store (dim bytes/vec
+    * over the RAW vectors — 10M×128 ≈ 1.28 GB): its OWN budget line,
+    * deliberately not the id-pool budget — a refine store drawing on the
+    * pool budget would starve pools/tag indexes (the r7 ADVICE hazard
+    * class). Kept under the flat-array ceiling (codes are one Int-indexed
+    * byte array, ≤ ~2.1 GB). */
+  val Sq8MaxBytesDefault: Long = 1600L << 20
+
+  /** JVM-wide ceiling across ALL resident SQ8 stores — weak-keyed like
+    * the other residency registries (eviction returns a share explicitly;
+    * a dropped engine returns it on GC). */
+  val Sq8GlobalMaxBytes: Long = 2048L << 20
+  private val sq8Registry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, java.lang.Long]())
+  private[graft] def sq8BytesUsed: Long = {
+    val it = sq8Registry.synchronized {
+      new java.util.ArrayList(sq8Registry.values())
+    }
+    var s = 0L
+    it.forEach(v => s += v.longValue())
+    s
+  }
+  private[graft] def registerSq8(h: AnyRef, bytes: Long): Unit =
+    sq8Registry.put(h, java.lang.Long.valueOf(bytes))
+  private[graft] def unregisterSq8(h: AnyRef): Unit =
+    sq8Registry.remove(h)
   private[graft] def idPoolBytesUsed: Long = {
     val it = idPoolRegistry.synchronized {
       new java.util.ArrayList(idPoolRegistry.values())
@@ -89,7 +116,8 @@ class GraftEngine(spark: SparkSession, root: String,
                   idPoolMaxBytes: Long = GraftEngine.IdPoolMaxBytesDefault,
                   hashAllowedMinEntries: Int = 1 << 17,
                   pqServeMaxLookupsMT: Long =
-                    graft.operators.IvfPq.PqServeMaxLookupsMT) {
+                    graft.operators.IvfPq.PqServeMaxLookupsMT,
+                  sq8MaxBytes: Long = GraftEngine.Sq8MaxBytesDefault) {
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -432,6 +460,20 @@ class GraftEngine(spark: SparkSession, root: String,
           Seq(mipsMaxSq).toDF("max_sq")
             .write.mode("overwrite").parquet(s"$dir/ivfpq/mips")
         }
+        // SQ8 sidecar over the RAW vectors (4× compression): the refined
+        // rows tier reranks ADC candidates against these driver-side —
+        // raw floats are past any residency budget exactly when PQ is the
+        // right algo, SQ8 is the rung between codes (M bytes) and floats.
+        // Params are global min/max over the raw corpus (ScalarQuant
+        // semantics); the rerank scores the TRUE metric on dequantized
+        // vectors, so one raw-space store serves L2/COSINE/IP alike.
+        val p8 = graft.operators.ScalarQuant.train(
+          state.select(col("vector").as("vec")))
+        graft.operators.ScalarQuant.saveParams(
+          p8, s"$dir/sq8/params.json")
+        state.select(xxhash64(col("id")).as("id"),
+            graft.operators.ScalarQuant.encodeCol(p8)(col("vector")).as("qvec8"))
+          .write.mode("overwrite").parquet(s"$dir/sq8/codes")
         // centroids also at the IVF location so the cache's L2 layer can
         // probe them without knowing the algo
         idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -509,12 +551,18 @@ class GraftEngine(spark: SparkSession, root: String,
     * survives the ADC cut (guaranteed at refine·k ≥ candidates), and also
     * removes the approximate-tail/exact-head score asymmetry of the delta
     * merge. 0 = raw ADC scores (the reference's serving behavior). */
+  /** `refineStore` picks the rerank vectors when `refine` > 0: "exact"
+    * (default) re-scores against the snapshot's retained raw vectors;
+    * "sq8" against the SQ8 sidecar's dequantized vectors — the SAME
+    * floats the resident rows tier reranks with, so the two tiers give
+    * one refined answer (sq8 recall ≥ 0.99 of exact on the bench gauge;
+    * the difference is the documented 4×-compression price). */
   def search(tenant: String, index: String, queries: DataFrame, k: Int,
              metric: String = "L2", nprobe: Int = 4,
              withMeta: Boolean = false, maxScans: Int = 0,
-             refine: Int = 0): DataFrame =
+             refine: Int = 0, refineStore: String = "exact"): DataFrame =
     searchImpl(tenant, index, queries, k, metric, nprobe, withMeta, maxScans,
-      refine)
+      refine, refineStore)
       .orderBy("query_id", "rank")
 
   /** Low-latency serving entry: driver-local query batch in, answer rows
@@ -536,8 +584,9 @@ class GraftEngine(spark: SparkSession, root: String,
     * rows-native for inverted-list and PQ tails (searchRowsFilteredTraced). */
   def searchRows(tenant: String, index: String,
                  queries: Array[(Long, Array[Float])], k: Int,
-                 metric: String = "L2", nprobe: Int = 4): Array[(Long, Int, String, Double)] =
-    searchRowsTraced(tenant, index, queries, k, metric, nprobe)._1
+                 metric: String = "L2", nprobe: Int = 4,
+                 refine: Int = 0): Array[(Long, Int, String, Double)] =
+    searchRowsTraced(tenant, index, queries, k, metric, nprobe, refine)._1
 
   /** [[searchRows]] plus a per-call observability record — the
     * reference's per-reply TRACE fields (VectorCommandSet.cs:849-912)
@@ -547,13 +596,22 @@ class GraftEngine(spark: SparkSession, root: String,
     * is a count the call already computed). */
   def searchRowsTraced(tenant: String, index: String,
                        queries: Array[(Long, Array[Float])], k: Int,
-                       metric: String = "L2", nprobe: Int = 4)
+                       metric: String = "L2", nprobe: Int = 4,
+                       refine: Int = 0)
       : (Array[(Long, Int, String, Double)], SearchTrace) = {
     val tTrace0 = System.nanoTime()
     require(queries.map(_._1).distinct.length == queries.length,
       "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
+    // `refine` is an IVF_PQ semantic (the plan ignores it elsewhere —
+    // other algos' tails already score exactly); the refined rows tier
+    // additionally needs the resident SQ8 rerank store
+    val wantRefine = refine > 0 && m.algo == "IVF_PQ"
+    val sq8Opt: Option[graft.operators.Sq8Store] =
+      if (wantRefine && m.nVectors <= RowsServeMaxRows)
+        sq8StoreOf(tenant, index, m)
+      else None
     // cheap manifest gates FIRST: a dirty-head HNSW/oversized index must
     // not pay the bounded head-read job just to fall back
     val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
@@ -564,7 +622,8 @@ class GraftEngine(spark: SparkSession, root: String,
     // ACTUAL residency — memoized per snapshot version; a too-big codes
     // table memoizes None once and every later call short-circuits here.
     val algoPq = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
-      pqIndexOf(tenant, index, m).packedDriver.isDefined
+      pqIndexOf(tenant, index, m).packedDriver.isDefined &&
+      (!wantRefine || sq8Opt.isDefined) // refined serving needs the store
     // HNSW rows tier: graphs hold their full vectors, so residency
     // economics match IvfFlat's (bound checked before collect, memoized
     // per snapshot version — a too-big graph set memoizes None once)
@@ -596,14 +655,28 @@ class GraftEngine(spark: SparkSession, root: String,
     // only ids that exist in the TAIL can mask tail rows — fresh adds
     // never do, so they must not inflate the per-query over-fetch
     val kTail = headState.map(k + _.maskInTail).getOrElse(k)
+    // refined calls over-fetch the plan's ADC cut (k·refine post-mask, so
+    // + maskInTail pre-mask) — the top-k buffer budget prices that fetch
+    val tailFetch =
+      if (wantRefine)
+        k.toLong * refine + headState.map(_.maskInTail).getOrElse(0)
+      else kTail.toLong
     val servable = algoOk && headState.isDefined &&
       headWork <= IvfFlat.DriverServeMaxScanElems &&
-      queries.length.toLong * kTail <= 4_000_000L // top-k buffer budget
+      queries.length.toLong * tailFetch <= 4_000_000L // top-k buffer budget
     if (!servable) {
       import spark.implicits._
       val qDf = queries.toSeq
         .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
-      val rows = search(tenant, index, qDf, k, metric, nprobe).collect()
+      // refined fallback reranks in sq8 mode when the snapshot carries
+      // the sidecar, so plan and rows tiers give the SAME refined answer
+      // regardless of which served; pre-sidecar snapshots rerank exact
+      val store8 =
+        if (refine > 0 && m.algo == "IVF_PQ" &&
+            sq8TableExists(tenant, index, m)) "sq8"
+        else "exact"
+      val rows = search(tenant, index, qDf, k, metric, nprobe,
+          refine = refine, refineStore = store8).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
       (rows, SearchTrace("plan-fallback", None, Nil,
         headLive = -1, headMasked = -1, tailRows = -1,
@@ -618,7 +691,13 @@ class GraftEngine(spark: SparkSession, root: String,
       // over-fetch from the tail so masking re-written/tombstoned ids
       // can't leave a query short (≤ maskInTail tail rows can be masked)
       val tailRows =
-        if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
+        if (algoPq && wantRefine)
+          // ADC cut (plan-identical: mask, then top k·refine by raw ADC
+          // order) reranked EXACTLY against the resident SQ8 store —
+          // rows return already masked, true-metric scored, cut at k
+          pqTailRowsRefined(tenant, index, m, queries, metricU, k, refine,
+            nprobe, hs, sq8Opt.get)
+        else if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
         else if (algoHnsw)
           // per-graph fetch AND global cut at kTail = k + maskInTail —
           // exactly the plan's kFetch over-fetch, so masking backfills
@@ -645,7 +724,8 @@ class GraftEngine(spark: SparkSession, root: String,
           }
       }
       (rows, SearchTrace(
-        if (algoPq) "head+pqtail"
+        if (algoPq && wantRefine) "head+pqtail-refined"
+        else if (algoPq) "head+pqtail"
         else if (algoHnsw) "head+hnswtail"
         else "head+tail", None, Nil,
         headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
@@ -672,6 +752,50 @@ class GraftEngine(spark: SparkSession, root: String,
     val (tq, fold) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
     graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark)
       .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
+  }
+
+  /** Refined PQ tail for the rows tier — the zero-job twin of the plan's
+    * refine branch (searchImpl's IVF_PQ refine): take the plan's ADC cut
+    * (post-mask top k·refine by ADC order, reproduced here as a pre-mask
+    * over-fetch of k·refine + maskInTail, mask, truncate), then re-score
+    * each candidate's TRUE metric against the resident SQ8 store's
+    * dequantized vector. The dequantization is ScalarQuant.decodeCol's
+    * bit-exact driver twin and the scoring kernel is the head-parity
+    * [[IvfFlat.candidateScore]], so rows == plan(refineStore="sq8") is
+    * exact, spec-pinned, ties included. Scores come out on the true
+    * metric scale — no ADC fold — so the head merge compares exact with
+    * exact (the refine rationale: the delta merge's score asymmetry is
+    * gone). Returns the per-query top k, already masked. */
+  private def pqTailRowsRefined(tenant: String, index: String, m: Manifest,
+                                queries: Array[(Long, Array[Float])],
+                                metricU: String, k: Int, refine: Int,
+                                nprobe: Int, hs: HeadServeState,
+                                store: graft.operators.Sq8Store): Array[(Long, Int, Long, Double)] = {
+    val pqIdx = pqIndexOf(tenant, index, m)
+    val (tq, _) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
+    val kAdc = math.max(1, k * refine) + hs.maskInTail
+    val adc = graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kAdc,
+      nprobe, spark)
+    val byQuery = adc.groupBy(_._1)
+    queries.indices.flatMap { qi =>
+      val (qid, qvRaw) = queries(qi)
+      // rows arrive rank-ordered (raw ADC desc, surrogate asc — the same
+      // total order the plan's TopK cut uses; the metric folds are
+      // strictly monotone so cutting on raw ADC = cutting on folded)
+      val cut = byQuery.getOrElse(qid, Array.empty)
+        .sortBy(_._2) // rank asc
+        .iterator
+        .filter(r => !hs.maskSurrogates.contains(r._3))
+        .take(math.max(1, k * refine))
+      val reranked = cut.map { case (_, _, surr, _) =>
+        val row = store.lookup(surr)
+        require(row >= 0,
+          s"sq8 store missing surrogate $surr — snapshot/store version skew")
+        (surr, IvfFlat.candidateScore(metricU, qvRaw, store.dequant(row)))
+      }.toArray
+      reranked.sortBy { case (surr, s) => (-s, surr) }.take(k).zipWithIndex
+        .map { case ((surr, s), r) => (qid, r + 1, surr, s) }
+    }.toArray
   }
 
   /** Filtered variant of [[pqTailRows]]: the distributed ADC plan has no
@@ -978,7 +1102,8 @@ class GraftEngine(spark: SparkSession, root: String,
   private def searchImpl(tenant: String, index: String, queries: DataFrame, k: Int,
                          metric: String, nprobe: Int,
                          withMeta: Boolean = false, maxScans: Int = 0,
-                         refine: Int = 0): DataFrame = {
+                         refine: Int = 0,
+                         refineStore: String = "exact"): DataFrame = {
     val m = manifest(tenant, index)
     // the tail's geometry (KMeans clusters, HNSW links, PQ codebooks) is
     // trained for the build metric — scoring probes with a different one
@@ -1125,30 +1250,53 @@ class GraftEngine(spark: SparkSession, root: String,
           }
         if (refine <= 0) adcCands
         else {
-          // raw vectors are only retained in refine-era snapshots; an
-          // older snapshot must fail with the remedy, not an unresolved-
-          // column error
-          require(snapshot.columns.contains("vec"),
-            s"$tenant/$index snapshot predates raw-vector retention; " +
-              "rebuild the index to enable refine")
-          // exact rerank: bounded ADC cut (≤ k·refine rows per query) →
-          // broadcast the tiny cut into the snapshot's raw-vector table →
-          // exact score. Same small-side-always-broadcast shape as hit
-          // hydration; the corpus-sized snapshot is never shuffled.
+          // bounded ADC cut (≤ k·refine rows per query), shared by both
+          // rerank stores
           val cut = TopK.perGroup(
               adcCands.select(col("query_id"),
                 xxhash64(col("id_str")).as("id"), col("score")),
               Seq("query_id"), math.max(1, k * refine))
             .select("query_id", "id")
-          val snapVecs = snapshot.select(col("id_str"), col("vec"))
-            .withColumn("id", xxhash64(col("id_str")))
-          // raw qvec + raw snapshot vec: cosine is normalization-invariant,
-          // so the rerank scores the TRUE metric exactly for both tails
-          snapVecs.join(broadcast(cut), Seq("id"))
-            .join(broadcast(baseQueries), Seq("query_id"))
-            .select(col("query_id"), col("id_str"),
-              graft.functions.vector_score(metric, col("qvec"), col("vec"))
-                .as("score"))
+          if (refineStore == "sq8") {
+            // rerank against the SQ8 sidecar's DEQUANTIZED vectors — the
+            // same floats the resident rows tier scores (decodeCol is the
+            // bit-exact twin of Sq8Store.dequant), so rows == plan holds
+            // for refined serving exactly like the unrefined tiers
+            val m8 = manifest(tenant, index)
+            require(sq8TableExists(tenant, index, m8),
+              s"$tenant/$index snapshot has no sq8 sidecar; " +
+                "rebuild the index or use refineStore=exact")
+            val p8 = graft.operators.ScalarQuant.loadParams(
+              s"$snap/sq8/params.json")
+            val codes8 = spark.read.parquet(s"$snap/sq8/codes")
+            strMap.join(broadcast(codes8.join(broadcast(cut), Seq("id"))),
+                Seq("id"))
+              .join(broadcast(baseQueries), Seq("query_id"))
+              .select(col("query_id"), col("id_str"),
+                graft.functions.vector_score(metric, col("qvec"),
+                  graft.operators.ScalarQuant.decodeCol(p8)(col("qvec8")))
+                  .as("score"))
+          } else {
+            // raw vectors are only retained in refine-era snapshots; an
+            // older snapshot must fail with the remedy, not an unresolved-
+            // column error
+            require(snapshot.columns.contains("vec"),
+              s"$tenant/$index snapshot predates raw-vector retention; " +
+                "rebuild the index to enable refine")
+            // exact rerank: broadcast the tiny cut into the snapshot's
+            // raw-vector table → exact score. Same small-side-always-
+            // broadcast shape as hit hydration; the corpus-sized snapshot
+            // is never shuffled.
+            val snapVecs = snapshot.select(col("id_str"), col("vec"))
+              .withColumn("id", xxhash64(col("id_str")))
+            // raw qvec + raw snapshot vec: cosine is normalization-
+            // invariant, so the rerank scores the TRUE metric exactly
+            snapVecs.join(broadcast(cut), Seq("id"))
+              .join(broadcast(baseQueries), Seq("query_id"))
+              .select(col("query_id"), col("id_str"),
+                graft.functions.vector_score(metric, col("qvec"), col("vec"))
+                  .as("score"))
+          }
         }
       case _ => // IVF_FLAT / FLAT share the inverted-list layout
         val tailIdx = tailIndexOf(tenant, index, m)
@@ -1321,6 +1469,51 @@ class GraftEngine(spark: SparkSession, root: String,
         Some(pool)
       }
     })
+
+  /** Resident SQ8 rerank store per snapshot version, or None when the
+    * snapshot predates the sq8 sidecar, the vectors have mixed dims (no
+    * flat layout), or the measured bytes exceed the store's OWN budgets
+    * ([[GraftEngine.Sq8MaxBytesDefault]] / Sq8GlobalMaxBytes — separate
+    * from the id-pool line so refine residency can't starve pools).
+    * Denial memoizes; refined calls then keep the plan fallback. */
+  private val sq8StoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[graft.operators.Sq8Store]]
+  private def sq8StoreOf(tenant: String, index: String,
+                         m: Manifest): Option[graft.operators.Sq8Store] =
+    sq8StoreCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+      if (!sq8TableExists(tenant, index, m)) None
+      else {
+        val codes = spark.read.parquet(
+          s"${snapDir(tenant, index, m)}/sq8/codes")
+        val stats = codes.agg(count(lit(1)),
+          min(octet_length(col("qvec8"))),
+          max(octet_length(col("qvec8")))).head
+        val n = stats.getLong(0)
+        if (n == 0 || stats.isNullAt(1) || stats.getInt(1) != stats.getInt(2))
+          None
+        else {
+          val dim = stats.getInt(1)
+          val est = n * (8L + dim) + 64L
+          // flat-array ceiling: codes live in ONE Int-indexed byte array
+          if (n * dim.toLong >= Int.MaxValue - 64L || est > sq8MaxBytes ||
+              GraftEngine.sq8BytesUsed + est > GraftEngine.Sq8GlobalMaxBytes)
+            None
+          else {
+            val p = graft.operators.ScalarQuant.loadParams(
+              s"${snapDir(tenant, index, m)}/sq8/params.json")
+            val store = graft.operators.Sq8Store.buildResident(
+              codes, dim, p.min, p.max)
+            GraftEngine.registerSq8(store, store.bytes)
+            Some(store)
+          }
+        }
+      }
+    })
+
+  private def sq8TableExists(tenant: String, index: String,
+                             m: Manifest): Boolean =
+    Files.isDirectory(
+      Paths.get(s"${snapDir(tenant, index, m)}/sq8/codes"))
 
   // tag → sorted surrogate-id array for the FILTERED rows serving tier
   // (the reference keeps per-record tags in the same process heap it
@@ -1498,7 +1691,9 @@ class GraftEngine(spark: SparkSession, root: String,
         val m = manifest(tenant, index)
         if (m.version > 0) {
           m.algo match {
-            case "IVF_PQ" => pqIndexOf(tenant, index, m).packedDriver
+            case "IVF_PQ" =>
+              pqIndexOf(tenant, index, m).packedDriver
+              sq8StoreOf(tenant, index, m) // refined-serving store
             case "HNSW" => hnswGraphsOf(tenant, index, m)
             case _ => tailIndexOf(tenant, index, m).packedDriver
           }
@@ -1564,6 +1759,10 @@ class GraftEngine(spark: SparkSession, root: String,
     }
     hnswGraphsCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) hnswGraphsCache.remove(k)
+    }
+    sq8StoreCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep))
+        sq8StoreCache.remove(k).foreach(_.foreach(GraftEngine.unregisterSq8))
     }
   }
 
@@ -2755,10 +2954,11 @@ class GraftEngine(spark: SparkSession, root: String,
                        qvec: Array[Float], k: Int, metric: String = "L2",
                        nprobe: Int = 4, now: Long = 0L, ttlSeconds: Int = 60,
                        tags: Seq[String] = Nil,
-                       cacheMemoryMb: Int = Int.MaxValue)
+                       cacheMemoryMb: Int = Int.MaxValue,
+                       refine: Int = 0)
       : (String, Array[(Int, String, Double)]) = {
     val (layer, rows, _) = searchCachedRowsTraced(tenant, index, queryId,
-      qvec, k, metric, nprobe, now, ttlSeconds, tags, cacheMemoryMb)
+      qvec, k, metric, nprobe, now, ttlSeconds, tags, cacheMemoryMb, refine)
     (layer, rows)
   }
 
@@ -2769,14 +2969,21 @@ class GraftEngine(spark: SparkSession, root: String,
                              qvec: Array[Float], k: Int, metric: String = "L2",
                              nprobe: Int = 4, now: Long = 0L,
                              ttlSeconds: Int = 60, tags: Seq[String] = Nil,
-                             cacheMemoryMb: Int = Int.MaxValue)
+                             cacheMemoryMb: Int = Int.MaxValue,
+                             refine: Int = 0)
       : (String, Array[(Int, String, Double)], SearchTrace) = {
     val tTrace0 = System.nanoTime()
     import graft.operators.Caching
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
+    // refined answers live under their OWN key space: the refine scope
+    // rides the metric component (keys stay within the 6-part queryKey
+    // contract, every existing key is untouched at refine = 0), so a
+    // refined entry can never serve an unrefined call or vice versa —
+    // they are different answers by design
+    val metricKey = if (refine > 0) s"$metric#refine=$refine" else metric
     def keyOf(layerKey: Long): Long =
-      Caching.queryKeyLocal(tenant, index, k, metric, tags, layerKey)
+      Caching.queryKeyLocal(tenant, index, k, metricKey, tags, layerKey)
     val l0 = keyOf(Caching.l0LayerKeyLocal(qvec, k))
     val probes = scala.collection.mutable.ArrayBuffer[(String, Long)](
       ("L0", l0))
@@ -2832,7 +3039,8 @@ class GraftEngine(spark: SparkSession, root: String,
         val rowsNative: Option[(Array[(Long, Int, String, Double)], SearchTrace)] =
           if (tags.isEmpty)
             Some(searchRowsTraced(tenant, index, Array((queryId, qvec)), k,
-              metric, nprobe))
+              metric, nprobe, refine))
+          else if (refine > 0) None // filtered+refined: plan-only below
           else searchRowsFilteredTraced(tenant, index, Array((queryId, qvec)),
             k, metric, nprobe, tags)
         rowsNative match {
@@ -2887,6 +3095,28 @@ class GraftEngine(spark: SparkSession, root: String,
           SearchTrace("cache-miss", None, probes.map(_._1).toSeq,
             headLive = tr.headLive, headMasked = tr.headMasked,
             tailRows = tr.tailRows,
+            totalMicros = (System.nanoTime() - tTrace0) / 1000L))
+          case None if refine > 0 =>
+        // refined call outside the rows gates: serve the plan directly
+        // and SKIP cache population — the batch cascade's column-side
+        // keys carry no refine scope, so populating through it would
+        // collide refined answers with unrefined keys
+        import spark.implicits._
+        val base0 = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
+        val base = if (tags.isEmpty) base0
+          else base0.withColumn("filter_tags", typedLit(tags))
+        val store8 =
+          if (m.algo == "IVF_PQ" && sq8TableExists(tenant, index, m)) "sq8"
+          else "exact"
+        val rows = search(tenant, index, base, k, metric, nprobe,
+            refine = refine, refineStore = store8)
+          .collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
+            r.getAs[Double]("score")))
+        servingMissesOf(tenant, index).incrementAndGet()
+        ("MISS", rows,
+          SearchTrace("cache-miss", None, probes.map(_._1).toSeq,
+            headLive = -1, headMasked = -1, tailRows = -1,
             totalMicros = (System.nanoTime() - tTrace0) / 1000L))
           case None =>
         import spark.implicits._

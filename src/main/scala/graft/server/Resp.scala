@@ -117,7 +117,7 @@ object Resp {
   *   VEC.DEL    tenant index id [API_KEY <key>]
   *   VEC.SEARCH tenant index TOPK <k> VECTOR <payload> [FILTER <tags>]
   *              [WITH_META] [TRACE] [REQUEST_ID <r>] [CACHE_HINT force]
-  *              [API_KEY <key>]
+  *              [API_KEY <key>] [REFINE <r>]
   *   VEC.STATS  tenant index
   *   AUTH       tenant key          (session auth, Security/SessionAuthContext)
   *   PING / QUIT
@@ -429,7 +429,8 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
   private case class SearchReq(tenant: String, index: String, k: Int,
                                vector: Array[Float], filterTags: Seq[String],
                                withMeta: Boolean, trace: Boolean,
-                               requestId: Option[String], apiKey: Option[String])
+                               requestId: Option[String], apiKey: Option[String],
+                               refine: Int)
 
   private def parseSearch(args: Seq[String]): SearchReq = {
     require(args.length >= 6,
@@ -444,6 +445,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     var trace = false
     var requestId: Option[String] = None
     var apiKey: Option[String] = None
+    var refine = 0
     var i = 6
     while (i < args.length) {
       args(i).toUpperCase match {
@@ -462,11 +464,20 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
         case "API_KEY" =>
           require(i + 1 < args.length, "API_KEY requires a value.")
           apiKey = Some(args(i + 1)); i += 2
+        case "REFINE" =>
+          // IVF_PQ rerank factor: re-score the top k*REFINE ADC
+          // candidates against the snapshot's SQ8 store (resident
+          // zero-job when the store fits; plan sq8-rerank otherwise)
+          require(i + 1 < args.length, "REFINE requires a value.")
+          refine = args(i + 1).toIntOption.filter(_ >= 0).getOrElse(
+            throw new IllegalArgumentException(
+              "REFINE must be a non-negative integer."))
+          i += 2
         case other => throw new IllegalArgumentException(s"Unknown token '$other'.")
       }
     }
     SearchReq(tenant, index, k, parseVector(payload), filterTags, withMeta,
-      trace, requestId, apiKey)
+      trace, requestId, apiKey, refine)
   }
 
   private def handleSearch(args: Seq[String], sessionTenant: Option[String],
@@ -522,7 +533,8 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
           tags = r.filterTags,
           cacheMemoryMb =
             if (mgmt.tenantExists(r.tenant)) mgmt.quota(r.tenant).cacheMemoryMb
-            else Int.MaxValue)
+            else Int.MaxValue,
+          refine = r.refine)
         if (r.trace) writeArrayHeader(out, 2)
         writeArrayHeader(out, hits.length)
         hits.foreach { case (_, id, score) =>

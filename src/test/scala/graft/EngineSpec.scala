@@ -1371,6 +1371,61 @@ class EngineSpec extends SparkSpec {
     assert(rowsD2.toSeq == rowsN2.toSeq)
   }
 
+  test("refined PQ serving: rows == plan(sq8) incl. dirty head; budget denial falls back; refine-scoped cache keys") {
+    val root = Files.createTempDirectory("engine_refine").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(71)
+    val recs = (0 until 60).map(i =>
+      (s"v$i", Seq.fill(8)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 3, algo = "IVF_PQ", pqM = 2, pqK = 16)
+    val qv = Array.fill(8)(rng.nextFloat())
+    def planRows(refine: Int, store: String): Seq[(Int, String, Double)] =
+      eng.search("t1", "idx", q(1L, qv.toSeq), 5, "L2", nprobe = 2,
+          refine = refine, refineStore = store).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    // clean head: the refined rows tier must equal the plan's sq8 rerank
+    // EXACTLY (same ADC cut, same dequantized floats, same tie order)
+    val (rowsR, trR) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trR.path == "head+pqtail-refined", trR)
+    assert(rowsR.map(r => (r._2, r._3, r._4)).toSeq == planRows(5, "sq8"))
+    // the refined answer beats raw ADC at ranking: top-1 of the sq8
+    // rerank must match the EXACT rerank's top-1 here (4-bit-quantized
+    // 8-dim fixture — sq8 error is far below the score gaps)
+    assert(planRows(5, "sq8").head._2 == planRows(5, "exact").head._2)
+    // dirty head: upsert after build — head merge on both tiers
+    eng.upsert(mkRecords(Seq(
+      ("v0", qv.map(x => x * 0.99f).toSeq, null, Seq.empty[String], 200L))))
+    val (rowsD, trD) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trD.path == "head+pqtail-refined", trD)
+    assert(rowsD.map(r => (r._2, r._3, r._4)).toSeq == planRows(5, "sq8"))
+    assert(rowsD.exists(_._3 == "v0"), "upserted near-query vector must hit")
+    // budget denial: an engine whose sq8 budget admits nothing serves the
+    // refined answer via the plan fallback — same rows, different path
+    val denied = new GraftEngine(spark, root, sq8MaxBytes = 16L)
+    val (rowsF, trF) = denied.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trF.path == "plan-fallback", trF)
+    assert(rowsF.toSeq == rowsD.toSeq)
+    // refined cache entries live under refine-scoped keys: a refined MISS
+    // populates, repeats hit, and an unrefined call NEVER aliases it
+    val (m1, hits1, _) = eng.searchCachedRowsTraced("t1", "idx", 10L, qv,
+      k = 5, nprobe = 2, now = 1000L, refine = 5)
+    assert(m1 == "MISS")
+    assert(hits1.toSeq == rowsD.map(r => (r._2, r._3, r._4)).toSeq)
+    val (h1, hits2, _) = eng.searchCachedRowsTraced("t1", "idx", 10L, qv,
+      k = 5, nprobe = 2, now = 1001L, refine = 5)
+    assert(h1 == "L0", s"repeat refined call must hit, got $h1")
+    assert(hits2.toSeq == hits1.toSeq)
+    val (m2, hitsU, _) = eng.searchCachedRowsTraced("t1", "idx", 11L, qv,
+      k = 5, nprobe = 2, now = 1002L)
+    assert(m2 == "MISS", "unrefined call must not hit a refined entry")
+    assert(hitsU.toSeq != hits1.toSeq ||
+      eng.searchRows("t1", "idx", Array((12L, qv)), 5, "L2", 2).nonEmpty)
+  }
+
   test("over-budget filtered PQ: sentinel keeps the distributed filtered plan instead of throwing") {
     val root = Files.createTempDirectory("engine_pqftbudget").toString
     // MT lookup bound of 0: EVERY resident filtered PQ scan is over
