@@ -367,11 +367,13 @@ object Bench {
     pqC.assigned.unpersist()
     // The WIRE path's refined answer on the same gauge: engine-level
     // refined serving (head+pqtail-refined — the plan's ADC cut reranked
-    // zero-job against the resident SQ8 store). The refined10/50 rows
+    // zero-job against the resident SQ16 store). The refined10/50 rows
     // above price EXACT rerank; this row prices the rerank the wire
-    // actually runs, and ≥ 0.99 here says the SQ8 store's 4× compression
+    // actually runs, and ≥ 0.99 here says the SQ16 store's compression
     // costs ~nothing in answer quality while keeping the path job-free.
-    val sq8WireRecall = {
+    // (uint8 was measured first and read 0.980 — the gauge's
+    // near-equidistant margins expose range/255 noise; uint16 closed it.)
+    val sq16WireRecall = {
       val engGaugeRoot = tempDir("bench_gauge_engine")
       val engGauge = new GraftEngine(spark, engGaugeRoot)
       engGauge.upsert(synthC.select(
@@ -392,7 +394,7 @@ object Bench {
       })
     }
     System.err.println(
-      f"# bench-runs pq_100k_recall_at_10_sq8_wire refined50=$sq8WireRecall%.4f")
+      f"# bench-runs pq_100k_recall_at_10_sq16_wire refined50=$sq16WireRecall%.4f")
     // Resident graph serving at the same gauge: per-call zero-job beam
     // search over the collected sub-graphs (the engine's head+hnswtail
     // tier) — the distributed fan-out above pays a job per chunk; this
@@ -1023,10 +1025,10 @@ object Bench {
             f"p99=${latEng(98)}%.3f cold=$tCold%.2f")
         // REFINED wire path at the same rung: the raw-ADC answer prices
         // at ~0.16 recall on the hard gauge; refine 50 through the
-        // resident SQ8 store (10M×128 ≈ 1.36 GB, its own budget line)
-        // serves the DESIGNED answer with no per-call job — the cold
-        // call pays the one-time store collect
-        val tSq8Cold = timeOnce {
+        // resident SQ16 store (10M×128 ≈ 2.6 GB, its own budget line —
+        // half the raw floats) serves the DESIGNED answer with no
+        // per-call job — the cold call pays the one-time store collect
+        val tSq16Cold = timeOnce {
           require(eng.searchRows("t1", "big", Array(q100x10m.head), 10,
             nprobe = 10, refine = 50).nonEmpty)
         }
@@ -1044,10 +1046,10 @@ object Bench {
         }.sorted
         System.err.println(
           f"# bench-runs engine_pq_10m_refined_ms p50=${latEngR(49)}%.3f " +
-            f"p99=${latEngR(98)}%.3f cold=$tSq8Cold%.2f")
+            f"p99=${latEngR(98)}%.3f cold=$tSq16Cold%.2f")
         // WARM-BOOT row: a process restart is a FRESH engine instance on
         // the same root — none of the old heap (packed codes, id pool,
-        // sq8 store) survives. engine_pq_10m_cold_first_call_sec above IS
+        // sq16 store) survives. engine_pq_10m_cold_first_call_sec above IS
         // the unwarmed restart cost (~20-40 s: pack + pool + store on the
         // first call); warmServing() moves that to a boot-time background
         // thread, and THIS row proves the first wire call then serves at
@@ -1071,7 +1073,7 @@ object Bench {
           "engine_pq_10m_cold_first_call_sec" -> tCold,
           "engine_pq_10m_p50_ms" -> latEng(49),
           "engine_pq_10m_p99_ms" -> latEng(98),
-          "engine_pq_10m_refined_cold_sec" -> tSq8Cold,
+          "engine_pq_10m_refined_cold_sec" -> tSq16Cold,
           "engine_pq_10m_refined_p50_ms" -> latEngR(49),
           "engine_pq_10m_refined_p99_ms" -> latEngR(98),
           "warm_boot_warm_sec" -> tWarm,
@@ -1255,7 +1257,7 @@ object Bench {
       "pq_100k_recall10_adc_np10" -> pqRecallNp10,
       "pq_100k_recall10_refined10" -> pqRefined10,
       "pq_100k_recall10_refined50" -> pqRefined50,
-      "pq_100k_recall10_sq8_wire_refined50" -> sq8WireRecall,
+      "pq_100k_recall10_sq16_wire_refined50" -> sq16WireRecall,
       "hnsw_100k_serving_p50_ms" -> hnswServeP50,
       "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++ rates10m ++ ratesDedup
 

@@ -72,32 +72,34 @@ object GraftEngine {
   private val idPoolRegistry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
 
-  /** Per-index ceiling for the resident SQ8 rerank store (dim bytes/vec
-    * over the RAW vectors — 10M×128 ≈ 1.28 GB): its OWN budget line,
-    * deliberately not the id-pool budget — a refine store drawing on the
-    * pool budget would starve pools/tag indexes (the r7 ADVICE hazard
-    * class). Kept under the flat-array ceiling (codes are one Int-indexed
-    * byte array, ≤ ~2.1 GB). */
-  val Sq8MaxBytesDefault: Long = 1600L << 20
+  /** Per-index ceiling for the resident SQ16 rerank store (2·dim bytes/
+    * vec over the RAW vectors — 10M×128 ≈ 2.6 GB, still half the floats):
+    * its OWN budget line, deliberately not the id-pool budget — a refine
+    * store drawing on the pool budget would starve pools/tag indexes (the
+    * r7 ADVICE hazard class). uint16 rather than uint8 because the refine
+    * step's whole purpose is near-exact answers: uint8's error measurably
+    * reorders near-equidistant top-k boundaries (gauge recall 0.980 vs
+    * 0.995 exact); uint16's is 256× smaller and prices at exact. */
+  val Sq16MaxBytesDefault: Long = 3072L << 20
 
-  /** JVM-wide ceiling across ALL resident SQ8 stores — weak-keyed like
+  /** JVM-wide ceiling across ALL resident SQ16 stores — weak-keyed like
     * the other residency registries (eviction returns a share explicitly;
     * a dropped engine returns it on GC). */
-  val Sq8GlobalMaxBytes: Long = 2048L << 20
-  private val sq8Registry = java.util.Collections.synchronizedMap(
+  val Sq16GlobalMaxBytes: Long = 4096L << 20
+  private val sq16Registry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
-  private[graft] def sq8BytesUsed: Long = {
-    val it = sq8Registry.synchronized {
-      new java.util.ArrayList(sq8Registry.values())
+  private[graft] def sq16BytesUsed: Long = {
+    val it = sq16Registry.synchronized {
+      new java.util.ArrayList(sq16Registry.values())
     }
     var s = 0L
     it.forEach(v => s += v.longValue())
     s
   }
-  private[graft] def registerSq8(h: AnyRef, bytes: Long): Unit =
-    sq8Registry.put(h, java.lang.Long.valueOf(bytes))
-  private[graft] def unregisterSq8(h: AnyRef): Unit =
-    sq8Registry.remove(h)
+  private[graft] def registerSq16(h: AnyRef, bytes: Long): Unit =
+    sq16Registry.put(h, java.lang.Long.valueOf(bytes))
+  private[graft] def unregisterSq16(h: AnyRef): Unit =
+    sq16Registry.remove(h)
   private[graft] def idPoolBytesUsed: Long = {
     val it = idPoolRegistry.synchronized {
       new java.util.ArrayList(idPoolRegistry.values())
@@ -117,7 +119,7 @@ class GraftEngine(spark: SparkSession, root: String,
                   hashAllowedMinEntries: Int = 1 << 17,
                   pqServeMaxLookupsMT: Long =
                     graft.operators.IvfPq.PqServeMaxLookupsMT,
-                  sq8MaxBytes: Long = GraftEngine.Sq8MaxBytesDefault) {
+                  sq16MaxBytes: Long = GraftEngine.Sq16MaxBytesDefault) {
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -460,20 +462,30 @@ class GraftEngine(spark: SparkSession, root: String,
           Seq(mipsMaxSq).toDF("max_sq")
             .write.mode("overwrite").parquet(s"$dir/ivfpq/mips")
         }
-        // SQ8 sidecar over the RAW vectors (4× compression): the refined
-        // rows tier reranks ADC candidates against these driver-side —
-        // raw floats are past any residency budget exactly when PQ is the
-        // right algo, SQ8 is the rung between codes (M bytes) and floats.
-        // Params are global min/max over the raw corpus (ScalarQuant
-        // semantics); the rerank scores the TRUE metric on dequantized
-        // vectors, so one raw-space store serves L2/COSINE/IP alike.
-        val p8 = graft.operators.ScalarQuant.train(
+        // SQ16 sidecar over the RAW vectors (2× compression): the
+        // refined rows tier reranks ADC candidates against these
+        // driver-side — raw floats are past any residency budget exactly
+        // when PQ is the right algo; uint16 is the rung between codes
+        // (M bytes) and floats whose error prices at exact (uint8's does
+        // not on near-equidistant data — the bench gauge measures it).
+        // Params are ScalarQuant's global min/max; the encode expression
+        // keeps its portable float-then-double choreography (FLOAT
+        // subtraction, DOUBLE scale, floor(x+0.5), clamp) at 65535
+        // levels, so a SQL oracle reproduces the codes bit-exactly. The
+        // rerank scores the TRUE metric on dequantized vectors, so one
+        // raw-space store serves L2/COSINE/IP alike.
+        val p16 = graft.operators.ScalarQuant.train(
           state.select(col("vector").as("vec")))
         graft.operators.ScalarQuant.saveParams(
-          p8, s"$dir/sq8/params.json")
+          p16, s"$dir/sq16/params.json")
+        val scale16 =
+          if (p16.max > p16.min) 65535.0 / (p16.max - p16.min) else 0.0
         state.select(xxhash64(col("id")).as("id"),
-            graft.operators.ScalarQuant.encodeCol(p8)(col("vector")).as("qvec8"))
-          .write.mode("overwrite").parquet(s"$dir/sq8/codes")
+            transform(col("vector"), x =>
+              greatest(lit(0.0), least(lit(65535.0),
+                floor((x - lit(p16.min)) * lit(scale16) + lit(0.5))))
+                .cast("int")).as("qvec16"))
+          .write.mode("overwrite").parquet(s"$dir/sq16/codes")
         // centroids also at the IVF location so the cache's L2 layer can
         // probe them without knowing the algo
         idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -553,10 +565,10 @@ class GraftEngine(spark: SparkSession, root: String,
     * merge. 0 = raw ADC scores (the reference's serving behavior). */
   /** `refineStore` picks the rerank vectors when `refine` > 0: "exact"
     * (default) re-scores against the snapshot's retained raw vectors;
-    * "sq8" against the SQ8 sidecar's dequantized vectors — the SAME
+    * "sq16" against the SQ16 sidecar's dequantized vectors — the SAME
     * floats the resident rows tier reranks with, so the two tiers give
-    * one refined answer (sq8 recall ≥ 0.99 of exact on the bench gauge;
-    * the difference is the documented 4×-compression price). */
+    * one refined answer (uint16 error is below the gauge's neighbor
+    * margins: wire recall == exact rerank's on the bench gauge). */
   def search(tenant: String, index: String, queries: DataFrame, k: Int,
              metric: String = "L2", nprobe: Int = 4,
              withMeta: Boolean = false, maxScans: Int = 0,
@@ -606,11 +618,11 @@ class GraftEngine(spark: SparkSession, root: String,
     val metricU = metric.toUpperCase
     // `refine` is an IVF_PQ semantic (the plan ignores it elsewhere —
     // other algos' tails already score exactly); the refined rows tier
-    // additionally needs the resident SQ8 rerank store
+    // additionally needs the resident SQ16 rerank store
     val wantRefine = refine > 0 && m.algo == "IVF_PQ"
-    val sq8Opt: Option[graft.operators.Sq8Store] =
+    val sq16Opt: Option[graft.operators.Sq16Store] =
       if (wantRefine && m.nVectors <= RowsServeMaxRows)
-        sq8StoreOf(tenant, index, m)
+        sq16StoreOf(tenant, index, m)
       else None
     // cheap manifest gates FIRST: a dirty-head HNSW/oversized index must
     // not pay the bounded head-read job just to fall back
@@ -623,7 +635,7 @@ class GraftEngine(spark: SparkSession, root: String,
     // table memoizes None once and every later call short-circuits here.
     val algoPq = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
       pqIndexOf(tenant, index, m).packedDriver.isDefined &&
-      (!wantRefine || sq8Opt.isDefined) // refined serving needs the store
+      (!wantRefine || sq16Opt.isDefined) // refined serving needs the store
     // HNSW rows tier: graphs hold their full vectors, so residency
     // economics match IvfFlat's (bound checked before collect, memoized
     // per snapshot version — a too-big graph set memoizes None once)
@@ -668,15 +680,15 @@ class GraftEngine(spark: SparkSession, root: String,
       import spark.implicits._
       val qDf = queries.toSeq
         .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "qvec")
-      // refined fallback reranks in sq8 mode when the snapshot carries
+      // refined fallback reranks in sq16 mode when the snapshot carries
       // the sidecar, so plan and rows tiers give the SAME refined answer
       // regardless of which served; pre-sidecar snapshots rerank exact
-      val store8 =
+      val store16 =
         if (refine > 0 && m.algo == "IVF_PQ" &&
-            sq8TableExists(tenant, index, m)) "sq8"
+            sq16TableExists(tenant, index, m)) "sq16"
         else "exact"
       val rows = search(tenant, index, qDf, k, metric, nprobe,
-          refine = refine, refineStore = store8).collect()
+          refine = refine, refineStore = store16).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
       (rows, SearchTrace("plan-fallback", None, Nil,
         headLive = -1, headMasked = -1, tailRows = -1,
@@ -696,7 +708,7 @@ class GraftEngine(spark: SparkSession, root: String,
           // order) reranked EXACTLY against the resident SQ8 store —
           // rows return already masked, true-metric scored, cut at k
           pqTailRowsRefined(tenant, index, m, queries, metricU, k, refine,
-            nprobe, hs, sq8Opt.get)
+            nprobe, hs, sq16Opt.get)
         else if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
         else if (algoHnsw)
           // per-graph fetch AND global cut at kTail = k + maskInTail —
@@ -758,10 +770,10 @@ class GraftEngine(spark: SparkSession, root: String,
     * refine branch (searchImpl's IVF_PQ refine): take the plan's ADC cut
     * (post-mask top k·refine by ADC order, reproduced here as a pre-mask
     * over-fetch of k·refine + maskInTail, mask, truncate), then re-score
-    * each candidate's TRUE metric against the resident SQ8 store's
-    * dequantized vector. The dequantization is ScalarQuant.decodeCol's
-    * bit-exact driver twin and the scoring kernel is the head-parity
-    * [[IvfFlat.candidateScore]], so rows == plan(refineStore="sq8") is
+    * each candidate's TRUE metric against the resident SQ16 store's
+    * dequantized vector. The dequantization is the plan-side sq16 decode
+    * expression's bit-exact driver twin and the scoring kernel is the
+    * head-parity [[IvfFlat.candidateScore]], so rows == plan("sq16") is
     * exact, spec-pinned, ties included. Scores come out on the true
     * metric scale — no ADC fold — so the head merge compares exact with
     * exact (the refine rationale: the delta merge's score asymmetry is
@@ -770,7 +782,7 @@ class GraftEngine(spark: SparkSession, root: String,
                                 queries: Array[(Long, Array[Float])],
                                 metricU: String, k: Int, refine: Int,
                                 nprobe: Int, hs: HeadServeState,
-                                store: graft.operators.Sq8Store): Array[(Long, Int, Long, Double)] = {
+                                store: graft.operators.Sq16Store): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, _) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
     val kAdc = math.max(1, k * refine) + hs.maskInTail
@@ -790,7 +802,7 @@ class GraftEngine(spark: SparkSession, root: String,
       val reranked = cut.map { case (_, _, surr, _) =>
         val row = store.lookup(surr)
         require(row >= 0,
-          s"sq8 store missing surrogate $surr — snapshot/store version skew")
+          s"sq16 store missing surrogate $surr — snapshot/store version skew")
         (surr, IvfFlat.candidateScore(metricU, qvRaw, store.dequant(row)))
       }.toArray
       reranked.sortBy { case (surr, s) => (-s, surr) }.take(k).zipWithIndex
@@ -1257,24 +1269,28 @@ class GraftEngine(spark: SparkSession, root: String,
                 xxhash64(col("id_str")).as("id"), col("score")),
               Seq("query_id"), math.max(1, k * refine))
             .select("query_id", "id")
-          if (refineStore == "sq8") {
-            // rerank against the SQ8 sidecar's DEQUANTIZED vectors — the
-            // same floats the resident rows tier scores (decodeCol is the
-            // bit-exact twin of Sq8Store.dequant), so rows == plan holds
-            // for refined serving exactly like the unrefined tiers
-            val m8 = manifest(tenant, index)
-            require(sq8TableExists(tenant, index, m8),
-              s"$tenant/$index snapshot has no sq8 sidecar; " +
+          if (refineStore == "sq16") {
+            // rerank against the SQ16 sidecar's DEQUANTIZED vectors — the
+            // same floats the resident rows tier scores (this decode
+            // expression is the bit-exact twin of Sq16Store.dequant), so
+            // rows == plan holds for refined serving exactly like the
+            // unrefined tiers
+            val m16 = manifest(tenant, index)
+            require(sq16TableExists(tenant, index, m16),
+              s"$tenant/$index snapshot has no sq16 sidecar; " +
                 "rebuild the index or use refineStore=exact")
-            val p8 = graft.operators.ScalarQuant.loadParams(
-              s"$snap/sq8/params.json")
-            val codes8 = spark.read.parquet(s"$snap/sq8/codes")
-            strMap.join(broadcast(codes8.join(broadcast(cut), Seq("id"))),
+            val p16 = graft.operators.ScalarQuant.loadParams(
+              s"$snap/sq16/params.json")
+            val delta16 =
+              if (p16.max > p16.min) (p16.max - p16.min) / 65535.0 else 0.0
+            val codes16 = spark.read.parquet(s"$snap/sq16/codes")
+            strMap.join(broadcast(codes16.join(broadcast(cut), Seq("id"))),
                 Seq("id"))
               .join(broadcast(baseQueries), Seq("query_id"))
               .select(col("query_id"), col("id_str"),
                 graft.functions.vector_score(metric, col("qvec"),
-                  graft.operators.ScalarQuant.decodeCol(p8)(col("qvec8")))
+                  transform(col("qvec16"), c =>
+                    (lit(p16.min.toDouble) + c * lit(delta16)).cast("float")))
                   .as("score"))
           } else {
             // raw vectors are only retained in refine-era snapshots; an
@@ -1470,50 +1486,50 @@ class GraftEngine(spark: SparkSession, root: String,
       }
     })
 
-  /** Resident SQ8 rerank store per snapshot version, or None when the
-    * snapshot predates the sq8 sidecar, the vectors have mixed dims (no
+  /** Resident SQ16 rerank store per snapshot version, or None when the
+    * snapshot predates the sq16 sidecar, the vectors have mixed dims (no
     * flat layout), or the measured bytes exceed the store's OWN budgets
-    * ([[GraftEngine.Sq8MaxBytesDefault]] / Sq8GlobalMaxBytes — separate
+    * ([[GraftEngine.Sq16MaxBytesDefault]] / Sq16GlobalMaxBytes — separate
     * from the id-pool line so refine residency can't starve pools).
     * Denial memoizes; refined calls then keep the plan fallback. */
-  private val sq8StoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[graft.operators.Sq8Store]]
-  private def sq8StoreOf(tenant: String, index: String,
-                         m: Manifest): Option[graft.operators.Sq8Store] =
-    sq8StoreCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
-      if (!sq8TableExists(tenant, index, m)) None
+  private val sq16StoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[graft.operators.Sq16Store]]
+  private def sq16StoreOf(tenant: String, index: String,
+                          m: Manifest): Option[graft.operators.Sq16Store] =
+    sq16StoreCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+      if (!sq16TableExists(tenant, index, m)) None
       else {
         val codes = spark.read.parquet(
-          s"${snapDir(tenant, index, m)}/sq8/codes")
+          s"${snapDir(tenant, index, m)}/sq16/codes")
         val stats = codes.agg(count(lit(1)),
-          min(octet_length(col("qvec8"))),
-          max(octet_length(col("qvec8")))).head
+          min(size(col("qvec16"))),
+          max(size(col("qvec16")))).head
         val n = stats.getLong(0)
         if (n == 0 || stats.isNullAt(1) || stats.getInt(1) != stats.getInt(2))
           None
         else {
           val dim = stats.getInt(1)
-          val est = n * (8L + dim) + 64L
-          // flat-array ceiling: codes live in ONE Int-indexed byte array
-          if (n * dim.toLong >= Int.MaxValue - 64L || est > sq8MaxBytes ||
-              GraftEngine.sq8BytesUsed + est > GraftEngine.Sq8GlobalMaxBytes)
+          val est = n * (8L + 2L * dim) + 64L
+          // flat-array ceiling: codes live in ONE Int-indexed short array
+          if (n * dim.toLong >= Int.MaxValue - 64L || est > sq16MaxBytes ||
+              GraftEngine.sq16BytesUsed + est > GraftEngine.Sq16GlobalMaxBytes)
             None
           else {
             val p = graft.operators.ScalarQuant.loadParams(
-              s"${snapDir(tenant, index, m)}/sq8/params.json")
-            val store = graft.operators.Sq8Store.buildResident(
+              s"${snapDir(tenant, index, m)}/sq16/params.json")
+            val store = graft.operators.Sq16Store.buildResident(
               codes, dim, p.min, p.max)
-            GraftEngine.registerSq8(store, store.bytes)
+            GraftEngine.registerSq16(store, store.bytes)
             Some(store)
           }
         }
       }
     })
 
-  private def sq8TableExists(tenant: String, index: String,
-                             m: Manifest): Boolean =
+  private def sq16TableExists(tenant: String, index: String,
+                              m: Manifest): Boolean =
     Files.isDirectory(
-      Paths.get(s"${snapDir(tenant, index, m)}/sq8/codes"))
+      Paths.get(s"${snapDir(tenant, index, m)}/sq16/codes"))
 
   // tag → sorted surrogate-id array for the FILTERED rows serving tier
   // (the reference keeps per-record tags in the same process heap it
@@ -1693,7 +1709,7 @@ class GraftEngine(spark: SparkSession, root: String,
           m.algo match {
             case "IVF_PQ" =>
               pqIndexOf(tenant, index, m).packedDriver
-              sq8StoreOf(tenant, index, m) // refined-serving store
+              sq16StoreOf(tenant, index, m) // refined-serving store
             case "HNSW" => hnswGraphsOf(tenant, index, m)
             case _ => tailIndexOf(tenant, index, m).packedDriver
           }
@@ -1760,9 +1776,9 @@ class GraftEngine(spark: SparkSession, root: String,
     hnswGraphsCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep)) hnswGraphsCache.remove(k)
     }
-    sq8StoreCache.keys.toSeq.foreach { k =>
+    sq16StoreCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep))
-        sq8StoreCache.remove(k).foreach(_.foreach(GraftEngine.unregisterSq8))
+        sq16StoreCache.remove(k).foreach(_.foreach(GraftEngine.unregisterSq16))
     }
   }
 
@@ -3106,7 +3122,7 @@ class GraftEngine(spark: SparkSession, root: String,
         val base = if (tags.isEmpty) base0
           else base0.withColumn("filter_tags", typedLit(tags))
         val store8 =
-          if (m.algo == "IVF_PQ" && sq8TableExists(tenant, index, m)) "sq8"
+          if (m.algo == "IVF_PQ" && sq16TableExists(tenant, index, m)) "sq16"
           else "exact"
         val rows = search(tenant, index, base, k, metric, nprobe,
             refine = refine, refineStore = store8)

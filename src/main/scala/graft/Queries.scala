@@ -385,6 +385,63 @@ object Queries {
         round(col("score"), 6).as("score"))
   }
 
+  /** The REFINED rows serving tier (head+pqtail-refined) under the
+    * DuckDB gate: exhaustive probes + rerank-all make the sq16-refined
+    * rows answer exactly brute-force L2 over (raw query, DEQUANTIZED
+    * corpus) — reproducible in SQL because the SQ16 encode keeps the
+    * portable choreography the sq8_search oracle proved (half-up
+    * rounding, FLOAT-then-DOUBLE) at 65535 levels, and the dequantized
+    * floats are exact CAST arithmetic (mn + code·delta rounded to
+    * FLOAT). Rank-only per the accumulation-order policy (same as
+    * knn_l2). This is the query that puts the wire's REFINE answer
+    * itself — not just the plan twin the spec pins it against — under
+    * the cross-engine gate. */
+  val enginePqRefinedRows: QueryFn = (s, dir) => {
+    import s.implicits._
+    val eng = engineOn(s, dir, "IVF_PQ")
+    val n = eng.manifest("t0", "emb").nVectors
+    val qs = queriesOf(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val (rows, tr) = eng.searchRowsTraced("t0", "emb", qs, K, nprobe = 10,
+      refine = ((n + K - 1) / K).toInt)
+    require(tr.path == "head+pqtail-refined",
+      s"refined rows tier must serve this corpus, got ${tr.path}")
+    rows.toSeq.map { case (qid, rank, id, _) => (qid, rank, id.toLong) }
+      .toDF("query_id", "rank", "id")
+      .orderBy("query_id", "rank")
+  }
+
+  // dequantization mirrors Sq16Store.dequant bit-exactly: encode per
+  // sq8SearchSql's proven choreography at 65535 levels, then
+  // CAST(mn::DOUBLE + code·delta AS FLOAT), delta = (mx−mn)::DOUBLE/65535
+  val enginePqRefinedRowsSql: String =
+    s"""WITH bounds AS (
+       |  SELECT min(list_min(embedding)) AS mn, max(list_max(embedding)) AS mx
+       |  FROM embeddings
+       |), deq AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.embedding, x ->
+       |           CAST(CAST(b.mn AS DOUBLE) +
+       |             greatest(0.0, least(65535.0,
+       |               floor(CAST(x - b.mn AS DOUBLE) * (65535.0 / CAST(b.mx - b.mn AS DOUBLE)) + 0.5)))
+       |             * (CAST(b.mx - b.mn AS DOUBLE) / 65535.0)
+       |           AS FLOAT)) AS v
+       |  FROM embeddings e CROSS JOIN bounds b
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, deq.vec_id AS id,
+       |         -list_distance(deq.v::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM deq CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The assembled cache cascade as observables: cold call misses and
     * populates, warm call hits at L0 — deterministic, so fully oracled
     * (reference behaviorally: VectorCommandSet.cs:206-537). */
@@ -1029,6 +1086,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The SCALE form of the dedup recipe — star-edge candidate generation
+    * (O(bucket) per LSH bucket, the form that survives a boilerplate
+    * cluster; see TextDedup.minhashLshStarPairs) — under the same
+    * recursive-CTE oracle as [[dedupPipeline]]: on this corpus the
+    * keep-set is identical because every near-dup cluster's members are
+    * mutual near-dups of the bucket minimum, so star connectivity spans
+    * exactly the exact-pair components (TextDedupSpec pins the general
+    * clean-cluster equality; this row pins it cross-engine on the
+    * driver's corpus at the graded SFs). */
+  val dedupStarPipeline: QueryFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = TextDedup.minhashLshStarPairs(docs, n = 3, tau = 0.5)
+    val kc = TextDedup.keepCanonical(docs.select("doc_id", "lang"), pairs)
+    val sizes = kc.groupBy("canonical_id").agg(count(lit(1)).as("dup_count"))
+    kc.filter(col("keep"))
+      .join(sizes, "canonical_id")
+      .select("doc_id", "lang", "dup_count")
+      .orderBy("doc_id")
+  }
+
   val dedupPipelineSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1616,6 +1694,7 @@ object Queries {
     "hnsw_search" -> hnswSearch,
     "hnsw_rows_search" -> hnswRowsSearch,
     "engine_pq_search" -> enginePqSearch,
+    "engine_pq_refined_rows" -> enginePqRefinedRows,
     "engine_pq_cosine" -> enginePqCosine,
     "engine_pq_ip" -> enginePqIp,
     "engine_cached_search" -> engineCachedSearch,
@@ -1653,6 +1732,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_components" -> dedupComponents,
     "dedup_pipeline" -> dedupPipeline,
+    "dedup_star_pipeline" -> dedupStarPipeline,
     "span_dedup" -> spanDedup,
     "corpus_sample" -> corpusSample,
     "decontamination" -> decontamination,
@@ -1682,6 +1762,7 @@ object Queries {
     "ivf_cosine_search" -> knnCosineSql,
     "ivf_pq_search" -> knnL2Sql,
     "engine_pq_search" -> knnL2Sql,
+    "engine_pq_refined_rows" -> enginePqRefinedRowsSql,
     "engine_pq_cosine" -> knnCosineRankSql,
     "engine_pq_ip" -> knnDotSql,
     "hnsw_search" -> hnswExactSql,
@@ -1728,6 +1809,7 @@ object Queries {
     "dedup_minhash" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_pipeline" -> dedupPipelineSql,
+    "dedup_star_pipeline" -> dedupPipelineSql, // same keep-set, see scaladoc
     "dedup_simhash" -> dedupSimhashSql,
     "span_dedup" -> spanDedupSql,
     "corpus_sample" -> corpusSampleSql,

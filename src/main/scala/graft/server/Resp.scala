@@ -466,8 +466,8 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
           apiKey = Some(args(i + 1)); i += 2
         case "REFINE" =>
           // IVF_PQ rerank factor: re-score the top k*REFINE ADC
-          // candidates against the snapshot's SQ8 store (resident
-          // zero-job when the store fits; plan sq8-rerank otherwise)
+          // candidates against the snapshot's SQ16 store (resident
+          // zero-job when the store fits; plan sq16-rerank otherwise)
           require(i + 1 < args.length, "REFINE requires a value.")
           refine = args(i + 1).toIntOption.filter(_ >= 0).getOrElse(
             throw new IllegalArgumentException(

@@ -1371,7 +1371,7 @@ class EngineSpec extends SparkSpec {
     assert(rowsD2.toSeq == rowsN2.toSeq)
   }
 
-  test("refined PQ serving: rows == plan(sq8) incl. dirty head; budget denial falls back; refine-scoped cache keys") {
+  test("refined PQ serving: rows == plan(sq16) incl. dirty head; budget denial falls back; refine-scoped cache keys") {
     val root = Files.createTempDirectory("engine_refine").toString
     val eng = new GraftEngine(spark, root)
     val rng = new scala.util.Random(71)
@@ -1389,22 +1389,22 @@ class EngineSpec extends SparkSpec {
     val (rowsR, trR) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)),
       5, "L2", nprobe = 2, refine = 5)
     assert(trR.path == "head+pqtail-refined", trR)
-    assert(rowsR.map(r => (r._2, r._3, r._4)).toSeq == planRows(5, "sq8"))
-    // the refined answer beats raw ADC at ranking: top-1 of the sq8
-    // rerank must match the EXACT rerank's top-1 here (4-bit-quantized
-    // 8-dim fixture — sq8 error is far below the score gaps)
-    assert(planRows(5, "sq8").head._2 == planRows(5, "exact").head._2)
+    assert(rowsR.map(r => (r._2, r._3, r._4)).toSeq == planRows(5, "sq16"))
+    // the refined answer beats raw ADC at ranking: top-1 of the sq16
+    // rerank must match the EXACT rerank's top-1 here (uint16 error is
+    // far below the fixture's score gaps)
+    assert(planRows(5, "sq16").head._2 == planRows(5, "exact").head._2)
     // dirty head: upsert after build — head merge on both tiers
     eng.upsert(mkRecords(Seq(
       ("v0", qv.map(x => x * 0.99f).toSeq, null, Seq.empty[String], 200L))))
     val (rowsD, trD) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)),
       5, "L2", nprobe = 2, refine = 5)
     assert(trD.path == "head+pqtail-refined", trD)
-    assert(rowsD.map(r => (r._2, r._3, r._4)).toSeq == planRows(5, "sq8"))
+    assert(rowsD.map(r => (r._2, r._3, r._4)).toSeq == planRows(5, "sq16"))
     assert(rowsD.exists(_._3 == "v0"), "upserted near-query vector must hit")
-    // budget denial: an engine whose sq8 budget admits nothing serves the
-    // refined answer via the plan fallback — same rows, different path
-    val denied = new GraftEngine(spark, root, sq8MaxBytes = 16L)
+    // budget denial: an engine whose sq16 budget admits nothing serves
+    // the refined answer via the plan fallback — same rows, different path
+    val denied = new GraftEngine(spark, root, sq16MaxBytes = 16L)
     val (rowsF, trF) = denied.searchRowsTraced("t1", "idx", Array((1L, qv)),
       5, "L2", nprobe = 2, refine = 5)
     assert(trF.path == "plan-fallback", trF)

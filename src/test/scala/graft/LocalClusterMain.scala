@@ -105,11 +105,11 @@ object LocalClusterMain {
       rows.map(r => (r._2, r._3, r._4)).toSeq == planRows
     }
     val planRefined = eng.search("t1", "idx", qDf, 5, "L2", nprobe = 4,
-        refine = 5, refineStore = "sq8")
+        refine = 5, refineStore = "sq16")
       .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
     val (rowsR, trR) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)), 5,
       "L2", nprobe = 4, refine = 5)
-    check(s"engine REFINED rows == plan(sq8) across JVMs (path=${trR.path})") {
+    check(s"engine REFINED rows == plan(sq16) across JVMs (path=${trR.path})") {
       rowsR.map(r => (r._2, r._3, r._4)).toSeq == planRefined
     }
     val planFiltered = eng.search("t1", "idx",
