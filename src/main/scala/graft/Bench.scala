@@ -644,6 +644,62 @@ object Bench {
         wireFilt(99), wireFilt(197))
     }
 
+    // Sidecar decision loop on the bench (r7 optional item 8): the
+    // engine-side halves of the reference's 10 s reporter loop
+    // (SidecarMetricsReporter.cs:52-110 → DynamicPolicyEngine.cs:31-45)
+    // measured against a warm serving state — `sidecar_tick_ms` is the
+    // per-tick cost the loop thread pays (publish live counters + read/
+    // apply the newest policy frame), `policy_apply_lag_ms` the wall
+    // time from a policy frame LANDING in the contract dir to the
+    // engine serving under its TTL. Both must be ~ms-scale so the 10 s
+    // cadence — not the engine — stays the only real decision lag.
+    val (sidecarTickMs, policyApplyLagMs) = {
+      val scRoot = tempDir("bench_sidecar_engine")
+      val contract = tempDir("bench_sidecar_contract")
+      val engSc = new GraftEngine(spark, scRoot)
+      engSc.upsert(spark.range(2000)
+        // vector BEFORE the string alias: a same-select reference to
+        // "id" resolves to the LATERAL alias (the new string), not the
+        // child's bigint — and casts "s42" to BIGINT at runtime
+        .withColumn("vector", transform(sequence(lit(1), lit(16)), i =>
+          (pmod(xxhash64(col("id") * 16 + i), lit(1000)) / 500.0 - 1.0)
+            .cast("float")))
+        .select(concat(lit("s"), col("id")).as("id"), col("vector"))
+        .withColumn("meta", lit(null).cast("string"))
+        .withColumn("tags", lit(null).cast("array<string>"))
+        .withColumn("updated_at", lit(100L))
+        .withColumn("tenant_id", lit("t9"))
+        .withColumn("index_name", lit("sc")))
+      engSc.build("t9", "sc", nlist = 4)
+      val rngSc = new java.util.Random(7)
+      (0 until 200).foreach { i => // all misses → miss-rate 1 → ttl 300
+        engSc.searchCachedRows("t9", "sc", 1000L + i,
+          Array.fill(16)(rngSc.nextFloat()), k = 5, nprobe = 2,
+          now = 1000L + i)
+      }
+      val loop = new graft.streaming.SidecarLoop(engSc, spark, contract)
+      val tickRuns = (1 to 3).map(w => timeOnce(loop.tick(w.toLong)))
+      System.err.println("# bench-runs sidecar_tick " +
+        tickRuns.map(r => f"$r%.4f").mkString(" "))
+      // the sidecar's half (heuristic decision) runs out-of-band; the
+      // measured lag starts when its frame lands in the contract dir
+      val pol = graft.streaming.Policy.heuristic(
+          graft.streaming.SidecarContract.readMetrics(spark, contract, 1L)
+            .drop("window"))
+        .drop("miss_rate", "aggressive").cache()
+      pol.count()
+      val t0 = System.nanoTime()
+      graft.streaming.SidecarContract.writePolicies(pol, contract, 5L)
+      loop.tick(6L)
+      val lagMs = (System.nanoTime() - t0) / 1e6
+      require(engSc.servingTtl("t9") == 300,
+        s"policy must be live after the tick, ttl=${engSc.servingTtl("t9")}")
+      pol.unpersist()
+      System.err.println(f"# bench-runs policy_apply_lag_ms $lagMs%.3f")
+      scrubOne(scRoot); scrubOne(contract)
+      (tickRuns.min * 1000.0, lagMs)
+    }
+
     // Write-heavy delta serving (reference: 5k vectors dim 32, load then
     // concurrent search 1,860.8 QPS / P99 5.7 ms over Head+Tail,
     // 20260112_phase6_summary.md:17-25). Batch analog: build over 5k,
@@ -1237,6 +1293,8 @@ object Bench {
       "resp_miss_filtered_p99_ms" -> respFiltP99,
       "ivf_500k_p50_ms" -> lat500(49),
       "ivf_500k_p99_ms" -> lat500(98),
+      "sidecar_tick_ms" -> sidecarTickMs,
+      "policy_apply_lag_ms" -> policyApplyLagMs,
       "delta_head_p50_ms" -> deltaP50,
       "delta_head_p99_ms" -> deltaP99,
       "delta_head_qps" -> deltaQps,

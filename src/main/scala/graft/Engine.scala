@@ -893,10 +893,18 @@ class GraftEngine(spark: SparkSession, root: String,
     * index/batch is outside the rows-tier gates (HNSW, non-resident PQ,
     * oversized corpus or head, top-k budget) — the caller keeps the
     * always-correct distributed filtered plan. */
+  /** `hnswBeam = true` opts a FILTERED call on an HNSW index into the
+    * FILTER-DURING-BEAM semantics ([[graft.operators.Hnsw.searchLocalRowsFiltered]])
+    * — a NEW capability flag, not reference parity: the default keeps
+    * the batch plan's fetch-k×10-then-filter (which the reference's
+    * post-filter shape demands and the F1 parity spec pins). Beam mode
+    * is resident-only; outside the rows gates the call falls back to
+    * the plan's post-filter semantics (callers see that in the trace). */
   private[graft] def searchRowsFilteredTraced(
       tenant: String, index: String,
       queries: Array[(Long, Array[Float])], k: Int,
-      metric: String, nprobe: Int, tags: Seq[String])
+      metric: String, nprobe: Int, tags: Seq[String],
+      hnswBeam: Boolean = false)
       : Option[(Array[(Long, Int, String, Double)], SearchTrace)] = {
     if (tags.isEmpty)
       return Some(searchRowsTraced(tenant, index, queries, k, metric, nprobe))
@@ -911,15 +919,22 @@ class GraftEngine(spark: SparkSession, root: String,
     // scan kernel takes the same sorted allowed set)
     val algoPq = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
       pqIndexOf(tenant, index, m).packedDriver.isDefined
+    // beam-filtered HNSW: resident graphs + the same tag index
+    val hnswGraphsB: Option[Array[(Int, graft.operators.Hnsw.Graph)]] =
+      if (hnswBeam && m.algo == "HNSW" && m.nVectors <= RowsServeMaxRows)
+        hnswGraphsOf(tenant, index, m)
+      else None
+    val algoHnswBeam = hnswGraphsB.isDefined
     val poolOpt: Option[IdPool] =
-      if (algoFlat || algoPq) idPoolOf(tenant, index, m) else None
+      if (algoFlat || algoPq || algoHnswBeam) idPoolOf(tenant, index, m)
+      else None
     // the resident tag index shares the id pool's budgets; denial keeps
     // the distributed filtered plan
     val tagIdxOpt: Option[Map[String, Array[Long]]] =
-      if ((algoFlat || algoPq) && poolOpt.isDefined)
+      if ((algoFlat || algoPq || algoHnswBeam) && poolOpt.isDefined)
         tagSurrogatesOf(tenant, index, m)
       else None
-    val algoOk = (algoFlat || algoPq) && poolOpt.isDefined &&
+    val algoOk = (algoFlat || algoPq || algoHnswBeam) && poolOpt.isDefined &&
       tagIdxOpt.isDefined
     val headState: Option[HeadServeState] =
       if (!algoOk) None
@@ -972,7 +987,7 @@ class GraftEngine(spark: SparkSession, root: String,
       // (snapshot, tag) — the scan then tests a sequential bit instead
       // of probing any table at all
       val allowedBits: Array[Array[Long]] =
-        if (allowedHash == null) null
+        if (allowedHash == null || algoHnswBeam) null // graphs: no parts
         else if (algoPq)
           tagRowBitsOf(tenant, index, m, tags.head,
             pqIndexOf(tenant, index, m).packedDriver.get.map(_.ids),
@@ -985,6 +1000,14 @@ class GraftEngine(spark: SparkSession, root: String,
         }
       val tailRowsOpt: Option[Array[(Long, Int, Long, Double)]] =
         if (allowed.isEmpty) Some(Array.empty[(Long, Int, Long, Double)])
+        else if (algoHnswBeam)
+          // beam-filtered semantics: members-only beam over the resident
+          // graphs — k members come back whenever reachable, where the
+          // parity post-filter keeps at most the members surviving the
+          // unfiltered k×10 cut
+          Some(graft.operators.Hnsw.searchLocalRowsFiltered(
+            hnswGraphsB.get, queries, kTail, efSearch = 50,
+            allowedSorted = allowed, allowedHash = allowedHash))
         else if (algoPq)
           // resident-only: None (probed work past the scan bounds) falls
           // back to the distributed filtered plan via the early return —
@@ -1017,7 +1040,9 @@ class GraftEngine(spark: SparkSession, root: String,
           }
       }
       Some((rows, SearchTrace(
-        if (algoPq) "head+pqtail-filtered" else "head+tail-filtered", None, Nil,
+        if (algoHnswBeam) "head+hnswtail-filtered-beam"
+        else if (algoPq) "head+pqtail-filtered"
+        else "head+tail-filtered", None, Nil,
         headLive = hs.liveVecs.length, headMasked = hs.maskSurrogates.size,
         tailRows = tailRows.length,
         totalMicros = (System.nanoTime() - tTrace0) / 1000L)))
@@ -1809,8 +1834,14 @@ class GraftEngine(spark: SparkSession, root: String,
     * when present, the index tail's own centroids otherwise. */
   private def l2CentroidsLocal(tenant: String, index: String,
                                m: Manifest): Array[(Int, Array[Float])] =
-    cacheCentroidOverride(tenant, index)
-      .getOrElse(centroidsLocalOf(tenant, index, m))
+    cacheCentroidOverride(tenant, index).getOrElse {
+      // HNSW snapshots have no centroid table (graphs carry no coarse
+      // clustering) — the L2 cache layer simply contributes no probe
+      // keys there; L0/L0.5/L1 still serve. A pushed semantic-cluster
+      // model (the override above) re-enables L2 for any algo.
+      if (m.algo == "HNSW") Array.empty
+      else centroidsLocalOf(tenant, index, m)
+    }
 
   /** Install an externally trained semantic-cluster model for the L2 cache
     * layer (reference: POST /v1/indexes/{t}/{i}/centroids). Changing the
@@ -2971,10 +3002,11 @@ class GraftEngine(spark: SparkSession, root: String,
                        nprobe: Int = 4, now: Long = 0L, ttlSeconds: Int = 60,
                        tags: Seq[String] = Nil,
                        cacheMemoryMb: Int = Int.MaxValue,
-                       refine: Int = 0)
+                       refine: Int = 0, hnswBeam: Boolean = false)
       : (String, Array[(Int, String, Double)]) = {
     val (layer, rows, _) = searchCachedRowsTraced(tenant, index, queryId,
-      qvec, k, metric, nprobe, now, ttlSeconds, tags, cacheMemoryMb, refine)
+      qvec, k, metric, nprobe, now, ttlSeconds, tags, cacheMemoryMb, refine,
+      hnswBeam)
     (layer, rows)
   }
 
@@ -2986,18 +3018,24 @@ class GraftEngine(spark: SparkSession, root: String,
                              nprobe: Int = 4, now: Long = 0L,
                              ttlSeconds: Int = 60, tags: Seq[String] = Nil,
                              cacheMemoryMb: Int = Int.MaxValue,
-                             refine: Int = 0)
+                             refine: Int = 0, hnswBeam: Boolean = false)
       : (String, Array[(Int, String, Double)], SearchTrace) = {
     val tTrace0 = System.nanoTime()
     import graft.operators.Caching
     val m = manifest(tenant, index)
     val metricU = metric.toUpperCase
-    // refined answers live under their OWN key space: the refine scope
-    // rides the metric component (keys stay within the 6-part queryKey
-    // contract, every existing key is untouched at refine = 0), so a
-    // refined entry can never serve an unrefined call or vice versa —
-    // they are different answers by design
-    val metricKey = if (refine > 0) s"$metric#refine=$refine" else metric
+    // beam-filtered HNSW is only a different ANSWER when a filter is on
+    val beam = hnswBeam && tags.nonEmpty && m.algo == "HNSW"
+    // refined / beam-filtered answers live under their OWN key space:
+    // the semantics scope rides the metric component (keys stay within
+    // the 6-part queryKey contract, every existing key is untouched for
+    // default calls), so a refined or beam entry can never serve a
+    // default call or vice versa — they are different answers by design
+    val metricKey = {
+      val r = if (refine > 0) s"#refine=$refine" else ""
+      val b = if (beam) "#hnswbeam" else ""
+      s"$metric$r$b"
+    }
     def keyOf(layerKey: Long): Long =
       Caching.queryKeyLocal(tenant, index, k, metricKey, tags, layerKey)
     val l0 = keyOf(Caching.l0LayerKeyLocal(qvec, k))
@@ -3058,7 +3096,7 @@ class GraftEngine(spark: SparkSession, root: String,
               metric, nprobe, refine))
           else if (refine > 0) None // filtered+refined: plan-only below
           else searchRowsFilteredTraced(tenant, index, Array((queryId, qvec)),
-            k, metric, nprobe, tags)
+            k, metric, nprobe, tags, hnswBeam = beam)
         rowsNative match {
           case Some((rows0, tr)) =>
         val hits = rows0.map { case (_, r, id, s) => (r, id, s) }.sortBy(_._1)
@@ -3112,11 +3150,14 @@ class GraftEngine(spark: SparkSession, root: String,
             headLive = tr.headLive, headMasked = tr.headMasked,
             tailRows = tr.tailRows,
             totalMicros = (System.nanoTime() - tTrace0) / 1000L))
-          case None if refine > 0 =>
-        // refined call outside the rows gates: serve the plan directly
-        // and SKIP cache population — the batch cascade's column-side
-        // keys carry no refine scope, so populating through it would
-        // collide refined answers with unrefined keys
+          case None if refine > 0 || beam =>
+        // refined (or beam-requested-but-unservable) call outside the
+        // rows gates: serve the plan directly and SKIP cache population
+        // — the batch cascade's column-side keys carry no semantics
+        // scope, so populating through it would collide scoped answers
+        // with default keys. A beam call lands here only when the
+        // resident graphs/tag index are unavailable; the plan answer is
+        // the documented post-filter fallback semantics.
         import spark.implicits._
         val base0 = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
         val base = if (tags.isEmpty) base0

@@ -62,15 +62,32 @@ object Hnsw {
     }
 
     /** Beam search on one layer: returns up to ef (node, dist) closest. */
-    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] =
+      searchLayerFiltered(q, ep, ef, level, null)
+
+    /** [[searchLayer]] with an optional MEMBERSHIP filter (null = none):
+      * the beam TRAVERSES every node — non-members still route the walk,
+      * exactly like hnswlib/FAISS filter functors, or a sparse filter
+      * would disconnect the graph — but only members enter the RESULT
+      * set, and the ef bound applies to members. Termination keeps the
+      * classic rule (closest candidate worse than the worst of ef
+      * results); while fewer than ef members are found the beam keeps
+      * expanding, degrading toward a component scan under very selective
+      * filters — the honest cost of filtered ANN, bounded by the
+      * resident graph's size. */
+    private def searchLayerFiltered(q: Array[Float], ep: Int, ef: Int,
+                                    level: Int,
+                                    member: Int => Boolean): mutable.ArrayBuffer[(Int, Double)] = {
       val visited = mutable.HashSet(ep)
       val epD = dist(q, vecs(ep))
-      // candidates: closest-first; results: farthest-first bounded ef
+      // candidates: closest-first over ALL nodes; results: farthest-first
+      // bounded ef over MEMBERS only
       val cand = mutable.PriorityQueue((epD, ep))(Ordering.by(-_._1))
-      val res = mutable.PriorityQueue((epD, ep))(Ordering.by(_._1))
+      val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+      if (member == null || member(ep)) res.enqueue((epD, ep))
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) { cand.clear() }
+        if (res.size >= ef && cd > res.head._1) { cand.clear() }
         else {
           val adj = layers(level)(c)
           var i = 0
@@ -80,8 +97,10 @@ object Hnsw {
               val d = dist(q, vecs(n))
               if (res.size < ef || d < res.head._1) {
                 cand.enqueue((d, n))
-                res.enqueue((d, n))
-                if (res.size > ef) res.dequeue()
+                if (member == null || member(n)) {
+                  res.enqueue((d, n))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
             i += 1
@@ -151,7 +170,16 @@ object Hnsw {
     }
 
     /** Top-k (id, score) with score = -distance (higher better). */
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] =
+      searchFiltered(q, k, ef, null)
+
+    /** [[search]] with an optional surrogate-id membership filter: the
+      * FILTER-DURING-BEAM semantics (results are the k closest MEMBERS
+      * the beam reaches; non-members still route the walk). The greedy
+      * upper-layer descent stays unfiltered — it only picks the layer-0
+      * entry point, exactly as filter functors do it. */
+    def searchFiltered(q: Array[Float], k: Int, ef: Int,
+                       member: Long => Boolean): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
       var ep = entry
       var lc = maxLevel
@@ -170,7 +198,9 @@ object Hnsw {
         }
         lc -= 1
       }
-      searchLayer(q, ep, math.max(ef, k), 0)
+      val nodeMember: Int => Boolean =
+        if (member == null) null else (n: Int) => member(ids(n))
+      searchLayerFiltered(q, ep, math.max(ef, k), 0, nodeMember)
         .take(k).map { case (n, d) => (ids(n), -d) }.toSeq
     }
   }
@@ -342,6 +372,43 @@ object Hnsw {
         rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
           .map { case ((_, id, s), r) => (qid, r + 1, id, s) }
       }.toArray
+
+  /** Tag-FILTERED resident serving with FILTER-DURING-BEAM semantics —
+    * a NEW capability flag, deliberately NOT the batch plan's
+    * fetch-k×10-then-filter (which is reference parity and stays the
+    * default): the beam traverses every node but only admissible ids
+    * enter the ef-bounded result set, so a SELECTIVE filter still
+    * returns k members whenever they are reachable — where post-filter
+    * keeps at most the members that happened to survive the unfiltered
+    * k×10 cut and comes up short or empty. Costs degrade toward a
+    * component scan as selectivity → 0 (the honest filtered-ANN trade,
+    * bounded by the resident graph). Membership via the same
+    * sorted-array / LongHashSet ladder as the IVF kernels. */
+  def searchLocalRowsFiltered(graphs: Array[(Int, Graph)],
+                              queries: Array[(Long, Array[Float])],
+                              k: Int, efSearch: Int,
+                              allowedSorted: Array[Long],
+                              allowedHash: LongHashSet = null): Array[(Long, Int, Long, Double)] = {
+    if (queries.isEmpty || graphs.isEmpty) return Array.empty
+    val member: Long => Boolean =
+      if (allowedHash != null) allowedHash.contains
+      else id => java.util.Arrays.binarySearch(allowedSorted, id) >= 0
+    val out = new Array[Array[(Long, Long, Double)]](queries.length)
+    val idxs = java.util.stream.IntStream.range(0, queries.length)
+    val body = { (qi: Int) =>
+      val (qid, qv) = queries(qi)
+      out(qi) = graphs.iterator.flatMap { case (_, g) =>
+        g.searchFiltered(qv, k, efSearch, member).iterator
+          .map { case (id, s) => (qid, id, s) }
+      }.toArray
+    }
+    if (queries.length >= 4) idxs.parallel().forEach(qi => body(qi))
+    else idxs.forEach(qi => body(qi))
+    out.flatten.groupBy(_._1).iterator.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((_, id, s), r) => (qid, r + 1, id, s) }
+    }.toArray
+  }
 
   /** The per-(query, graph) top-k pool WITHOUT the global cut —
     * (query_id, id, score) rows, exactly the candidate set the

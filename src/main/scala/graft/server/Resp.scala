@@ -117,7 +117,7 @@ object Resp {
   *   VEC.DEL    tenant index id [API_KEY <key>]
   *   VEC.SEARCH tenant index TOPK <k> VECTOR <payload> [FILTER <tags>]
   *              [WITH_META] [TRACE] [REQUEST_ID <r>] [CACHE_HINT force]
-  *              [API_KEY <key>] [REFINE <r>]
+  *              [API_KEY <key>] [REFINE <r>] [FILTER_MODE post|beam]
   *   VEC.STATS  tenant index
   *   AUTH       tenant key          (session auth, Security/SessionAuthContext)
   *   PING / QUIT
@@ -430,7 +430,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
                                vector: Array[Float], filterTags: Seq[String],
                                withMeta: Boolean, trace: Boolean,
                                requestId: Option[String], apiKey: Option[String],
-                               refine: Int)
+                               refine: Int, hnswBeam: Boolean)
 
   private def parseSearch(args: Seq[String]): SearchReq = {
     require(args.length >= 6,
@@ -446,6 +446,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     var requestId: Option[String] = None
     var apiKey: Option[String] = None
     var refine = 0
+    var hnswBeam = false
     var i = 6
     while (i < args.length) {
       args(i).toUpperCase match {
@@ -473,11 +474,23 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
             throw new IllegalArgumentException(
               "REFINE must be a non-negative integer."))
           i += 2
+        case "FILTER_MODE" =>
+          // HNSW + FILTER semantics: "post" (default — the reference's
+          // fetch-k*10-then-filter parity shape) or "beam"
+          // (filter-during-beam: k members whenever reachable)
+          require(i + 1 < args.length, "FILTER_MODE requires a value.")
+          args(i + 1).toLowerCase match {
+            case "beam" => hnswBeam = true
+            case "post" => hnswBeam = false
+            case other => throw new IllegalArgumentException(
+              s"FILTER_MODE must be 'post' or 'beam', got '$other'.")
+          }
+          i += 2
         case other => throw new IllegalArgumentException(s"Unknown token '$other'.")
       }
     }
     SearchReq(tenant, index, k, parseVector(payload), filterTags, withMeta,
-      trace, requestId, apiKey, refine)
+      trace, requestId, apiKey, refine, hnswBeam)
   }
 
   private def handleSearch(args: Seq[String], sessionTenant: Option[String],
@@ -534,7 +547,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
           cacheMemoryMb =
             if (mgmt.tenantExists(r.tenant)) mgmt.quota(r.tenant).cacheMemoryMb
             else Int.MaxValue,
-          refine = r.refine)
+          refine = r.refine, hnswBeam = r.hnswBeam)
         if (r.trace) writeArrayHeader(out, 2)
         writeArrayHeader(out, hits.length)
         hits.foreach { case (_, id, score) =>

@@ -224,8 +224,24 @@ class ConcurrencySpec extends SparkSpec {
       eng.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
     }, "algo-writer")
 
+    // REFINED readers race the same writes/rebuild: the sq16 store is a
+    // third per-version resident (own registry) the version swap must
+    // evict and rebuild coherently with the codes it reranks
+    val refinedReaders = (1 to 2).map { t =>
+      new Thread(() => {
+        start.await(60, TimeUnit.SECONDS)
+        (1 to 8).foreach { _ =>
+          val rows = eng.searchRows("t1", "pq", qs, k = 5, nprobe = 2,
+            refine = 4)
+          assert(rows.length == 5)
+          assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to 5))
+          assert(rows.map(_._3).distinct.length == 5)
+        }
+      }, s"pq-refined-reader-$t")
+    }
+
     start.countDown()
-    val errs = runAll(readers :+ writer)
+    val errs = runAll(readers ++ refinedReaders :+ writer)
     assert(errs.isEmpty, s"concurrent tier serving threw: ${errs.map(_.toString)}")
     // quiesced: both resident tiers equal their batch plans again
     for (index <- Seq("pq", "hn")) {
@@ -236,6 +252,14 @@ class ConcurrencySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
       assert(fast.sortBy(_._2).toSeq == slow.sortBy(_._2).toSeq, index)
     }
+    // refined quiescence: rows == plan(sq16) after the rebuild settled
+    val fastR = eng.searchRows("t1", "pq", qs, k = 5, nprobe = 2, refine = 4)
+    val slowR = eng.search("t1", "pq",
+        Seq((0L, qs(0)._2.toSeq)).toDF("query_id", "qvec"), 5, nprobe = 2,
+        refine = 4, refineStore = "sq16")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(fastR.sortBy(_._2).toSeq == slowR.sortBy(_._2).toSeq)
   }
 
   test("filtered tiers (tag index + hash + bitmaps) stay well-formed under writes and a rebuild") {

@@ -1426,6 +1426,69 @@ class EngineSpec extends SparkSpec {
       eng.searchRows("t1", "idx", Array((12L, qv)), 5, "L2", 2).nonEmpty)
   }
 
+  test("beam-filtered HNSW: new semantics flag returns reachable members the parity post-filter loses; scoped cache keys") {
+    val root = Files.createTempDirectory("engine_hnswbeam").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(101)
+    // 56 untagged records near the query; 4 "rare" members far away —
+    // the parity plan (fetch k×10 = 30 < 56 near rows, then filter)
+    // comes up empty; the beam must return all 4 reachable members
+    val near = (0 until 56).map(i =>
+      (s"n$i", Seq.fill(8)(0.1f + rng.nextFloat() * 0.1f), null: String,
+        Seq.empty[String], 100L))
+    val far = (0 until 4).map(i =>
+      (s"r$i", Seq.fill(8)(0.9f + rng.nextFloat() * 0.1f), null: String,
+        Seq("rare"), 100L))
+    eng.add(mkRecords(near ++ far))
+    eng.build("t1", "idx", nlist = 1, algo = "HNSW")
+    val qv = Array.fill(8)(0.15f)
+    // parity semantics (the default): fetch-k×10-then-filter loses them
+    val planF = eng.search("t1", "idx", q(1L, qv.toSeq, Seq("rare")), 3,
+      nprobe = 1).collect()
+    assert(planF.isEmpty,
+      s"fixture broken: post-filter should lose the far members, got ${planF.length}")
+    // default rows path keeps parity with the plan (HNSW filtered stays
+    // on the batch plan → None)
+    assert(eng.searchRowsFilteredTraced("t1", "idx", Array((1L, qv)), 3,
+      "L2", 1, Seq("rare")).isEmpty)
+    // the NEW semantics flag: beam-filtered resident serving
+    val beam = eng.searchRowsFilteredTraced("t1", "idx", Array((1L, qv)), 3,
+      "L2", 1, Seq("rare"), hnswBeam = true)
+    assert(beam.isDefined, "beam mode must serve a resident HNSW index")
+    assert(beam.get._2.path == "head+hnswtail-filtered-beam", beam.get._2)
+    val beamIds = beam.get._1.map(_._3).toSet
+    assert(beam.get._1.length == 3 && beamIds.subsetOf(Set("r0", "r1", "r2", "r3")),
+      beam.get._1.toSeq)
+    // exact against brute force over the members (ef=50 ≥ corpus: the
+    // beam explores the whole component)
+    val exact = far.map { case (id, v, _, _, _) =>
+      (id, graft.operators.IvfFlat.candidateScore("L2", qv, v.toArray))
+    }.sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(beam.get._1.map(r => (r._3, r._4)).toSeq == exact.toSeq)
+    // head tags win on the beam path too: re-tag a near record as rare —
+    // it is FAR closer than the far members and must now rank first
+    eng.upsert(mkRecords(Seq(
+      ("n0", near.head._2, null, Seq("rare"), 200L))))
+    val beam2 = eng.searchRowsFilteredTraced("t1", "idx", Array((1L, qv)), 3,
+      "L2", 1, Seq("rare"), hnswBeam = true)
+    assert(beam2.isDefined && beam2.get._1.head._3 == "n0", beam2.get._1.toSeq)
+    // cached: beam entries live under their own key scope — a beam MISS
+    // populates, repeats hit, and a default (post) call never aliases it
+    val (mB, rowsB, trB) = eng.searchCachedRowsTraced("t1", "idx", 10L, qv,
+      k = 3, nprobe = 1, now = 1000L, tags = Seq("rare"), hnswBeam = true)
+    assert(mB == "MISS" && trB.headLive >= 0, s"$mB $trB")
+    assert(rowsB.head._2 == "n0")
+    val (hB, rowsB2, _) = eng.searchCachedRowsTraced("t1", "idx", 10L, qv,
+      k = 3, nprobe = 1, now = 1001L, tags = Seq("rare"), hnswBeam = true)
+    assert(hB == "L0" && rowsB2.toSeq == rowsB.toSeq)
+    val (mP, rowsP, _) = eng.searchCachedRowsTraced("t1", "idx", 11L, qv,
+      k = 3, nprobe = 1, now = 1002L, tags = Seq("rare"))
+    assert(mP == "MISS", "post-mode call must not hit a beam-scoped entry")
+    // post semantics answer: n0 (head re-tag visible to the plan) — but
+    // the far members stay lost to the k×10 cut
+    assert(rowsP.map(_._2).toSet.subsetOf(Set("n0")), rowsP.toSeq)
+  }
+
   test("over-budget filtered PQ: sentinel keeps the distributed filtered plan instead of throwing") {
     val root = Files.createTempDirectory("engine_pqftbudget").toString
     // MT lookup bound of 0: EVERY resident filtered PQ scan is over

@@ -93,4 +93,67 @@ class HnswSpec extends SparkSpec {
     }
     assert(rs == rs.sorted, s"not monotone: $rs")
   }
+
+  test("beam-filtered search: exact config == brute force over MEMBERS; full filter == unfiltered") {
+    val rng = new Random(77)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rng.nextFloat()))).toDF("id", "vec")
+    val graphs = Hnsw.build(vecs, "L2", m = 32, efConstruction = 256,
+      numPartitions = 1).collect()
+    val qs = Array.tabulate(4)(i =>
+      (i.toLong, Array.fill(dim)(rng.nextFloat())))
+    val allowed = (0L until 200L).filter(_ % 3 == 0).toArray
+    // ef >= n: the filtered beam explores the whole component, so the
+    // answer must be EXACT brute force over the member set
+    val got = Hnsw.searchLocalRowsFiltered(graphs, qs, 10, efSearch = 256,
+      allowedSorted = allowed)
+    val raw = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bySet = allowed.toSet
+    qs.foreach { case (qid, qv) =>
+      val exact = raw.filter(v => bySet.contains(v._1))
+        .map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = qv(i).toDouble - v(i); s += d * d; i += 1 }
+          (id, -s)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(mine == exact.toSeq, s"q$qid beam != member brute force")
+      assert(mine.forall(h => bySet.contains(h._1)))
+    }
+    // member == everyone: identical to the unfiltered beam
+    val all = (0L until 200L).toArray
+    val gotAll = Hnsw.searchLocalRowsFiltered(graphs, qs, 10, efSearch = 256,
+      allowedSorted = all)
+    val unf = Hnsw.searchLocalRows(graphs, qs, 10, efSearch = 256)
+    assert(gotAll.toSeq == unf.toSeq)
+  }
+
+  test("beam-filtered search finds far members a post-filter cut loses") {
+    // 195 non-members cluster near the query; 5 members sit in the far
+    // corner. The parity semantics (fetch k*10 unfiltered, then filter)
+    // keeps NOTHING — every unfiltered top-50 hit is a non-member; the
+    // beam admits only members into the result set and returns all 5.
+    val rng = new Random(91)
+    val near = (0 until 195).map(i =>
+      (i.toLong, Seq.fill(dim)(0.1f + rng.nextFloat() * 0.1f)))
+    val far = (195 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(0.9f + rng.nextFloat() * 0.1f)))
+    val vecs = (near ++ far).toDF("id", "vec")
+    val graphs = Hnsw.build(vecs, "L2", m = 16, efConstruction = 200,
+      numPartitions = 1).collect()
+    val q = Array((1L, Array.fill(dim)(0.15f)))
+    val members = (195L until 200L).toArray
+    val beam = Hnsw.searchLocalRowsFiltered(graphs, q, 5, efSearch = 50,
+      allowedSorted = members)
+    assert(beam.length == 5, s"beam must return all 5 members, got ${beam.length}")
+    assert(beam.map(_._3).toSet == members.toSet)
+    // the post-filter shape on the same graph: top-50 unfiltered ∩ members
+    val post = Hnsw.searchLocalRows(graphs, q, 50, efSearch = 50)
+      .filter(r => members.contains(r._3))
+    assert(post.isEmpty,
+      s"fixture broken: post-filter should lose the far members, got ${post.length}")
+  }
 }
