@@ -1731,12 +1731,26 @@ class GraftEngine(spark: SparkSession, root: String,
       try {
         val m = manifest(tenant, index)
         if (m.version > 0) {
+          // force EVERY lazy the first serving call would pay, not just
+          // the big packed collects: clusterCounts is a corpus-wide
+          // groupBy job (~2.4 s at the 10M rung — measured as exactly
+          // the residue the r8 warm-boot bench row exposed when warm
+          // only touched packedDriver), centroidsLocal a small collect
           m.algo match {
             case "IVF_PQ" =>
-              pqIndexOf(tenant, index, m).packedDriver
+              val pq = pqIndexOf(tenant, index, m)
+              pq.packedDriver
+              pq.centroidsLocal
+              pq.clusterCounts
+              pq.sizeStats
               sq16StoreOf(tenant, index, m) // refined-serving store
             case "HNSW" => hnswGraphsOf(tenant, index, m)
-            case _ => tailIndexOf(tenant, index, m).packedDriver
+            case _ =>
+              val tail = tailIndexOf(tenant, index, m)
+              tail.packedDriver
+              tail.centroidsLocal
+              tail.clusterCounts
+              tail.sizeStats
           }
           if (m.nVectors <= RowsServeMaxRows) idPoolOf(tenant, index, m)
           ok += 1
