@@ -1047,9 +1047,15 @@ object Bench {
         val engRoot = tempDir("bench_engine10m")
         val eng = new GraftEngine(spark, engRoot)
         val recs10m = synth10m.select(
-          concat(lit("v"), col("id")).as("id"), col("vec").as("vector"))
+          concat(lit("v"), col("id")).as("id"), col("vec").as("vector"),
+          // two independent LARGE tag families so the FILTERED rows
+          // below exercise real half- and third-corpus allowed sets —
+          // and their conjunction (≡ 0 mod 6, ~1.67M members) exercises
+          // the per-tag row-bitmap AND path at the scale it exists for
+          array(
+            when(pmod(col("id"), lit(2)) === 0, "even").otherwise("odd"),
+            concat(lit("c"), pmod(col("id"), lit(3)))).as("tags"))
           .withColumn("meta", lit(null).cast("string"))
-          .withColumn("tags", lit(null).cast("array<string>"))
           .withColumn("updated_at", lit(100L))
           .withColumn("tenant_id", lit("t1"))
           .withColumn("index_name", lit("big"))
@@ -1103,6 +1109,56 @@ object Bench {
         System.err.println(
           f"# bench-runs engine_pq_10m_refined_ms p50=${latEngR(49)}%.3f " +
             f"p99=${latEngR(98)}%.3f cold=$tSq16Cold%.2f")
+        // FILTERED serving at 10M — the rows the tag-resident ladder
+        // (sorted array → hash set → row bitmap → bitmap AND) exists
+        // for. Single tag "even" = a half-corpus allowed set (5M ids);
+        // the conjunction ("even" ∧ "c0", ≡ 0 mod 6, ~1.67M members)
+        // is the case a per-call sorted-array intersection would price
+        // at ~10⁸ binary-search probes — the memoized per-tag bitmaps
+        // AND in ~312k word ops instead. Cold calls pay the one-time
+        // tag index + per-tag resident builds.
+        val tFiltCold = timeOnce {
+          require(eng.searchRowsFilteredTraced("t1", "big",
+            Array(q100x10m.head), 10, "L2", 10, Seq("even")).exists(_._1.nonEmpty))
+        }
+        (0 until 3).foreach { _ =>
+          eng.searchRowsFilteredTraced("t1", "big", q100x10m.take(8), 10,
+            "L2", 10, Seq("even"))
+        }
+        val latF1 = q100x10m.map { q =>
+          val t0 = System.nanoTime()
+          val r = eng.searchRowsFilteredTraced("t1", "big", Array(q), 10,
+            "L2", 10, Seq("even"))
+          require(r.isDefined && r.get._1.length == 10 &&
+            r.get._2.path == "head+pqtail-filtered",
+            s"10M filtered rung expected rows tier, got ${r.map(_._2.path)}")
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val tFilt2Cold = timeOnce {
+          require(eng.searchRowsFilteredTraced("t1", "big",
+            Array(q100x10m.head), 10, "L2", 10,
+            Seq("even", "c0")).exists(_._1.nonEmpty))
+        }
+        (0 until 3).foreach { _ =>
+          eng.searchRowsFilteredTraced("t1", "big", q100x10m.take(8), 10,
+            "L2", 10, Seq("even", "c0"))
+        }
+        val latF2 = q100x10m.map { q =>
+          val t0 = System.nanoTime()
+          val r = eng.searchRowsFilteredTraced("t1", "big", Array(q), 10,
+            "L2", 10, Seq("even", "c0"))
+          require(r.isDefined && r.get._1.length == 10 &&
+            r.get._2.path == "head+pqtail-filtered",
+            s"10M filtered2 rung expected rows tier, got ${r.map(_._2.path)}")
+          r.get._1.foreach { case (_, _, id, _) =>
+            require(id.drop(1).toLong % 6 == 0,
+              s"conjunction returned non-member $id") }
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        System.err.println(
+          f"# bench-runs engine_pq_10m_filtered_ms tag1 p50=${latF1(49)}%.3f " +
+            f"p99=${latF1(98)}%.3f cold=$tFiltCold%.2f; conj2 p50=${latF2(49)}%.3f " +
+            f"p99=${latF2(98)}%.3f cold=$tFilt2Cold%.2f")
         // WARM-BOOT row: a process restart is a FRESH engine instance on
         // the same root — none of the old heap (packed codes, id pool,
         // sq16 store) survives. engine_pq_10m_cold_first_call_sec above IS
@@ -1132,6 +1188,10 @@ object Bench {
           "engine_pq_10m_refined_cold_sec" -> tSq16Cold,
           "engine_pq_10m_refined_p50_ms" -> latEngR(49),
           "engine_pq_10m_refined_p99_ms" -> latEngR(98),
+          "engine_pq_10m_filtered_p50_ms" -> latF1(49),
+          "engine_pq_10m_filtered_p99_ms" -> latF1(98),
+          "engine_pq_10m_filtered2_p50_ms" -> latF2(49),
+          "engine_pq_10m_filtered2_p99_ms" -> latF2(98),
           "warm_boot_warm_sec" -> tWarm,
           "warm_boot_first_call_ms" -> tFirstWarm)
         scrubOne(engRoot)
@@ -1256,6 +1316,95 @@ object Bench {
     }
     sentinel("after_dedup_1m_rung")
 
+    // 1M-EMBEDDING near-dup rung — the ANN-dedup analog of the document
+    // rung above: EmbeddingDedup.lshPairs (4×32-bit SimHash bands +
+    // exact-cosine verify) is DuckDB-proven at the sf0.1 corpus (~600
+    // vectors) and this times the scale path at 1M with the planted
+    // structure a real embedding corpus carries:
+    //   [0, 50k)    10k near-dup clusters of 5 (ε=0.03 ⇒ pair cos ≈
+    //               0.999; per-pair LSH hit prob ≈ 0.98) — 100k pairs
+    //   [50k, 60k)  5k exact-dup pairs — identical fingerprints, recall 1
+    //   [60k, 80k)  ONE dense region of 20k near-copies (ε=0.003): its
+    //               majority band buckets hold ~19k members — over
+    //               maxBucketSize, so the hub guard drops them before
+    //               the self-join (unguarded: ~4·19k²/2 ≈ 7×10⁸
+    //               candidates from this region alone); only deviant-
+    //               bucket stragglers pair up, and the printed hub
+    //               count is the guard's proof
+    //   [80k, 1M)   unique
+    // τ=0.99 is ~8σ over the random-pair cosine at dim 64, so found ==
+    // core + hub EXACTLY (asserted) — the rung is its own gate, like
+    // the document rung's kept=885,001.
+    sentinel("before_emb_1m_rung")
+    var ratesEmb: Map[String, Double] = Map.empty
+    try {
+      val nEmb = 1000000L
+      val dimE = 64
+      val srcE = when(col("vec_id") < 50000L,
+          (floor(col("vec_id") / 5) * 5).cast("long"))
+        .when(col("vec_id") < 60000L,
+          (floor((col("vec_id") - 50000L) / 2) * 2 + 50000L).cast("long"))
+        .when(col("vec_id") < 80000L, lit(60000L))
+        .otherwise(col("vec_id"))
+      val epsE = when(col("vec_id") === col("src"), lit(0.0))
+        .when(col("vec_id") < 50000L, lit(0.03))
+        .when(col("vec_id") < 60000L, lit(0.0))
+        .otherwise(lit(0.003))
+      def uE(tag: String, kc: org.apache.spark.sql.Column,
+             i: org.apache.spark.sql.Column) =
+        xxhash64(lit(tag), kc, i).cast("double") / lit(Long.MaxValue.toDouble)
+      val vecE = transform(sequence(lit(0), lit(dimE - 1)), i =>
+        (uE("base", col("src"), i) + col("eps") * uE("noise", col("vec_id"), i))
+          .cast("float"))
+      val genE = spark.range(nEmb).select(col("id").as("vec_id"))
+        .withColumn("src", srcE)
+        .withColumn("eps", epsE)
+        .select(col("vec_id"), vecE.as("embedding"))
+      val embDir = tempDir("bench_emb1m")
+      val tGenE = timeOnce {
+        genE.repartition(nCpus).write.mode("overwrite").parquet(embDir)
+      }
+      System.err.println(f"# bench-runs emb_1m_gen $tGenE%.4f")
+      val emb1m = spark.read.parquet(embDir)
+      var found = 0L; var foundCore = 0L; var hubPairs = 0L
+      val tEmb = timeOnce {
+        val pairs = graft.operators.EmbeddingDedup
+          .lshPairs(emb1m, tau = 0.99).persist()
+        found = pairs.count()
+        foundCore = pairs.filter(
+          (col("id1") < 50000L && col("id2") < 50000L &&
+            floor(col("id1") / 5) === floor(col("id2") / 5)) ||
+          (col("id1") >= 50000L && col("id1") < 60000L &&
+            col("id2") < 60000L &&
+            floor((col("id1") - 50000L) / 2) ===
+              floor((col("id2") - 50000L) / 2))).count()
+        hubPairs = pairs.filter(
+          col("id1") >= 60000L && col("id1") < 80000L &&
+          col("id2") >= 60000L && col("id2") < 80000L).count()
+        pairs.unpersist()
+      }
+      val plantedE = 10000L * 10L + 5000L
+      val recallE = foundCore.toDouble / plantedE
+      System.err.println(f"# bench-runs embedding_dedup_1m $tEmb%.4f " +
+        f"pairs=$found core=$foundCore hub=$hubPairs recall=$recallE%.4f")
+      require(found == foundCore + hubPairs,
+        s"unplanted non-hub pairs: found=$found core=$foundCore hub=$hubPairs")
+      require(recallE >= 0.95, s"planted-pair recall $recallE below floor")
+      require(hubPairs < 1000000L,
+        s"hub region emitted $hubPairs pairs — bucket cap not effective")
+      scrubOne(embDir)
+      results("emb_1m_gen_sec") = tGenE
+      results("embedding_dedup_1m_sec") = tEmb
+      ratesEmb = Map(
+        "embedding_dedup_1m_pairs" -> found.toDouble,
+        "embedding_dedup_1m_recall" -> recallE,
+        "embedding_dedup_1m_hub_pairs" -> hubPairs.toDouble)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"# bench-runs emb_1m FAILED: ${e.getMessage}")
+    }
+    sentinel("after_emb_1m_rung")
+
     results("brute_100k_dim128_100q_sec") = tBrute100k
     results("brute_100k_fused_sec") = tBrute100kFused
     results("ivf_100k_dim128_100q_sec") = tIvf100k
@@ -1317,7 +1466,8 @@ object Bench {
       "pq_100k_recall10_refined50" -> pqRefined50,
       "pq_100k_recall10_sq16_wire_refined50" -> sq16WireRecall,
       "hnsw_100k_serving_p50_ms" -> hnswServeP50,
-      "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++ rates10m ++ ratesDedup
+      "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++
+      rates10m ++ ratesDedup ++ ratesEmb
 
     sentinel("end")
     val total = results.filter(_._2 >= 0).values.sum

@@ -100,6 +100,21 @@ object GraftEngine {
     sq16Registry.put(h, java.lang.Long.valueOf(bytes))
   private[graft] def unregisterSq16(h: AnyRef): Unit =
     sq16Registry.remove(h)
+
+  /** Per-part AND of two aligned row-position bitmap sets (the
+    * multi-tag conjunction on the resident tier). */
+  private[graft] def andBits(a: Array[Array[Long]],
+                             b: Array[Array[Long]]): Array[Array[Long]] = {
+    require(a.length == b.length, "bitmap part count mismatch")
+    Array.tabulate(a.length) { p =>
+      val x = a(p); val y = b(p)
+      require(x.length == y.length, "bitmap word count mismatch")
+      val out = new Array[Long](x.length)
+      var i = 0
+      while (i < x.length) { out(i) = x(i) & y(i); i += 1 }
+      out
+    }
+  }
   private[graft] def idPoolBytesUsed: Long = {
     val it = idPoolRegistry.synchronized {
       new java.util.ArrayList(idPoolRegistry.values())
@@ -962,7 +977,9 @@ class GraftEngine(spark: SparkSession, root: String,
       // array directly: a per-call copy of a half-corpus tag list is
       // milliseconds at 10M, pure waste when there is nothing to
       // intersect (callers never mutate the allowed set).
-      val allowed: Array[Long] =
+      // lazy: the multi-large-tag bitmap path below must not pay this
+      // intersection at all — that is the point of the bitmaps
+      lazy val allowed: Array[Long] =
         if (lists.exists(_.isEmpty)) Array.empty[Long]
         else if (lists.lengthCompare(1) == 0) lists.head
         else {
@@ -972,33 +989,79 @@ class GraftEngine(spark: SparkSession, root: String,
             java.util.Arrays.binarySearch(arr, sg) >= 0))
         }
       val idMap = poolOpt.get
-      // large single-tag allowed sets get a memoized open-addressing
-      // membership set: the sorted array costs ~5-7 cache-missing tree
-      // levels PER PROBED ROW at half-corpus sizes, the probe chain 1-2.
-      // Multi-tag intersections are per-call arrays — building a set per
-      // call would cost more than it saves, so they stay on binary search.
-      val allowedHash: graft.operators.LongHashSet =
-        if (tags.lengthCompare(1) == 0 &&
-            allowed.length >= HashAllowedMinEntries)
-          tagHashSetOf(tenant, index, m, tags.head, allowed)
-        else null
-      // same gate again, one level better: when the tail is RESIDENT,
-      // pre-resolve the membership into per-part row bitmaps once per
-      // (snapshot, tag) — the scan then tests a sequential bit instead
-      // of probing any table at all
-      val allowedBits: Array[Array[Long]] =
-        if (allowedHash == null || algoHnswBeam) null // graphs: no parts
-        else if (algoPq)
-          tagRowBitsOf(tenant, index, m, tags.head,
-            pqIndexOf(tenant, index, m).packedDriver.get.map(_.ids),
-            allowedHash)
-        else tailIndexOf(tenant, index, m).packedDriver match {
-          case Some(parts) =>
-            tagRowBitsOf(tenant, index, m, tags.head, parts.map(_.ids),
-              allowedHash)
-          case None => null // non-resident floats: distributed scan path
+      // Multi-LARGE-tag fast path: a per-call intersection of T sorted
+      // arrays costs |smallest| × (T−1) binary searches — ~10⁸ probes
+      // per call for two half-corpus tags at 10M rows. When every tag
+      // is large and the tail is resident, AND the MEMOIZED per-tag
+      // row-position bitmaps instead: one pass over nRows/64 longs per
+      // extra tag (~160k word-ANDs at 10M), per call, zero allocation
+      // beyond the combined bitmap. Budget denial of any per-tag
+      // structure, a non-resident tail, or an over-work batch falls
+      // back to the array path below — spec-pinned result-identical.
+      val multiBitsOpt: Option[Array[Array[Long]]] =
+        if (tags.lengthCompare(1) > 0 && !algoHnswBeam &&
+            lists.forall(_.length >= HashAllowedMinEntries)) {
+          val partsIdsOpt: Option[Array[Array[Long]]] =
+            if (algoPq)
+              pqIndexOf(tenant, index, m).packedDriver.map(_.map(_.ids))
+            else tailIndexOf(tenant, index, m).packedDriver.map(_.map(_.ids))
+          partsIdsOpt.flatMap { partsIds =>
+            val per = tags.zip(lists).map { case (t, arr) =>
+              // hash set speeds construction; its budget denial does
+              // not kill the bitmap (construction falls back to binary
+              // search over the sorted array) — only a denied BITMAP
+              // falls off the fast path
+              val hs = tagHashSetOf(tenant, index, m, t, arr)
+              tagRowBitsOf(tenant, index, m, t, partsIds, hs, sorted = arr)
+            }
+            if (per.exists(_ == null)) None
+            else Some(per.reduce(GraftEngine.andBits))
+          }
+        } else None
+      val tailRowsViaBits: Option[Array[(Long, Int, Long, Double)]] =
+        multiBitsOpt.flatMap { bits =>
+          if (!bits.exists(part => part.exists(_ != 0L)))
+            Some(Array.empty[(Long, Int, Long, Double)])
+          else if (algoPq)
+            pqTailRowsFiltered(tenant, index, m, queries, metricU, kTail,
+              nprobe, allowedSorted = null, allowedHash = null,
+              allowedBits = bits)
+          else IvfFlat.searchResidentRows(tailIndexOf(tenant, index, m),
+            queries, metric, kTail, nprobe, spark, allowedBits = bits)
         }
       val tailRowsOpt: Option[Array[(Long, Int, Long, Double)]] =
+        tailRowsViaBits.map(Option(_)).getOrElse {
+        // large single-tag allowed sets get a memoized open-addressing
+        // membership set: the sorted array costs ~5-7 cache-missing tree
+        // levels PER PROBED ROW at half-corpus sizes, the probe chain 1-2.
+        // Small multi-tag intersections are per-call arrays — building a
+        // set per call would cost more than it saves, so they stay on
+        // binary search.
+        val allowedHash: graft.operators.LongHashSet =
+          if (tags.lengthCompare(1) == 0 &&
+              allowed.length >= HashAllowedMinEntries)
+            tagHashSetOf(tenant, index, m, tags.head, allowed)
+          else null
+        // same gate again, one level better: when the tail is RESIDENT,
+        // pre-resolve the membership into per-part row bitmaps once per
+        // (snapshot, tag) — the scan then tests a sequential bit instead
+        // of probing any table at all. Gated on the tag SIZE, not on the
+        // hash set having been admitted: a budget-denied set falls back
+        // to sorted-array construction inside tagRowBitsOf, and the
+        // bitmap still serves (it is ~100× smaller than the set)
+        val allowedBits: Array[Array[Long]] =
+          if (algoHnswBeam || tags.lengthCompare(1) != 0 ||
+              allowed.length < HashAllowedMinEntries) null // graphs: no parts
+          else if (algoPq)
+            tagRowBitsOf(tenant, index, m, tags.head,
+              pqIndexOf(tenant, index, m).packedDriver.get.map(_.ids),
+              allowedHash, sorted = allowed)
+          else tailIndexOf(tenant, index, m).packedDriver match {
+            case Some(parts) =>
+              tagRowBitsOf(tenant, index, m, tags.head, parts.map(_.ids),
+                allowedHash, sorted = allowed)
+            case None => null // non-resident floats: distributed scan path
+          }
         if (allowed.isEmpty) Some(Array.empty[(Long, Int, Long, Double)])
         else if (algoHnswBeam)
           // beam-filtered semantics: members-only beam over the resident
@@ -1019,6 +1082,7 @@ class GraftEngine(spark: SparkSession, root: String,
         else Some(IvfFlat.searchLocalRows(tailIndexOf(tenant, index, m),
           queries, metric, kTail, nprobe, spark, allowedSorted = allowed,
           allowedHash = allowedHash, allowedBits = allowedBits))
+      }
       if (tailRowsOpt.isEmpty) return None
       val tailRows = tailRowsOpt.get
       val byQuery = tailRows.groupBy(_._1)
@@ -1659,11 +1723,13 @@ class GraftEngine(spark: SparkSession, root: String,
   // rest). Alignment is sound because parts arrays are lazy vals on the
   // per-version memoized handles, so their identity and row order are
   // fixed for the snapshot's lifetime.
-  private val tagBitsCache =
+  // private[graft]: specs assert bits survive hash-set budget denial
+  private[graft] val tagBitsCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[Array[Array[Long]]]]
   private def tagRowBitsOf(tenant: String, index: String, m: Manifest,
                            tag: String, idsPerPart: Array[Array[Long]],
-                           member: graft.operators.LongHashSet): Array[Array[Long]] =
+                           member: graft.operators.LongHashSet,
+                           sorted: Array[Long] = null): Array[Array[Long]] =
     tagBitsCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
       // same budget gate as the hash set (est BEFORE building, denial
       // memoized): bitmaps are small (~nRows/8 bytes per tag) but
@@ -1674,11 +1740,22 @@ class GraftEngine(spark: SparkSession, root: String,
           GraftEngine.idPoolBytesUsed + est >
             GraftEngine.IdPoolGlobalMaxBytes) None
       else {
+        // membership via the probe set when one exists; a BUDGET-DENIED
+        // hash set must not take the bitmap down with it — the one-time
+        // construction pass binary-searches the sorted array instead
+        // (~nRows·log|tag| comparisons, memoized per (version, tag)),
+        // and the bitmap itself is ~100× smaller than the set it
+        // replaces (nRows/8 bytes vs 16 B/entry), so at 10M rows the
+        // exact corpora whose hash sets blow the budget are the ones
+        // that most need this path
         val bits = idsPerPart.map { ids =>
           val b = new Array[Long]((ids.length + 63) >>> 6)
           var r = 0
           while (r < ids.length) {
-            if (member.contains(ids(r))) b(r >>> 6) |= 1L << (r & 63)
+            val in =
+              if (member != null) member.contains(ids(r))
+              else java.util.Arrays.binarySearch(sorted, ids(r)) >= 0
+            if (in) b(r >>> 6) |= 1L << (r & 63)
             r += 1
           }
           b

@@ -491,6 +491,22 @@ object IvfFlat {
     * the sorted array (broadcasting a second, larger copy of the same
     * membership buys nothing on executors). Callers pass a set built
     * from EXACTLY `allowedSorted` — results are identical either way. */
+  /** Resident-only filtered serving for callers whose membership exists
+    * ONLY in driver-resident form (a per-call AND of row-position
+    * bitmaps has no sorted array to hand the distributed branch):
+    * Some(rows) when the driver tier served, None when the dispatch
+    * would go distributed (over-work batch or non-resident index) —
+    * the caller then materializes a broadcastable membership and takes
+    * the ordinary path. Same dispatch estimate, same kernels. */
+  private[graft] def searchResidentRows(
+      index: Index, queries: Array[(Long, Array[Float])],
+      metric: String, k: Int, nprobe: Int,
+      spark: org.apache.spark.sql.SparkSession,
+      allowedBits: Array[Array[Long]]): Option[Array[(Long, Int, Long, Double)]] =
+    Option(searchLocalRowsPath(index, queries, metric, k, nprobe, spark,
+      forceDistributed = false, allowedBits = allowedBits,
+      residentOnly = true))
+
   private[graft] def searchLocalRowsPath(
       index: Index, queries: Array[(Long, Array[Float])],
       metric: String, k: Int, nprobe: Int,
@@ -500,7 +516,8 @@ object IvfFlat {
       mtBound: Long = DriverServeMaxScanElemsMT,
       allowedSorted: Array[Long] = null,
       allowedHash: LongHashSet = null,
-      allowedBits: Array[Array[Long]] = null): Array[(Long, Int, Long, Double)] = {
+      allowedBits: Array[Array[Long]] = null,
+      residentOnly: Boolean = false): Array[(Long, Int, Long, Double)] = {
     val cents = index.centroidsLocal
     queries.headOption.foreach { case (_, qv) =>
       cents.headOption.foreach { case (_, cv) =>
@@ -548,8 +565,12 @@ object IvfFlat {
       }
     }
     val driverEligible = !forceDistributed && scanElems <= mtBound
+    val residentParts = if (driverEligible) index.packedDriver else None
+    // resident-only callers (bitmap-only membership) get a null sentinel
+    // instead of a distributed job their membership can't ride
+    if (residentOnly && residentParts.isEmpty) return null
     val partials: Array[(Int, Long, Double)] =
-      (if (driverEligible) index.packedDriver else None) match {
+      residentParts match {
         case Some(parts) if scanElems <= stBound =>
           // zero-job tier: the packed lists live on the driver, so a
           // serving call is a plain in-heap scan — no job submission,

@@ -1319,6 +1319,57 @@ class EngineSpec extends SparkSpec {
     assert(pqHash.get._1.nonEmpty)
   }
 
+  test("multi-LARGE-tag conjunction: per-tag bitmap AND equals the array-intersection path") {
+    val root = Files.createTempDirectory("engine_multitag").toString
+    // threshold 1 makes EVERY tag 'large' → the conjunction takes the
+    // per-tag-bitmap AND fast path (no per-call array intersection);
+    // the default engine intersects sorted arrays — results must be
+    // identical on both algos, incl. against the batch plan
+    val forced = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val rng = new scala.util.Random(59)
+    // tags: i%2 → even/odd; i%3==0 additionally red. The conjunction
+    // (even ∧ red) = multiples of 6
+    val recs = (0 until 72).map { i =>
+      val t0 = Seq(if (i % 2 == 0) "even" else "odd")
+      val tg = if (i % 3 == 0) t0 :+ "red" else t0
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String, tg, 100L)
+    }
+    forced.add(mkRecords(recs))
+    forced.build("t1", "idx", nlist = 2)
+    forced.add(mkRecords(recs).withColumn("index_name", lit("pq")))
+    forced.build("t1", "pq", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    // dirty head: a re-tagged record exercises head-tag precedence on
+    // the bitmap path too
+    forced.upsert(mkRecords(Seq(
+      ("v1", recs(1)._2, null, Seq("even", "red"), 200L))))
+    val default = new GraftEngine(spark, root)
+    val qs = Array((0L, Array.fill(4)(rng.nextFloat())))
+    for (index <- Seq("idx", "pq")) {
+      val viaBits = forced.searchRowsFilteredTraced("t1", index, qs, 6,
+        "L2", 2, Seq("even", "red"))
+      val viaArr = default.searchRowsFilteredTraced("t1", index, qs, 6,
+        "L2", 2, Seq("even", "red"))
+      assert(viaBits.isDefined && viaArr.isDefined, index)
+      assert(viaBits.get._1.toSeq == viaArr.get._1.toSeq, index)
+      assert(viaBits.get._1.nonEmpty, index)
+      viaBits.get._1.foreach { case (_, _, id, _) =>
+        if (id != "v1") {
+          val i = id.drop(1).toInt
+          assert(i % 6 == 0, s"$index returned non-member $id")
+        }
+      }
+      val plan = default.search("t1", index,
+        q(0L, qs(0)._2.toSeq, Seq("even", "red")), 6, nprobe = 2).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(viaBits.get._1.map(r => (r._2, r._3, r._4)).toSeq == plan, index)
+    }
+    // empty conjunction: tags whose intersection is empty short-circuit
+    // off the combined bitmap (no scan at all)
+    val empty = forced.searchRowsFilteredTraced("t1", "idx", qs, 6, "L2", 2,
+      Seq("odd", "red", "even"))
+    assert(empty.isDefined && empty.get._1.isEmpty)
+  }
+
   test("warmServing materializes resident handles for every built index, skips unbuilt") {
     val root = Files.createTempDirectory("engine_warm").toString
     val eng = new GraftEngine(spark, root)
@@ -1543,11 +1594,40 @@ class EngineSpec extends SparkSpec {
     // the denial is memoized (None), not silently rebuilt per call
     assert(eng.tagHashSetCache.values.toSeq == Seq(None),
       eng.tagHashSetCache.toMap)
+    // the BITMAP survives the hash-set denial (construction falls back
+    // to binary search over the sorted array; the bitmap is ~100×
+    // smaller than the set, so the budget that denied the set admits it)
+    assert(eng.tagBitsCache.values.toSeq.forall(_.isDefined),
+      eng.tagBitsCache.toMap)
     // parity with an unconstrained engine whose set IS built
     val free = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
     val resFree = free.searchRowsFilteredTraced("t1", "idx",
       Array((1L, qv)), 5, "L2", 2, Seq("all"))
     assert(resFree.isDefined && free.tagHashSetCache.values.forall(_.isDefined))
     assert(res.get._1.toSeq == resFree.get._1.toSeq)
+    // multi-tag conjunction under the same denial: the per-tag bitmap
+    // AND path must serve (no hash sets exist), equal to the free engine
+    val recs2 = (0 until 40).map(i =>
+      (s"w$i", Seq.fill(4)(rng.nextFloat()), null: String,
+        Seq("all", if (i % 2 == 0) "even" else "odd"), 100L))
+    val root2 = Files.createTempDirectory("engine_tagbudget2").toString
+    // 800 denies the "all" hash set (est 1056) but admits the "even"
+    // set (est 544) — the AND path must work with MIXED construction
+    // (one bitmap from binary search, one from the probe set)
+    val eng2 = new GraftEngine(spark, root2, idPoolMaxBytes = 800L,
+      hashAllowedMinEntries = 1)
+    eng2.add(mkRecords(recs2))
+    eng2.build("t1", "idx", nlist = 2)
+    val res2 = eng2.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", 2, Seq("all", "even"))
+    val free2 = new GraftEngine(spark, root2, hashAllowedMinEntries = 1)
+    val resFree2 = free2.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", 2, Seq("all", "even"))
+    assert(res2.isDefined && resFree2.isDefined)
+    assert(res2.get._1.toSeq == resFree2.get._1.toSeq)
+    assert(res2.get._1.forall { case (_, _, id, _) =>
+      id.drop(1).toInt % 2 == 0 })
+    assert(eng2.tagBitsCache.size == 2 &&
+      eng2.tagBitsCache.values.forall(_.isDefined), eng2.tagBitsCache.toMap)
   }
 }
