@@ -88,7 +88,8 @@ object LocalClusterMain {
     val eng = new GraftEngine(spark, root)
     val recs = (0 until 300).map(i =>
       (s"v$i", Seq.fill(8)(rng.nextFloat()), null: String,
-        (if (i % 2 == 0) Seq("even") else Seq.empty[String]), 100L))
+        (if (i % 2 == 0) Seq("even") else Seq("odd")) ++
+          (if (i % 3 == 0) Seq("red") else Seq.empty[String]), 100L))
       .toDF("id", "vector", "meta", "tags", "updated_at")
       .withColumn("tenant_id", lit("t1"))
       .withColumn("index_name", lit("idx"))
@@ -120,6 +121,20 @@ object LocalClusterMain {
       Array((1L, qv)), 5, "L2", 4, Seq("even"))
     check("engine FILTERED rows == filtered plan across JVMs") {
       filtered.exists(_._1.map(r => (r._2, r._3, r._4)).toSeq == planFiltered)
+    }
+    // multi-LARGE-tag conjunction: threshold 1 makes every tag "large",
+    // so the per-tag row-bitmap AND fast path serves (not the per-call
+    // array intersection) — must equal the plan under real executor JVMs
+    val engBits = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val planConj = engBits.search("t1", "idx",
+        qDf.withColumn("filter_tags", typedLit(Seq("even", "red"))), 5, "L2",
+        nprobe = 4)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    val conj = engBits.searchRowsFilteredTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", 4, Seq("even", "red"))
+    check("engine multi-tag bitmap-AND rows == plan across JVMs") {
+      planConj.nonEmpty &&
+        conj.exists(_._1.map(r => (r._2, r._3, r._4)).toSeq == planConj)
     }
 
     // --- 4. Dedup pipeline shuffles across real executors ---
