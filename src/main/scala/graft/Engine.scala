@@ -635,7 +635,11 @@ class GraftEngine(spark: SparkSession, root: String,
     // other algos' tails already score exactly); the refined rows tier
     // additionally needs the resident SQ16 rerank store
     val wantRefine = refine > 0 && m.algo == "IVF_PQ"
-    val sq16Opt: Option[graft.operators.Sq16Store] =
+    // lazy: the store collect is multi-GB at 10M — it must only run once
+    // the cheaper gates below (packed-code residency, in particular)
+    // have established the rows tier can actually use it; the && chains
+    // below force it last
+    lazy val sq16Opt: Option[graft.operators.Sq16Store] =
       if (wantRefine && m.nVectors <= RowsServeMaxRows)
         sq16StoreOf(tenant, index, m)
       else None
@@ -720,7 +724,7 @@ class GraftEngine(spark: SparkSession, root: String,
       val tailRows =
         if (algoPq && wantRefine)
           // ADC cut (plan-identical: mask, then top k·refine by raw ADC
-          // order) reranked EXACTLY against the resident SQ8 store —
+          // order) reranked EXACTLY against the resident SQ16 store —
           // rows return already masked, true-metric scored, cut at k
           pqTailRowsRefined(tenant, index, m, queries, metricU, k, refine,
             nprobe, hs, sq16Opt.get)
@@ -777,7 +781,12 @@ class GraftEngine(spark: SparkSession, root: String,
                          nprobe: Int): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, fold) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
-    graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kTail, nprobe, spark)
+    // the engine's constructor bound, not the compiled-in default — the
+    // same knob must govern all three PQ rows paths (unfiltered here,
+    // refined, filtered); an over-bound batch takes the distributed ADC
+    // plan, which is always legal unfiltered
+    graft.operators.IvfPq.searchLocalRowsPath(pqIdx, tq, kTail, nprobe,
+        spark, mtBound = pqServeMaxLookupsMT)
       .map { case (qid, rank, surr, s) => (qid, rank, surr, fold(qid, s)) }
   }
 
@@ -801,8 +810,8 @@ class GraftEngine(spark: SparkSession, root: String,
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, _) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
     val kAdc = math.max(1, k * refine) + hs.maskInTail
-    val adc = graft.operators.IvfPq.searchLocalRows(pqIdx, tq, kAdc,
-      nprobe, spark)
+    val adc = graft.operators.IvfPq.searchLocalRowsPath(pqIdx, tq, kAdc,
+      nprobe, spark, mtBound = pqServeMaxLookupsMT)
     val byQuery = adc.groupBy(_._1)
     queries.indices.flatMap { qi =>
       val (qid, qvRaw) = queries(qi)
@@ -1007,11 +1016,15 @@ class GraftEngine(spark: SparkSession, root: String,
             else tailIndexOf(tenant, index, m).packedDriver.map(_.map(_.ids))
           partsIdsOpt.flatMap { partsIds =>
             val per = tags.zip(lists).map { case (t, arr) =>
-              // hash set speeds construction; its budget denial does
-              // not kill the bitmap (construction falls back to binary
-              // search over the sorted array) — only a denied BITMAP
-              // falls off the fast path
-              val hs = tagHashSetOf(tenant, index, m, t, arr)
+              // a hash set speeds the ONE-TIME bitmap construction but
+              // is never probed again on this path — building (and
+              // permanently registering ~16 B/entry against the shared
+              // id-pool budget) one per conjunction tag would retain
+              // hundreds of MB at 10M just to save a single build pass.
+              // Reuse a set a single-tag call already memoized; else the
+              // construction binary-searches the sorted array
+              val hs = tagHashSetCache
+                .get(s"$tenant/$index/v${m.version}#$t").flatten.orNull
               tagRowBitsOf(tenant, index, m, t, partsIds, hs, sorted = arr)
             }
             if (per.exists(_ == null)) None
@@ -1351,10 +1364,32 @@ class GraftEngine(spark: SparkSession, root: String,
           }
         if (refine <= 0) adcCands
         else {
+          // F1 semantics: the conjunctive tag filter applies BEFORE any
+          // ranking cut, so the k·refine ADC cut below must select from
+          // MEMBER candidates only — cutting unfiltered candidates would
+          // starve the rerank under a selective filter (the k·refine
+          // nearest unfiltered rows may contain no member at all) and
+          // return short/empty where the same query unrefined answers
+          // fully. Tail candidates are head-masked, so the snapshot's
+          // tags are authoritative here; head rows join exact-scored
+          // after this branch and the downstream filter handles them.
+          val adcEligible =
+            if (!tagFilter) adcCands
+            else adcCands
+              .join(broadcast(queries.select("query_id", "filter_tags")),
+                "query_id")
+              .join(snapshot.select(col("id_str"),
+                coalesce(col("tags"), array().cast("array<string>"))
+                  .as("tags")), Seq("id_str"), "left")
+              .filter(coalesce(size(col("filter_tags")), lit(0)) === 0 ||
+                forall(col("filter_tags"),
+                  t => array_contains(coalesce(col("tags"),
+                    array().cast("array<string>")), t)))
+              .select("query_id", "id_str", "score")
           // bounded ADC cut (≤ k·refine rows per query), shared by both
           // rerank stores
           val cut = TopK.perGroup(
-              adcCands.select(col("query_id"),
+              adcEligible.select(col("query_id"),
                 xxhash64(col("id_str")).as("id"), col("score")),
               Seq("query_id"), math.max(1, k * refine))
             .select("query_id", "id")
@@ -1364,8 +1399,10 @@ class GraftEngine(spark: SparkSession, root: String,
             // expression is the bit-exact twin of Sq16Store.dequant), so
             // rows == plan holds for refined serving exactly like the
             // unrefined tiers
-            val m16 = manifest(tenant, index)
-            require(sq16TableExists(tenant, index, m16),
+            // the IN-SCOPE manifest m: a second manifest read here could
+            // disagree with the snapshot dir derived from m under a
+            // concurrent rebuild (check v+1, read v)
+            require(sq16TableExists(tenant, index, m),
               s"$tenant/$index snapshot has no sq16 sidecar; " +
                 "rebuild the index or use refineStore=exact")
             val p16 = graft.operators.ScalarQuant.loadParams(
@@ -1533,17 +1570,43 @@ class GraftEngine(spark: SparkSession, root: String,
       spark.read.parquet(s"${snapDir(tenant, index, m)}/ivfpq/mips")
         .head.getDouble(0))
 
+  /** Memoize built handles and PERMANENT denials (per-version
+    * properties: missing table, per-handle over-budget — these never
+    * change for the snapshot's lifetime); re-evaluate TRANSIENT denials
+    * (JVM-global budget contention) on every call. Memoizing a
+    * contention denial would make it permanent: a fresh engine instance
+    * on a root whose previous instance still held the global budget at
+    * first touch would refuse the handle FOREVER, long after the old
+    * instance (and its share, weak-registry accounted) was GC'd. The
+    * measured byte ESTIMATES are memoized separately below so a
+    * contention retry never re-runs the measuring Spark job. Build races
+    * self-heal: the putIfAbsent loser's handle is dropped and its
+    * registry share evaporates with it (weak keys). */
+  private def residentMemo[T](
+      cache: scala.collection.concurrent.TrieMap[String, Option[T]],
+      key: String)(build: => (Option[T], Boolean)): Option[T] =
+    cache.get(key).getOrElse {
+      val (v, memoize) = build
+      if (memoize) cache.putIfAbsent(key, v).getOrElse(v) else v
+    }
+
+  // measured-bytes estimates per snapshot version (the one Spark agg a
+  // residency decision costs) — memoized apart from the handles so a
+  // transient global-budget denial retries against the registries only
+  private val residentEstCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   // surrogate → user-facing string id for the rows serving entry — a
   // compact [[IdPool]], immutable per snapshot. Residency is decided by
   // EXACT measured bytes (one bounded agg) BEFORE any collect, against a
-  // per-pool and a JVM-global budget; denial memoizes None and the rows
-  // tier falls back to the plan. The pool itself is built from
-  // executor-side pre-sorted packed runs (never n boxed driver rows).
+  // per-pool and a JVM-global budget; per-handle denial memoizes None
+  // and the rows tier falls back to the plan. The pool itself is built
+  // from executor-side pre-sorted packed runs (never n boxed driver rows).
   private val idPoolCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[IdPool]]
   private def idPoolOf(tenant: String, index: String,
                        m: Manifest): Option[IdPool] =
-    idPoolCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+    residentMemo(idPoolCache, s"$tenant/$index/v${m.version}") {
       // inverted-list snapshots keep (id, id_str) in vectors/; IVF_PQ
       // snapshots alongside the codes; HNSW in its idmap table
       val sub = m.algo match {
@@ -1551,16 +1614,19 @@ class GraftEngine(spark: SparkSession, root: String,
         case "HNSW" => "idmap"
         case _ => "vectors"
       }
-      val df = spark.read.parquet(s"${snapDir(tenant, index, m)}/$sub")
+      lazy val df = spark.read.parquet(s"${snapDir(tenant, index, m)}/$sub")
         .select(col("id"), col("id_str"))
-      val stats = df.agg(count(lit(1)),
-        sum(octet_length(col("id_str")))).head
-      val n = stats.getLong(0)
-      val strBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      val est = n * 12L + strBytes + 32L
-      if (est > idPoolMaxBytes ||
-          GraftEngine.idPoolBytesUsed + est >
-            GraftEngine.IdPoolGlobalMaxBytes) None
+      val est = residentEstCache.getOrElseUpdate(
+        s"pool:$tenant/$index/v${m.version}", {
+          val stats = df.agg(count(lit(1)),
+            sum(octet_length(col("id_str")))).head
+          val n = stats.getLong(0)
+          val strBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+          n * 12L + strBytes + 32L
+        })
+      if (est > idPoolMaxBytes) (None, true)
+      else if (GraftEngine.idPoolBytesUsed + est >
+          GraftEngine.IdPoolGlobalMaxBytes) (None, false)
       else {
         val runs = df.queryExecution.toRdd.mapPartitions { it =>
           // toString materializes an owned copy — UnsafeRow buffers are
@@ -1571,49 +1637,63 @@ class GraftEngine(spark: SparkSession, root: String,
         }.collect()
         val pool = IdPool.merge(runs)
         GraftEngine.registerResident(pool, pool.bytes)
-        Some(pool)
+        (Some(pool), true)
       }
-    })
+    }
 
   /** Resident SQ16 rerank store per snapshot version, or None when the
     * snapshot predates the sq16 sidecar, the vectors have mixed dims (no
     * flat layout), or the measured bytes exceed the store's OWN budgets
     * ([[GraftEngine.Sq16MaxBytesDefault]] / Sq16GlobalMaxBytes — separate
     * from the id-pool line so refine residency can't starve pools).
-    * Denial memoizes; refined calls then keep the plan fallback. */
+    * Permanent denial memoizes; refined calls then keep the plan
+    * fallback. Global-budget contention retries (see [[residentMemo]]). */
   private val sq16StoreCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[graft.operators.Sq16Store]]
+  // (n, dim) per version; None = permanently ineligible (no sidecar,
+  // empty, or mixed dims)
+  private val sq16StatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Int)]]
   private def sq16StoreOf(tenant: String, index: String,
                           m: Manifest): Option[graft.operators.Sq16Store] =
-    sq16StoreCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
-      if (!sq16TableExists(tenant, index, m)) None
-      else {
-        val codes = spark.read.parquet(
-          s"${snapDir(tenant, index, m)}/sq16/codes")
-        val stats = codes.agg(count(lit(1)),
-          min(size(col("qvec16"))),
-          max(size(col("qvec16")))).head
-        val n = stats.getLong(0)
-        if (n == 0 || stats.isNullAt(1) || stats.getInt(1) != stats.getInt(2))
-          None
-        else {
-          val dim = stats.getInt(1)
+    residentMemo(sq16StoreCache, s"$tenant/$index/v${m.version}") {
+      val ndOpt = sq16StatsCache.getOrElseUpdate(
+        s"$tenant/$index/v${m.version}", {
+          if (!sq16TableExists(tenant, index, m)) None
+          else {
+            val codes = spark.read.parquet(
+              s"${snapDir(tenant, index, m)}/sq16/codes")
+            val stats = codes.agg(count(lit(1)),
+              min(size(col("qvec16"))),
+              max(size(col("qvec16")))).head
+            val n = stats.getLong(0)
+            if (n == 0 || stats.isNullAt(1) ||
+                stats.getInt(1) != stats.getInt(2)) None
+            else Some((n, stats.getInt(1)))
+          }
+        })
+      ndOpt match {
+        case None => (None, true)
+        case Some((n, dim)) =>
           val est = n * (8L + 2L * dim) + 64L
           // flat-array ceiling: codes live in ONE Int-indexed short array
-          if (n * dim.toLong >= Int.MaxValue - 64L || est > sq16MaxBytes ||
-              GraftEngine.sq16BytesUsed + est > GraftEngine.Sq16GlobalMaxBytes)
-            None
+          if (n * dim.toLong >= Int.MaxValue - 64L || est > sq16MaxBytes)
+            (None, true)
+          else if (GraftEngine.sq16BytesUsed + est >
+              GraftEngine.Sq16GlobalMaxBytes)
+            (None, false)
           else {
+            val codes = spark.read.parquet(
+              s"${snapDir(tenant, index, m)}/sq16/codes")
             val p = graft.operators.ScalarQuant.loadParams(
               s"${snapDir(tenant, index, m)}/sq16/params.json")
             val store = graft.operators.Sq16Store.buildResident(
               codes, dim, p.min, p.max)
             GraftEngine.registerSq16(store, store.bytes)
-            Some(store)
+            (Some(store), true)
           }
-        }
       }
-    })
+    }
 
   private def sq16TableExists(tenant: String, index: String,
                               m: Manifest): Boolean =
@@ -1636,18 +1716,21 @@ class GraftEngine(spark: SparkSession, root: String,
     scala.collection.concurrent.TrieMap.empty[String, Option[Map[String, Array[Long]]]]
   private def tagSurrogatesOf(tenant: String, index: String,
                               m: Manifest): Option[Map[String, Array[Long]]] =
-    tagSurrogatesCache.getOrElseUpdate(s"$tenant/$index/v${m.version}", {
+    residentMemo(tagSurrogatesCache, s"$tenant/$index/v${m.version}") {
       val recs = spark.read.parquet(s"${snapDir(tenant, index, m)}/records")
       val tagsCol = coalesce(col("tags"), array().cast("array<string>"))
       // size() yields -1 for null arrays under legacy configs; coalesce
       // makes it 0. Bytes ≈ 8 per (record, tag) entry — the per-DISTINCT-
       // tag key strings are noise next to the long arrays.
-      val stats = recs.agg(sum(size(tagsCol))).head
-      val entries = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-      val est = entries * 8L + 64L
-      if (est > idPoolMaxBytes ||
-          GraftEngine.idPoolBytesUsed + est >
-            GraftEngine.IdPoolGlobalMaxBytes) None
+      val est = residentEstCache.getOrElseUpdate(
+        s"tags:$tenant/$index/v${m.version}", {
+          val stats = recs.agg(sum(size(tagsCol))).head
+          val entries = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+          entries * 8L + 64L
+        })
+      if (est > idPoolMaxBytes) (None, true)
+      else if (GraftEngine.idPoolBytesUsed + est >
+          GraftEngine.IdPoolGlobalMaxBytes) (None, false)
       else {
         val parts = recs
           .select(xxhash64(col("id_str")).as("sg"),
@@ -1674,9 +1757,9 @@ class GraftEngine(spark: SparkSession, root: String,
           t -> a
         }
         GraftEngine.registerResident(idx, est)
-        Some(idx)
+        (Some(idx), true)
       }
-    })
+    }
 
   /** Allowed-set size from which the filtered scan kernels test a
     * [[graft.operators.LongHashSet]] / row bitmap instead of
@@ -1696,25 +1779,25 @@ class GraftEngine(spark: SparkSession, root: String,
   private def tagHashSetOf(tenant: String, index: String, m: Manifest,
                            tag: String,
                            sorted: Array[Long]): graft.operators.LongHashSet =
-    tagHashSetCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
+    residentMemo(tagHashSetCache, s"$tenant/$index/v${m.version}#$tag") {
       // budget BEFORE building: a half-corpus tag's set is ~128 MB at
       // 10M rows (capacity = next pow2 ≥ 2n, 8 B/slot) and memoizes per
       // (version, tag) — many large tags could otherwise grow driver
-      // heap unboundedly and starve future id pools. Denial memoizes
-      // None (null to the kernels) and the scan keeps the sorted-array
-      // binary search — slower, never wrong.
+      // heap unboundedly and starve future id pools. Per-handle denial
+      // memoizes None (null to the kernels) and the scan keeps the
+      // sorted-array binary search — slower, never wrong.
       var cap = 16L
       while (cap < sorted.length.toLong * 2L) cap <<= 1
       val est = cap * 8L + 32L
-      if (est > idPoolMaxBytes ||
-          GraftEngine.idPoolBytesUsed + est >
-            GraftEngine.IdPoolGlobalMaxBytes) None
+      if (est > idPoolMaxBytes) (None, true)
+      else if (GraftEngine.idPoolBytesUsed + est >
+          GraftEngine.IdPoolGlobalMaxBytes) (None, false)
       else {
         val set = graft.operators.LongHashSet.from(sorted)
         GraftEngine.registerResident(set, set.bytes)
-        Some(set)
+        (Some(set), true)
       }
-    }).orNull
+    }.orNull
 
   // per-(snapshot, tag) ROW-POSITION bitmaps aligned with the resident
   // tier's parts array: filtered membership becomes a sequential bit
@@ -1730,15 +1813,15 @@ class GraftEngine(spark: SparkSession, root: String,
                            tag: String, idsPerPart: Array[Array[Long]],
                            member: graft.operators.LongHashSet,
                            sorted: Array[Long] = null): Array[Array[Long]] =
-    tagBitsCache.getOrElseUpdate(s"$tenant/$index/v${m.version}#$tag", {
-      // same budget gate as the hash set (est BEFORE building, denial
-      // memoized): bitmaps are small (~nRows/8 bytes per tag) but
+    residentMemo(tagBitsCache, s"$tenant/$index/v${m.version}#$tag") {
+      // same budget gate as the hash set (est BEFORE building, permanent
+      // denial memoized): bitmaps are small (~nRows/8 bytes per tag) but
       // per-(version, tag) residents all draw from one pool
       val est = idsPerPart.iterator
         .map(ids => ((ids.length + 63) >>> 6).toLong * 8L).sum + 64L
-      if (est > idPoolMaxBytes ||
-          GraftEngine.idPoolBytesUsed + est >
-            GraftEngine.IdPoolGlobalMaxBytes) None
+      if (est > idPoolMaxBytes) (None, true)
+      else if (GraftEngine.idPoolBytesUsed + est >
+          GraftEngine.IdPoolGlobalMaxBytes) (None, false)
       else {
         // membership via the probe set when one exists; a BUDGET-DENIED
         // hash set must not take the bitmap down with it — the one-time
@@ -1762,9 +1845,9 @@ class GraftEngine(spark: SparkSession, root: String,
         }
         GraftEngine.registerResident(bits,
           bits.map(_.length.toLong * 8L).sum + 64L)
-        Some(bits)
+        (Some(bits), true)
       }
-    }).orNull
+    }.orNull
 
   // Deliberately separate from tailIndexOf's Index.centroidsLocal: the
   // centroid table exists for EVERY algo (IVF_PQ writes it for the cache
@@ -1895,6 +1978,15 @@ class GraftEngine(spark: SparkSession, root: String,
     sq16StoreCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep))
         sq16StoreCache.remove(k).foreach(_.foreach(GraftEngine.unregisterSq16))
+    }
+    // measurement memos (bytes, not handles) for evicted versions
+    sq16StatsCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep)) sq16StatsCache.remove(k)
+    }
+    residentEstCache.keys.toSeq.foreach { k =>
+      // keys carry a "pool:"/"tags:" prefix before tenant/index/vN
+      if (versionOf(k.dropWhile(_ != ':').drop(1)).exists(_ < keep))
+        residentEstCache.remove(k)
     }
   }
 
@@ -3253,11 +3345,11 @@ class GraftEngine(spark: SparkSession, root: String,
         val base0 = Seq((queryId, qvec.toSeq)).toDF("query_id", "qvec")
         val base = if (tags.isEmpty) base0
           else base0.withColumn("filter_tags", typedLit(tags))
-        val store8 =
+        val store16 =
           if (m.algo == "IVF_PQ" && sq16TableExists(tenant, index, m)) "sq16"
           else "exact"
         val rows = search(tenant, index, base, k, metric, nprobe,
-            refine = refine, refineStore = store8)
+            refine = refine, refineStore = store16)
           .collect()
           .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
             r.getAs[Double]("score")))

@@ -1370,6 +1370,72 @@ class EngineSpec extends SparkSpec {
     assert(empty.isDefined && empty.get._1.isEmpty)
   }
 
+  test("refined + filtered plan: the k·refine ADC cut selects from MEMBER candidates only") {
+    val root = Files.createTempDirectory("engine_reffilt").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(61)
+    // 60 near-origin untagged records + 4 FAR members of tag "rare":
+    // the k·refine nearest UNFILTERED ADC candidates to an origin query
+    // are all untagged, so a refine cut taken before the tag filter
+    // starves the rerank and returns empty where the same query
+    // unrefined (filter over ALL probed candidates) answers fully
+    val recs = (0 until 60).map(i =>
+      (s"n$i", Seq.fill(4)(rng.nextFloat() * 0.1f), null: String,
+        Seq.empty[String], 100L)) ++
+      (0 until 4).map(i =>
+        (s"r$i", Seq.fill(4)(5.0f + rng.nextFloat()), null: String,
+          Seq("rare"), 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    val origin = Seq(0.05f, 0.05f, 0.05f, 0.05f)
+    val unrefined = eng.search("t1", "idx", q(1L, origin, Seq("rare")), 4,
+        nprobe = 2).collect().map(_.getString(2)).sorted
+    assert(unrefined.toSeq == Seq("r0", "r1", "r2", "r3"))
+    for (store <- Seq("exact", "sq16")) {
+      val refined = eng.search("t1", "idx", q(1L, origin, Seq("rare")), 4,
+          nprobe = 2, refine = 2, refineStore = store)
+        .collect().map(_.getString(2)).sorted
+      assert(refined.toSeq == unrefined.toSeq, s"refineStore=$store")
+    }
+    // the wire-shaped path for filtered+refined serves this plan
+    val (_, hits) = eng.searchCachedRows("t1", "idx", 9L,
+      origin.toArray, 4, "L2", 2, now = 1000L, ttlSeconds = 60,
+      tags = Seq("rare"), refine = 2)
+    assert(hits.map(_._2).sorted.toSeq == unrefined.toSeq)
+  }
+
+  test("global-budget contention denial is re-evaluated, not memoized forever") {
+    val root = Files.createTempDirectory("engine_contention").toString
+    val eng = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val rng = new scala.util.Random(67)
+    val recs = (0 until 40).map(i =>
+      (s"v$i", Seq.fill(4)(rng.nextFloat()), null: String, Seq("all"), 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 2)
+    val qv = Array.fill(4)(rng.nextFloat())
+    // hog the ENTIRE JVM-global id-pool budget with a fake handle: the
+    // pool/tag residents are denied by CONTENTION (their own est fits
+    // the per-handle bound), so the rows tier cannot serve
+    val hog = new Object
+    GraftEngine.registerResident(hog, GraftEngine.IdPoolGlobalMaxBytes)
+    try {
+      assert(eng.searchRowsFilteredTraced("t1", "idx", Array((1L, qv)), 5,
+        "L2", 2, Seq("all")).isEmpty)
+    } finally GraftEngine.unregisterResident(hog)
+    // contender released: the SAME engine must now build and serve —
+    // a memoized contention denial would refuse the handle forever
+    // (the warm-boot hazard: a fresh instance first touched while the
+    // old instance still held the budget)
+    val served = eng.searchRowsFilteredTraced("t1", "idx", Array((1L, qv)), 5,
+      "L2", 2, Seq("all"))
+    assert(served.isDefined && served.get._1.nonEmpty)
+    // parity with an uncontended engine
+    val free = new GraftEngine(spark, root, hashAllowedMinEntries = 1)
+    val resFree = free.searchRowsFilteredTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", 2, Seq("all"))
+    assert(resFree.isDefined && served.get._1.toSeq == resFree.get._1.toSeq)
+  }
+
   test("warmServing materializes resident handles for every built index, skips unbuilt") {
     val root = Files.createTempDirectory("engine_warm").toString
     val eng = new GraftEngine(spark, root)
@@ -1435,7 +1501,7 @@ class EngineSpec extends SparkSpec {
       eng.search("t1", "idx", q(1L, qv.toSeq), 5, "L2", nprobe = 2,
           refine = refine, refineStore = store).collect()
         .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
-    // clean head: the refined rows tier must equal the plan's sq8 rerank
+    // clean head: the refined rows tier must equal the plan's sq16 rerank
     // EXACTLY (same ADC cut, same dequantized floats, same tie order)
     val (rowsR, trR) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)),
       5, "L2", nprobe = 2, refine = 5)
