@@ -212,6 +212,46 @@ class RespServerSpec extends SparkSpec {
     }
   }
 
+  test("REFINE over the wire: IVF_PQ rerank serves; REFINE+FILTER cuts from member candidates") {
+    val rng = new scala.util.Random(71)
+    // 60 near-origin untagged + 4 FAR "rare" members: under a selective
+    // filter the k·refine nearest UNFILTERED ADC candidates contain no
+    // member, so a pre-filter cut (the fixed defect) would return empty
+    val rows = (0 until 60).map(i =>
+      (s"n$i", Seq.fill(4)(rng.nextFloat() * 0.1f), null: String,
+        Seq.empty[String])) ++
+      (0 until 4).map(i =>
+        (s"r$i", Seq.fill(4)(5.0f + rng.nextFloat()), null: String,
+          Seq("rare")))
+    eng.add(records("refpq", "idx", rows))
+    eng.build("refpq", "idx", nlist = 2, algo = "IVF_PQ", pqM = 2, pqK = 8)
+    withClient { c =>
+      // unrefined + refined both serve over the wire; refined carries the
+      // exact-rerank scores (monotone ranks — ids suffice here)
+      c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "4", "VECTOR",
+        "[0.05,0.05,0.05,0.05]", "REFINE", "2") match {
+        case Arr(hits) => assert(hits.length == 4)
+        case other => fail(s"expected hits array, got $other")
+      }
+      // REFINE + FILTER: all four far members come back — the refine cut
+      // selects from MEMBER candidates, not the unfiltered ADC top
+      c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "4", "VECTOR",
+        "[0.05,0.05,0.05,0.05]", "REFINE", "2",
+        "FILTER", "rare") match {
+        case Arr(hits) =>
+          val ids = hits.map { case Arr(Bulk(id) +: _) => id }.sorted
+          assert(ids == Vector("r0", "r1", "r2", "r3"))
+        case other => fail(s"expected hits array, got $other")
+      }
+      // malformed REFINE is rejected at parse
+      c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "1", "VECTOR",
+        "[0,0,0,0]", "REFINE", "-3") match {
+        case Err(m) => assert(m.contains("REFINE"))
+        case other => fail(s"expected REFINE parse error, got $other")
+      }
+    }
+  }
+
   test("auth: keyed tenants require API_KEY or session AUTH; error code is VEC_ERR_AUTH") {
     mgmt.createTenant("secure", TenantQuota(), apiKeyHash = sha256Hex("secret"))
     withClient { c =>
