@@ -39,12 +39,29 @@ object TextDedup {
   def shingleCol(text: Column, n: Int): Column =
     shinglesOfTokens(tokens(text), n)
 
-  /** (doc_id, shingles ARRAY<STRING>) with the token array materialized
+  /** Hashed distinct word n-gram shingles, ARRAY<BIGINT> — the hot-path
+    * substrate every Jaccard/minhash stage runs on. Each n-gram hashes
+    * straight off its token slice with MULTI-ARGUMENT xxhash64
+    * (seed-chained per token, so token boundaries stay significant —
+    * unlike separator-joined strings, where a token containing the
+    * separator aliases "a_b","c" with "a","b_c"). Versus string
+    * shingles this removes ~|doc| string allocations per document at
+    * the shingle stage and moves 8-byte longs through every downstream
+    * persist/exchange/intersect; intersection COUNTS (hence Jaccard
+    * values) over hashed-distinct shingles equal the string counts —
+    * a 64-bit collision within one corpus is ~n²/2⁶⁵ (the same
+    * argument the exploded shingle join has always rested on). */
+  def shingleHashesOfTokens(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** (doc_id, shingles ARRAY<BIGINT>) with the token array materialized
     * before shingling — the shared first stage of every Jaccard path. */
   private def docShingleTable(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("shingles"))
+      .select(col("doc_id"), shingleHashesOfTokens(col("toks"), n).as("shingles"))
 
   /** Exact dedup: group identical texts by content hash, keep min doc_id. */
   def exact(docs: DataFrame): DataFrame =
@@ -67,8 +84,7 @@ object TextDedup {
   // the outer variant is row-identical and skips the rule.
   private def shingleTable(docs: DataFrame, n: Int, maxDocFreq: Int): DataFrame = {
     val sh = docShingleTable(docs, n)
-      .select(col("doc_id"), explode_outer(col("shingles")).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("g"))
     if (maxDocFreq > 0) {
       // drop hub shingles before the pair join — the anti-skew guard
       val hubs = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -135,8 +151,7 @@ object TextDedup {
           // count over the same partition) — no per-doc re-collection
           // into arrays and no second explode.
           val sh = docShingles
-            .select(col("doc_id"), explode_outer(col("shingles")).as("gs"))
-            .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+            .select(col("doc_id"), explode_outer(col("shingles")).as("g"))
           val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
           val wRank = org.apache.spark.sql.expressions.Window
             .partitionBy("doc_id").orderBy("df", "g")
@@ -209,16 +224,22 @@ object TextDedup {
     * which is most of the classic scheme's constant factor anyway. */
   private def minhashUdf(numHashes: Int) = {
     val mixedJ = Array.tabulate(numHashes)(j => StableHash.mix64(j.toLong))
-    udf { (shingles: Seq[String]) =>
+    udf { (shingles0: Seq[Long]) =>
+      // the shingle hash itself is the base (shingles arrive pre-hashed
+      // from [[shingleHashesOfTokens]]); longArray: one primitive copy,
+      // no per-element boxing in the k-permutation loop below
+      val gs = graft.functions.longArray(shingles0)
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      shingles.foreach { s =>
-        val h = StableHash.hashString(s)
+      var i = 0
+      while (i < gs.length) {
+        val h = gs(i)
         var j = 0
         while (j < numHashes) {
           val hj = StableHash.mix64(h ^ mixedJ(j))
           if (hj < sig(j)) sig(j) = hj
           j += 1
         }
+        i += 1
       }
       sig.toSeq
     }
@@ -243,8 +264,7 @@ object TextDedup {
     * already pruned to ≈ true-dup size, so hydrate both shingle arrays
     * per pair (two equi-joins, no forced broadcast — see inline note)
     * and intersect in place. No explode, no g-self-join, no
-    * aggregation — at driver SF this removes ~2/3 of the verify jobs,
-    * and over strings directly it is exact with no hash-collision caveat.
+    * aggregation — at driver SF this removes ~2/3 of the verify jobs.
     * The df-capped route must still drop hub shingles from the SETS
     * themselves, which only the exploded form expresses. */
   private def verifyFromShingles(docShingles: DataFrame, pairs: DataFrame,
@@ -274,8 +294,7 @@ object TextDedup {
       .union(pairs.select(col("id2"))).distinct()
     val candDocs = docShingles.join(ids, "doc_id")
     val shAll = candDocs
-      .select(col("doc_id"), explode(col("shingles")).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
     val sh = {
       val hubs = shAll.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select("g")
@@ -389,8 +408,15 @@ object TextDedup {
       try {
         // bucket minimum via partial-aggregating groupBy (the giant
         // bucket is absorbed map-side), joined back on the bucket key —
-        // both branches read the cache with its (band, bh) distribution
-        val mins = banded.groupBy("band", "bh").agg(min("doc_id").as("id1"))
+        // both branches read the cache with its (band, bh) distribution.
+        // SINGLETON buckets are dropped before the join: a one-member
+        // bucket's only member IS its min (no edge), and on a long-tail
+        // corpus nearly every bucket is a singleton — the filter shrinks
+        // the join's build side from ~|banded| rows to the non-singleton
+        // bucket count (measured 18.5 s → ~6 s at the 1M rung)
+        val mins = banded.groupBy("band", "bh")
+          .agg(min("doc_id").as("id1"), count(lit(1)).as("bn"))
+          .filter(col("bn") >= 2).drop("bn")
         val star = banded.join(mins, Seq("band", "bh"))
           .filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
           .select(col("id1"), col("doc_id").as("id2"))
@@ -400,6 +426,58 @@ object TextDedup {
           .localCheckpoint() // one materialization; frees both caches
       } finally banded.unpersist()
     } finally docShingles.unpersist()
+  }
+
+  /** Stage-by-stage decomposition of [[minhashLshStarPairs]] (+ the
+    * downstream components/keep-set) for the profiling main — each
+    * thunk materializes one pipeline stage against the previous one's
+    * persisted result, so the wall times attribute the fused pipeline's
+    * cost. Not part of any serving/query path. */
+  private[graft] def profileStarStages(docs: DataFrame, n: Int, tau: Double,
+      numHashes: Int = 128, bands: Int = 64): Seq[(String, () => Long)] = {
+    var docShingles: DataFrame = null
+    var sigs: DataFrame = null
+    var banded: DataFrame = null
+    var star: DataFrame = null
+    var verified: DataFrame = null
+    var comp: DataFrame = null
+    Seq(
+      ("shingles", () => {
+        docShingles = docShingleTable(docs, n).persist()
+        docShingles.count()
+      }),
+      ("minhash_sigs", () => {
+        sigs = docShingles.select(col("doc_id"),
+          minhashUdf(numHashes)(col("shingles")).as("sig")).persist()
+        sigs.count()
+      }),
+      ("band_repartition", () => {
+        banded = bandedTable(sigs, numHashes, bands)
+          .repartition(col("band"), col("bh")).persist()
+        banded.count()
+      }),
+      ("star_edges", () => {
+        val mins = banded.groupBy("band", "bh")
+          .agg(min("doc_id").as("id1"), count(lit(1)).as("bn"))
+          .filter(col("bn") >= 2).drop("bn")
+        star = banded.join(mins, Seq("band", "bh"))
+          .filter(col("doc_id") =!= col("id1"))
+          .select(col("id1"), col("doc_id").as("id2"))
+          .distinct().persist()
+        star.count()
+      }),
+      ("verify_jaccard", () => {
+        verified = verifyPairLocal(docShingles, star)
+          .filter(col("jaccard") >= tau).localCheckpoint()
+        verified.count()
+      }),
+      ("components", () => {
+        comp = Components.connectedComponents(verified)
+        comp.count()
+      }),
+      ("keep_set", () =>
+        keepCanonicalFrom(docs.select("doc_id"), comp)
+          .filter(col("keep")).count()))
   }
 
   /** LSH candidate generation: pairs agreeing on >= 1 signature band.
