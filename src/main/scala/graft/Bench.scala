@@ -1225,40 +1225,12 @@ object Bench {
     var ratesDedup: Map[String, Double] = Map.empty
     try {
       val nDocs = 1000000L
-      val docLen = 120
-      val vocab = 500000
-      // planted layout by doc_id:
-      //   [0, 10k)      giant near-dup cluster of doc 0
-      //   [10k, 110k)   20k near-dup clusters of 5
-      //   [110k, 160k)  25k exact-dup clusters of 2
-      //   [160k, 260k)  100k unique docs behind the shared hub span
-      //   [260k, 1M)    unique
-      val srcCol = when(col("doc_id") < 10000L, lit(0L))
-        .when(col("doc_id") < 110000L,
-          (floor((col("doc_id") - 10000L) / 5) * 5 + 10000L).cast("long"))
-        .when(col("doc_id") < 160000L,
-          (floor((col("doc_id") - 110000L) / 2) * 2 + 110000L).cast("long"))
-        .otherwise(col("doc_id"))
-      val hub = (0 until 10).map(i => s"hub$i").mkString(" ")
-      val toksCol = transform(sequence(lit(0), lit(docLen - 1)), i =>
-        when(col("mut") &&
-            pmod(xxhash64(lit("sel"), col("doc_id"), i), lit(50)) === 0,
-          concat(lit("m"), pmod(xxhash64(lit("mut"), col("doc_id"), i), lit(1L << 40))))
-          .otherwise(
-            // (src, i) as a MULTI-ARG hash: an arithmetic key like
-            // src*K+i overlaps across consecutive ids, handing adjacent
-            // "unique" docs shifted copies of one token stream — which
-            // chains the whole corpus into one component
-            concat(lit("w"), pmod(xxhash64(lit("tok"), col("src"), i), lit(vocab)))))
-      val gen = spark.range(nDocs).select(col("id").as("doc_id"))
-        .withColumn("src", srcCol)
-        .withColumn("mut",
-          col("doc_id") < 110000L && col("doc_id") =!= col("src"))
-        .withColumn("body", concat_ws(" ", toksCol))
-        .withColumn("text",
-          when(col("doc_id") >= 160000L && col("doc_id") < 260000L,
-            concat(lit(hub + " "), col("body"))).otherwise(col("body")))
-        .select("doc_id", "text")
+      // planted layout (regions, the multi-arg-hash token-stream note,
+      // and the 10-token hub span): BenchData.plantedDocs — one shared
+      // generator for the graded rung, the standalone rung main, and
+      // the stage profiler, so they can never diverge onto different
+      // corpora
+      val gen = BenchData.plantedDocs(spark, nDocs)
       val docsDir = tempDir("bench_docs1m")
       val tGen = timeOnce {
         gen.repartition(nCpus).write.mode("overwrite").parquet(docsDir)
@@ -1339,27 +1311,9 @@ object Bench {
     var ratesEmb: Map[String, Double] = Map.empty
     try {
       val nEmb = 1000000L
-      val dimE = 64
-      val srcE = when(col("vec_id") < 50000L,
-          (floor(col("vec_id") / 5) * 5).cast("long"))
-        .when(col("vec_id") < 60000L,
-          (floor((col("vec_id") - 50000L) / 2) * 2 + 50000L).cast("long"))
-        .when(col("vec_id") < 80000L, lit(60000L))
-        .otherwise(col("vec_id"))
-      val epsE = when(col("vec_id") === col("src"), lit(0.0))
-        .when(col("vec_id") < 50000L, lit(0.03))
-        .when(col("vec_id") < 60000L, lit(0.0))
-        .otherwise(lit(0.003))
-      def uE(tag: String, kc: org.apache.spark.sql.Column,
-             i: org.apache.spark.sql.Column) =
-        xxhash64(lit(tag), kc, i).cast("double") / lit(Long.MaxValue.toDouble)
-      val vecE = transform(sequence(lit(0), lit(dimE - 1)), i =>
-        (uE("base", col("src"), i) + col("eps") * uE("noise", col("vec_id"), i))
-          .cast("float"))
-      val genE = spark.range(nEmb).select(col("id").as("vec_id"))
-        .withColumn("src", srcE)
-        .withColumn("eps", epsE)
-        .select(col("vec_id"), vecE.as("embedding"))
+      // planted layout: BenchData.plantedEmbeddings (shared with the
+      // standalone EmbDedupRungMain)
+      val genE = BenchData.plantedEmbeddings(spark, nEmb)
       val embDir = tempDir("bench_emb1m")
       val tGenE = timeOnce {
         genE.repartition(nCpus).write.mode("overwrite").parquet(embDir)

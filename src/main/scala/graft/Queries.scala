@@ -1006,7 +1006,7 @@ object Queries {
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text,' ')) - 1),
-      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2]
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
       |  ))) AS g
       |  FROM documents WHERE len(string_split(text,' ')) >= 3
       |), sizes AS (
@@ -1111,7 +1111,7 @@ object Queries {
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text,' ')) - 1),
-      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2]
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
       |  ))) AS g
       |  FROM documents WHERE len(string_split(text,' ')) >= 3
       |), sizes AS (
@@ -1148,7 +1148,7 @@ object Queries {
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text,' ')) - 1),
-      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2]
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
       |  ))) AS g
       |  FROM documents WHERE len(string_split(text,' ')) >= 3
       |), sizes AS (
@@ -1193,8 +1193,8 @@ object Queries {
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text,' ')) - 3),
-      |    i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] || '_' ||
-      |         string_split(text,' ')[i+2] || '_' || string_split(text,' ')[i+3] || '_' ||
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
       |         string_split(text,' ')[i+4]
       |  ))) AS g
       |  FROM documents WHERE len(string_split(text,' ')) >= 5

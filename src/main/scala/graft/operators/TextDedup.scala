@@ -29,9 +29,14 @@ object TextDedup {
     * re-evaluated per element, so an inline split turns shingling into
     * O(tokens²) splits per document. */
   def shinglesOfTokens(toks: Column, n: Int): Column =
+    // space separator, NOT '_': tokens come from splitting on spaces, so
+    // a space can never appear inside one — the joined string is then
+    // boundary-exact (with '_', tokens containing '_' alias: "a_b","c"
+    // == "a","b_c"). Matches the oracle SQL's shingle construction and
+    // the boundary-exact relation of [[shingleHashesOfTokens]].
     array_distinct(transform(
       sequence(lit(0), size(toks) - n),
-      i => concat_ws("_", slice(toks, i + 1, lit(n)))))
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
   /** Distinct word n-gram shingles per document (convenience form — for
     * hot paths prefer projecting `tokens(text)` to a column first and
@@ -50,11 +55,15 @@ object TextDedup {
     * persist/exchange/intersect; intersection COUNTS (hence Jaccard
     * values) over hashed-distinct shingles equal the string counts —
     * a 64-bit collision within one corpus is ~n²/2⁶⁵ (the same
-    * argument the exploded shingle join has always rested on). */
+    * argument the exploded shingle join has always rested on).
+    * Total: documents shorter than n tokens yield an empty array (the
+    * naked sequence would count DOWN into index 0 and throw). */
   def shingleHashesOfTokens(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - n),
-      i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** (doc_id, shingles ARRAY<BIGINT>) with the token array materialized
     * before shingling — the shared first stage of every Jaccard path. */
@@ -136,9 +145,13 @@ object TextDedup {
       // length |S| - ceil(tau*|S|) + 1
       val prefix =
         if (!rareFirst)
-          // hash order: no extra pass — sort the array in place and slice
+          // hash order: no extra pass — the shingles ARE well-mixed
+          // 64-bit hashes already, so sorting them directly is the
+          // global deterministic total order the prefix guarantee
+          // needs (re-hashing would only add a pointless second
+          // collision layer); sort in place and slice
           docShingles.select(col("doc_id"),
-              array_sort(transform(col("shingles"), g => xxhash64(g))).as("hs"))
+              array_sort(col("shingles")).as("hs"))
             .select(col("doc_id"),
               explode_outer(slice(col("hs"), lit(1),
                 (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")))
@@ -405,27 +418,31 @@ object TextDedup {
         minhashUdf(numHashes)(col("shingles")).as("sig"))
       val banded = bandedTable(sigs, numHashes, bands)
         .repartition(col("band"), col("bh")).persist()
-      try {
-        // bucket minimum via partial-aggregating groupBy (the giant
-        // bucket is absorbed map-side), joined back on the bucket key —
-        // both branches read the cache with its (band, bh) distribution.
-        // SINGLETON buckets are dropped before the join: a one-member
-        // bucket's only member IS its min (no edge), and on a long-tail
-        // corpus nearly every bucket is a singleton — the filter shrinks
-        // the join's build side from ~|banded| rows to the non-singleton
-        // bucket count (measured 18.5 s → ~6 s at the 1M rung)
-        val mins = banded.groupBy("band", "bh")
-          .agg(min("doc_id").as("id1"), count(lit(1)).as("bn"))
-          .filter(col("bn") >= 2).drop("bn")
-        val star = banded.join(mins, Seq("band", "bh"))
-          .filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
-          .select(col("id1"), col("doc_id").as("id2"))
-          .distinct()
-        verifyPairLocal(docShingles, star)
+      try verifyPairLocal(docShingles, starEdges(banded))
           .filter(col("jaccard") >= tau)
           .localCheckpoint() // one materialization; frees both caches
-      } finally banded.unpersist()
+      finally banded.unpersist()
     } finally docShingles.unpersist()
+  }
+
+  /** Star edges of a persisted (doc_id, band, bh) table: bucket minimum
+    * via partial-aggregating groupBy (a giant bucket is absorbed
+    * map-side), joined back on the bucket key — both branches read the
+    * cache with its (band, bh) distribution. SINGLETON buckets are
+    * dropped before the join: a one-member bucket's only member IS its
+    * min (no edge), and on a long-tail corpus nearly every bucket is a
+    * singleton — the filter shrinks the join's build side from
+    * ~|banded| rows to the non-singleton bucket count (measured
+    * 18.5 → 8.9 s at the 1M rung). Shared by the pipeline and the
+    * stage profiler so they can never measure different plans. */
+  private def starEdges(banded: DataFrame): DataFrame = {
+    val mins = banded.groupBy("band", "bh")
+      .agg(min("doc_id").as("id1"), count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2).drop("bn")
+    banded.join(mins, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
+      .select(col("id1"), col("doc_id").as("id2"))
+      .distinct()
   }
 
   /** Stage-by-stage decomposition of [[minhashLshStarPairs]] (+ the
@@ -457,19 +474,20 @@ object TextDedup {
         banded.count()
       }),
       ("star_edges", () => {
-        val mins = banded.groupBy("band", "bh")
-          .agg(min("doc_id").as("id1"), count(lit(1)).as("bn"))
-          .filter(col("bn") >= 2).drop("bn")
-        star = banded.join(mins, Seq("band", "bh"))
-          .filter(col("doc_id") =!= col("id1"))
-          .select(col("id1"), col("doc_id").as("id2"))
-          .distinct().persist()
-        star.count()
+        star = starEdges(banded).persist()
+        val n = star.count()
+        sigs.unpersist() // dead after band_repartition materialized
+        n
       }),
       ("verify_jaccard", () => {
         verified = verifyPairLocal(docShingles, star)
           .filter(col("jaccard") >= tau).localCheckpoint()
-        verified.count()
+        val n = verified.count()
+        // release everything the fused pipeline would have released at
+        // its one materialization — later stages must not run under
+        // cache pressure the real pipeline never sees
+        banded.unpersist(); docShingles.unpersist(); star.unpersist()
+        n
       }),
       ("components", () => {
         comp = Components.connectedComponents(verified)

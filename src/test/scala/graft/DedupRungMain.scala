@@ -26,40 +26,9 @@ object DedupRungMain {
     def timeOnce(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val docLen = 120
-    val vocab = 500000
-    // scale the planted regions with nDocs (at 1M these match Bench)
-    val sc = nDocs / 1000000.0
-    val giantEnd = (10000 * sc).toLong.max(10)
-    val nearEnd = giantEnd + (100000 * sc).toLong
-    val exactEnd = nearEnd + (50000 * sc).toLong
-    val hubEnd = exactEnd + (100000 * sc).toLong
-    val srcCol = when(col("doc_id") < giantEnd, lit(0L))
-      .when(col("doc_id") < nearEnd,
-        (floor((col("doc_id") - giantEnd) / 5) * 5 + giantEnd).cast("long"))
-      .when(col("doc_id") < exactEnd,
-        (floor((col("doc_id") - nearEnd) / 2) * 2 + nearEnd).cast("long"))
-      .otherwise(col("doc_id"))
-    val hub = (0 until 10).map(i => s"hub$i").mkString(" ")
-    val toksCol = transform(sequence(lit(0), lit(docLen - 1)), i =>
-      when(col("mut") &&
-          pmod(xxhash64(lit("sel"), col("doc_id"), i), lit(50)) === 0,
-        concat(lit("m"), pmod(xxhash64(lit("mut"), col("doc_id"), i), lit(1L << 40))))
-        .otherwise(
-          // (src, i) as a MULTI-ARG hash: an arithmetic key like
-          // src*K+i overlaps across consecutive ids, handing adjacent
-          // "unique" docs shifted copies of one token stream — which
-          // chains the whole corpus into one component
-          concat(lit("w"), pmod(xxhash64(lit("tok"), col("src"), i), lit(vocab)))))
-    val gen = spark.range(nDocs).select(col("id").as("doc_id"))
-      .withColumn("src", srcCol)
-      .withColumn("mut",
-        col("doc_id") < nearEnd && col("doc_id") =!= col("src"))
-      .withColumn("body", concat_ws(" ", toksCol))
-      .withColumn("text",
-        when(col("doc_id") >= exactEnd && col("doc_id") < hubEnd,
-          concat(lit(hub + " "), col("body"))).otherwise(col("body")))
-      .select("doc_id", "text")
+    // the one shared planted-corpus generator (BenchData): the graded
+    // rung, this main, and the stage profiler always see one corpus
+    val gen = BenchData.plantedDocs(spark, nDocs)
     val docsDir = java.nio.file.Files
       .createTempDirectory("dedup_rung").toString
     val tGen = timeOnce {

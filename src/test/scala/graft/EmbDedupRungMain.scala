@@ -67,30 +67,8 @@ object EmbDedupRungMain {
     */
   def rung(spark: SparkSession, n: Long, dir: String)
       : (Double, Double, Long, Long, Long, Double) = {
-    val dim = 64
-    require(n > 100000L, s"rung layout needs n > 100k, got $n")
-    val srcCol = when(col("vec_id") < 50000L,
-        (floor(col("vec_id") / 5) * 5).cast("long"))
-      .when(col("vec_id") < 60000L,
-        (floor((col("vec_id") - 50000L) / 2) * 2 + 50000L).cast("long"))
-      .when(col("vec_id") < 80000L, lit(60000L))
-      .otherwise(col("vec_id"))
-    val epsCol = when(col("vec_id") === col("src"), lit(0.0))
-      .when(col("vec_id") < 50000L, lit(0.03))
-      .when(col("vec_id") < 60000L, lit(0.0)) // exact copies
-      .otherwise(lit(0.003))                  // dense hub region
-    // base(src, i) + ε·noise(vec_id, i), both xxhash64 → [-1, 1]:
-    // deterministic on every executor, no matrix shipped, no RNG
-    def u(tag: String, k: org.apache.spark.sql.Column,
-          i: org.apache.spark.sql.Column) =
-      xxhash64(lit(tag), k, i).cast("double") / lit(Long.MaxValue.toDouble)
-    val vecCol = transform(sequence(lit(0), lit(dim - 1)), i =>
-      (u("base", col("src"), i) + col("eps") * u("noise", col("vec_id"), i))
-        .cast("float"))
-    val gen = spark.range(n).select(col("id").as("vec_id"))
-      .withColumn("src", srcCol)
-      .withColumn("eps", epsCol)
-      .select(col("vec_id"), vecCol.as("embedding"))
+    // the one shared planted-embedding generator (BenchData)
+    val gen = BenchData.plantedEmbeddings(spark, n)
     val t0 = System.nanoTime()
     gen.repartition(32).write.mode("overwrite").parquet(dir + "/emb")
     val tGen = (System.nanoTime() - t0) / 1e9
