@@ -802,6 +802,16 @@ class GraftEngine(spark: SparkSession, root: String,
     * metric scale — no ADC fold — so the head merge compares exact with
     * exact (the refine rationale: the delta merge's score asymmetry is
     * gone). Returns the per-query top k, already masked. */
+  /** k·refine rerank cut size, computed in Long: the wire caps REFINE at
+    * 10k but the engine API takes any Int, and an Int product overflows
+    * NEGATIVE — max(1, negative) would silently degrade the ADC cut to 1
+    * candidate per query instead of failing. */
+  private def refineCutSize(k: Int, refine: Int): Int = {
+    val c = math.max(1L, k.toLong * refine.toLong)
+    require(c <= Int.MaxValue, s"k*refine overflows Int: $k * $refine")
+    c.toInt
+  }
+
   private def pqTailRowsRefined(tenant: String, index: String, m: Manifest,
                                 queries: Array[(Long, Array[Float])],
                                 metricU: String, k: Int, refine: Int,
@@ -809,7 +819,7 @@ class GraftEngine(spark: SparkSession, root: String,
                                 store: graft.operators.Sq16Store): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, _) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
-    val kAdc = math.max(1, k * refine) + hs.maskInTail
+    val kAdc = refineCutSize(k, refine) + hs.maskInTail
     val adc = graft.operators.IvfPq.searchLocalRowsPath(pqIdx, tq, kAdc,
       nprobe, spark, mtBound = pqServeMaxLookupsMT)
     val byQuery = adc.groupBy(_._1)
@@ -822,7 +832,7 @@ class GraftEngine(spark: SparkSession, root: String,
         .sortBy(_._2) // rank asc
         .iterator
         .filter(r => !hs.maskSurrogates.contains(r._3))
-        .take(math.max(1, k * refine))
+        .take(refineCutSize(k, refine))
       val reranked = cut.map { case (_, _, surr, _) =>
         val row = store.lookup(surr)
         require(row >= 0,
@@ -1391,7 +1401,7 @@ class GraftEngine(spark: SparkSession, root: String,
           val cut = TopK.perGroup(
               adcEligible.select(col("query_id"),
                 xxhash64(col("id_str")).as("id"), col("score")),
-              Seq("query_id"), math.max(1, k * refine))
+              Seq("query_id"), refineCutSize(k, refine))
             .select("query_id", "id")
           if (refineStore == "sq16") {
             // rerank against the SQ16 sidecar's DEQUANTIZED vectors — the

@@ -249,6 +249,50 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** BEAM-FILTERED HNSW (the r8 `FILTER_MODE beam` semantics: members
+    * only fill the ef-bounded result set while non-members still route
+    * the walk) at the same provably-exact configuration: on a complete
+    * per-partition graph with efSearch ≥ partition rows the filtered
+    * beam visits every node and keeps every MEMBER, so the bounded
+    * merge is exactly brute-force L2 over the member subset — which is
+    * SQL (`vec_id % 2 = 0`). This puts the beam kernel itself (filtered
+    * layer traversal, member-only result fill) under the cross-engine
+    * gate; at pruned configs its advantage over post-filter stays
+    * covered by HnswSpec's far-member fixture. */
+  val hnswBeamFiltered: QueryFn = (s, dir) => {
+    import s.implicits._
+    val parts = built(s, s"$dir:hnsw_exact_parts") {
+      graft.operators.Hnsw.build(
+        vectorsOf(s, dir).filter(col("id") < HnswExactN), "L2",
+        m = HnswExactN, efConstruction = HnswExactN, numPartitions = 16)
+        .collect()
+    }
+    val qs = queriesOf(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val allowed = (0L until HnswExactN.toLong).filter(_ % 2 == 0).toArray
+    graft.operators.Hnsw.searchLocalRowsFiltered(parts, qs, K,
+        efSearch = HnswExactN, allowedSorted = allowed)
+      .toSeq.map { case (q, rank, id, _) => (q, rank, id) }
+      .toDF("query_id", "rank", "id")
+      .orderBy("query_id", "rank")
+  }
+
+  val hnswBeamFilteredSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |         -list_distance(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id < $HnswExactN AND e.vec_id % 2 = 0
+       |), r AS (
+       |  SELECT query_id, id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val hnswExactSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
@@ -316,12 +360,15 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(String, String, String, String), GraftEngine]
 
   private def engineOn(s: SparkSession, dir: String, algo: String,
-                       metric: String = "L2"): GraftEngine =
-    engineMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, algo, metric),
-      buildEngine(s, dir, algo, metric))
+                       metric: String = "L2",
+                       tagged: Boolean = false): GraftEngine =
+    engineMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, algo + (if (tagged) "#tagged" else ""),
+        metric),
+      buildEngine(s, dir, algo, metric, tagged))
 
   private def buildEngine(s: SparkSession, dir: String, algo: String,
-                          metric: String): GraftEngine = {
+                          metric: String, tagged: Boolean): GraftEngine = {
     val root = java.nio.file.Files.createTempDirectory("graft_engine").toString
     val eng = new GraftEngine(s, root)
     val recs = t(s, dir, "embeddings").select(
@@ -330,7 +377,13 @@ object Queries {
       .withColumn("tenant_id", lit("t0"))
       .withColumn("index_name", lit("emb"))
       .withColumn("meta", lit(null).cast("string"))
-      .withColumn("tags", lit(null).cast("array<string>"))
+      // tagged engines carry a deterministic parity tag so FILTERED
+      // serving paths can be oracled (the predicate is SQL: vec_id % 2)
+      .withColumn("tags",
+        if (tagged)
+          array(when(col("id").cast("long") % 2 === 0, lit("even"))
+            .otherwise(lit("odd")))
+        else lit(null).cast("array<string>"))
       .withColumn("updated_at", lit(100L))
     eng.add(recs)
     eng.build("t0", "emb", nlist = 10, metric = metric, algo = algo,
@@ -434,6 +487,53 @@ object Queries {
        |  SELECT q.query_id, deq.vec_id AS id,
        |         -list_distance(deq.v::DOUBLE[], q.qvec::DOUBLE[]) AS score
        |  FROM deq CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, id FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** REFINED + FILTERED through the plan — the exact path the wire's
+    * `REFINE <r> FILTER <tag>` serves (searchImpl with refineStore=sq16;
+    * the r8 self-review found its one real semantics bug HERE: the
+    * k·refine ADC cut selected from UNFILTERED candidates, so a
+    * selective tag could starve the rerank and return empty). Exhaustive
+    * probes + rerank-all + the tag predicate make the answer exactly
+    * filtered brute-force L2 over the DEQUANTIZED corpus — the
+    * enginePqRefinedRows derivation with `vec_id % 2 = 0` applied, which
+    * is SQL. Rank-only per the accumulation-order policy. */
+  val enginePqRefinedFiltered: QueryFn = (s, dir) => {
+    val eng = engineOn(s, dir, "IVF_PQ", tagged = true)
+    val n = eng.manifest("t0", "emb").nVectors
+    val qDf = queriesOf(s, dir)
+      .withColumn("filter_tags", typedLit(Seq("even")))
+    eng.search("t0", "emb", qDf, K, nprobe = 10,
+        refine = ((n + K - 1) / K).toInt, refineStore = "sq16")
+      .select(col("query_id"), col("rank"), col("id").cast("long").as("id"))
+  }
+
+  val enginePqRefinedFilteredSql: String =
+    s"""WITH bounds AS (
+       |  SELECT min(list_min(embedding)) AS mn, max(list_max(embedding)) AS mx
+       |  FROM embeddings
+       |), deq AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.embedding, x ->
+       |           CAST(CAST(b.mn AS DOUBLE) +
+       |             greatest(0.0, least(65535.0,
+       |               floor(CAST(x - b.mn AS DOUBLE) * (65535.0 / CAST(b.mx - b.mn AS DOUBLE)) + 0.5)))
+       |             * (CAST(b.mx - b.mn AS DOUBLE) / 65535.0)
+       |           AS FLOAT)) AS v
+       |  FROM embeddings e CROSS JOIN bounds b
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $NQueries
+       |), s AS (
+       |  SELECT q.query_id, deq.vec_id AS id,
+       |         -list_distance(deq.v::DOUBLE[], q.qvec::DOUBLE[]) AS score
+       |  FROM deq CROSS JOIN q
+       |  WHERE deq.vec_id % 2 = 0
        |), r AS (
        |  SELECT query_id, id,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) AS rank
@@ -1693,8 +1793,10 @@ object Queries {
     "sq8_search" -> sq8Search,
     "hnsw_search" -> hnswSearch,
     "hnsw_rows_search" -> hnswRowsSearch,
+    "hnsw_beam_filtered" -> hnswBeamFiltered,
     "engine_pq_search" -> enginePqSearch,
     "engine_pq_refined_rows" -> enginePqRefinedRows,
+    "engine_pq_refined_filtered" -> enginePqRefinedFiltered,
     "engine_pq_cosine" -> enginePqCosine,
     "engine_pq_ip" -> enginePqIp,
     "engine_cached_search" -> engineCachedSearch,
@@ -1763,10 +1865,12 @@ object Queries {
     "ivf_pq_search" -> knnL2Sql,
     "engine_pq_search" -> knnL2Sql,
     "engine_pq_refined_rows" -> enginePqRefinedRowsSql,
+    "engine_pq_refined_filtered" -> enginePqRefinedFilteredSql,
     "engine_pq_cosine" -> knnCosineRankSql,
     "engine_pq_ip" -> knnDotSql,
     "hnsw_search" -> hnswExactSql,
     "hnsw_rows_search" -> hnswExactSql,
+    "hnsw_beam_filtered" -> hnswBeamFilteredSql,
     "fingerprint_dup_pairs" -> fingerprintDupPairsSql,
     "simhash_dup_pairs" -> simhashDupPairsSql,
     "sq8_search" -> sq8SearchSql,

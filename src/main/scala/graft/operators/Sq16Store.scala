@@ -103,7 +103,14 @@ object Sq16Store {
     * keep the first occurrence, deterministically (runs ordered, then id):
     * the same tie the id pool resolves the same way. */
   def merge(runs: Array[Run], dim: Int, mn: Float, mx: Float): Sq16Store = {
-    val total = runs.map(_.ids.length).sum
+    // accumulate the run lengths in LONG: an Int sum wraps silently and
+    // a direct caller (the engine's residency gate is upstream of this)
+    // would see a negative allocation or index corruption, not an error
+    // — same guard discipline as IdPool.merge
+    val totalL = runs.map(_.ids.length.toLong).sum
+    require(totalL * dim <= Int.MaxValue,
+      s"sq16 store exceeds the Int-indexed flat-array bound: $totalL vectors x dim $dim")
+    val total = totalL.toInt
     val ids = new Array[Long](total)
     // flat JVM arrays are Int-indexed (≤ ~2^31 shorts — 16M vectors at
     // dim 128); the engine's residency gate denies past that, and

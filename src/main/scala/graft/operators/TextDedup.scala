@@ -371,7 +371,7 @@ object TextDedup {
         // bucket self-join then reads both branches from the cache with
         // its required distribution — zero new exchanges for the join
         val banded = bandedTable(sigs, numHashes, bands)
-          .repartition(col("band"), col("bh")).persist()
+          .repartition(col("bucket")).persist()
         try verifyPairLocal(docShingles, bandedSelfJoin(banded))
           .filter(col("jaccard") >= tau)
           .localCheckpoint() // the one materialization; frees both caches
@@ -407,6 +407,16 @@ object TextDedup {
     * shared boilerplate shingle dominating the min-hashes of otherwise
     * unrelated documents) cannot merge strangers: its star edges fail
     * Jaccard and the bucket contributes nothing, at linear cost.
+    * Residual under-merge corner (corpus-dependent, not removed): when
+    * a bucket's MINIMUM id is itself a false-positive member, all of
+    * that bucket's star edges fail verification and its genuine pairs
+    * go untested — connectivity then relies on ANOTHER band electing a
+    * true cluster member as its bucket min. With the default 64 bands a
+    * true near-dup pair collides in many independent bands (the LSH
+    * S-curve puts per-band collision ≈ 0.5^rows at tau), so the miss
+    * probability is (P[fp min])^bands-ish — negligible on real corpora
+    * but NOT a strict equivalence to [[minhashLshPairs]]'s keep-set on
+    * adversarial input.
     * Same candidate shape as public large-scale MinHash dedup
     * pipelines (reference behavior match: the keep-set the reference's
     * dedup recipe computes, at the scale its docs claim). */
@@ -416,30 +426,108 @@ object TextDedup {
     try {
       val sigs = docShingles.select(col("doc_id"),
         minhashUdf(numHashes)(col("shingles")).as("sig"))
-      val banded = bandedTable(sigs, numHashes, bands)
-        .repartition(col("band"), col("bh")).persist()
-      try verifyPairLocal(docShingles, starEdges(banded))
-          .filter(col("jaccard") >= tau)
-          .localCheckpoint() // one materialization; frees both caches
-      finally banded.unpersist()
+      // star edges are materialized (they are tiny after distinct — the
+      // whole point of the star shape) so the verify hydrate can make an
+      // exact-count broadcast decision instead of trusting estimates
+      val star = starEdges(bandedTable(sigs, numHashes, bands))
+        .localCheckpoint()
+      verifyPairLocal(docShingles, hintedPairs(star))
+        .filter(col("jaccard") >= tau)
+        .localCheckpoint() // small result; frees the shingle cache
     } finally docShingles.unpersist()
   }
 
-  /** Star edges of a persisted (doc_id, band, bh) table: bucket minimum
-    * via partial-aggregating groupBy (a giant bucket is absorbed
-    * map-side), joined back on the bucket key — both branches read the
-    * cache with its (band, bh) distribution. SINGLETON buckets are
-    * dropped before the join: a one-member bucket's only member IS its
-    * min (no edge), and on a long-tail corpus nearly every bucket is a
-    * singleton — the filter shrinks the join's build side from
-    * ~|banded| rows to the non-singleton bucket count (measured
-    * 18.5 → 8.9 s at the 1M rung). Shared by the pipeline and the
-    * stage profiler so they can never measure different plans. */
+  /** Shard-parallel form of the star dedup recipe — the composition a
+    * 100-TB deployment actually runs. Stage 1 executes the star recipe
+    * PER SHARD: the LSH bucket key is extended with `shardCol`, so every
+    * window group, star edge, and verify is shard-local — on a cluster
+    * whose corpus is stored shard-partitioned, no band row ever crosses
+    * a shard boundary and each shard's candidate stage runs at the
+    * single-shard scale the 1M/10M rungs measure. Stage 2 merges
+    * cross-shard duplicate clusters with a SECOND star pass over each
+    * shard's SURVIVORS only (its cluster canonicals + uniques): within a
+    * global near-dup cluster every member is a near-dup of every other,
+    * so each shard's canonical is a near-dup of the other shards'
+    * canonicals and the second pass restores exactly the cross-shard
+    * connectivity stage 1 scoped out — the union keep-set equals the
+    * unsharded star keep-set (TextDedupSpec pins this on a corpus whose
+    * clusters straddle shards). Skew note: stage 2's input has every
+    * duplicate cluster already collapsed to one doc per shard, so a
+    * giant boilerplate cluster enters the global pass as ≤ |shards|
+    * documents — the second pass is skew-free by construction.
+    * Returns (id1, id2, jaccard) candidate-verified pairs; feed to
+    * [[keepCanonical]] like any other pair generator. */
+  def minhashLshStarPairsSharded(docs: DataFrame, shardCol: String,
+                                 n: Int, tau: Double,
+                                 numHashes: Int = 128,
+                                 bands: Int = 64): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col(shardCol).as("__shard"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("__shard"),
+        shingleHashesOfTokens(col("toks"), n).as("shingles"))
+      .persist()
+    try {
+      val sigs = base.select(col("doc_id"), col("__shard"),
+        minhashUdf(numHashes)(col("shingles")).as("sig"))
+      val star = starEdges(bandedTableSharded(sigs, numHashes, bands))
+        .localCheckpoint()
+      val within = verifyPairLocal(base.select("doc_id", "shingles"),
+          hintedPairs(star))
+        .filter(col("jaccard") >= tau)
+        .localCheckpoint()
+      // stage 2: global star pass over stage-1 survivors only
+      val kc = keepCanonical(docs.select("doc_id"), within)
+      val survivors = docs.join(
+        kc.filter(col("keep")).select("doc_id"), "doc_id")
+      val cross = minhashLshStarPairs(survivors, n, tau, numHashes, bands)
+      within.unionByName(cross)
+    } finally base.unpersist()
+  }
+
+  /** Above this many candidate edges the verify hydrate stops
+    * broadcasting the pair side and falls back to a shuffle join of the
+    * shingle table — 20M edges ≈ 500 MB serialized, comfortably inside
+    * the executor broadcast budget; beyond it (a 100-TB corpus with
+    * billions of near-dup pairs) the shuffle is the correct plan and a
+    * real cluster absorbs it with executor count. */
+  val VerifyBroadcastMaxPairs: Long = 20L * 1000 * 1000
+
+  /** Broadcast-hint a MATERIALIZED candidate-pair table when its exact
+    * count is under [[VerifyBroadcastMaxPairs]]. The default 10 MB
+    * autoBroadcastJoinThreshold abandons the map-side hydrate at ~400k
+    * pairs, turning the single verify join into a full shuffle of the
+    * corpus-sized shingle table (measured 3.1 s → 119.4 s going
+    * 1M → 10M docs at the rung); the explicit hint keeps the big side
+    * stationary, and the count gate keeps the fallback available. */
+  private def hintedPairs(pairs: DataFrame): DataFrame =
+    if (pairs.count() <= VerifyBroadcastMaxPairs) broadcast(pairs) else pairs
+
+  /** Star edges of a (doc_id, bucket) band table in ONE pass: the bucket
+    * minimum comes from a window aggregate over the bucket key, so the
+    * band table is shuffled exactly once (the window's own exchange)
+    * and never persisted — the previous groupBy-then-join shape cached
+    * the full band table (13 GB at 10M docs, past the storage pool) and
+    * read the spilled cache twice (measured 88.5 s repartition+persist
+    * + 217.7 s for the two-read join at 10M; the window form replaces
+    * both). Singleton buckets drop for free: their only member IS the
+    * minimum, so the `doc_id =!= id1` filter removes them without a
+    * count column. The window buffer is per-BUCKET (bounded by the
+    * largest near-dup cluster, not the corpus). Shared by the pipeline
+    * and the stage profiler so they can never measure different plans. */
   private def starEdges(banded: DataFrame): DataFrame = {
-    val mins = banded.groupBy("band", "bh")
-      .agg(min("doc_id").as("id1"), count(lit(1)).as("bn"))
-      .filter(col("bn") >= 2).drop("bn")
-    banded.join(mins, Seq("band", "bh"))
+    // the band table is `bands`× the corpus (640M rows at 10M docs), so
+    // the session's shuffle-partition count — sized for corpus-scale
+    // exchanges — leaves each window partition with an EXTERNAL sort
+    // (measured: the spill is the stage's cost at 10M). 8× partitions
+    // puts the per-task sort back in memory; the explicit repartition
+    // already satisfies the window's required distribution, so Catalyst
+    // inserts no second exchange
+    val parts = 8 * banded.sparkSession.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    banded.repartition(parts, col("bucket"))
+      .withColumn("id1", min("doc_id").over(w))
       .filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
       .select(col("id1"), col("doc_id").as("id2"))
       .distinct()
@@ -454,7 +542,6 @@ object TextDedup {
       numHashes: Int = 128, bands: Int = 64): Seq[(String, () => Long)] = {
     var docShingles: DataFrame = null
     var sigs: DataFrame = null
-    var banded: DataFrame = null
     var star: DataFrame = null
     var verified: DataFrame = null
     var comp: DataFrame = null
@@ -468,25 +555,23 @@ object TextDedup {
           minhashUdf(numHashes)(col("shingles")).as("sig")).persist()
         sigs.count()
       }),
-      ("band_repartition", () => {
-        banded = bandedTable(sigs, numHashes, bands)
-          .repartition(col("band"), col("bh")).persist()
-        banded.count()
-      }),
       ("star_edges", () => {
-        star = starEdges(banded).persist()
+        // band explode + window min + distinct, one stage — the fused
+        // pipeline no longer persists a band table (see starEdges)
+        star = starEdges(bandedTable(sigs, numHashes, bands))
+          .localCheckpoint()
         val n = star.count()
-        sigs.unpersist() // dead after band_repartition materialized
+        sigs.unpersist() // dead once the edges are materialized
         n
       }),
       ("verify_jaccard", () => {
-        verified = verifyPairLocal(docShingles, star)
+        verified = verifyPairLocal(docShingles, hintedPairs(star))
           .filter(col("jaccard") >= tau).localCheckpoint()
         val n = verified.count()
         // release everything the fused pipeline would have released at
         // its one materialization — later stages must not run under
         // cache pressure the real pipeline never sees
-        banded.unpersist(); docShingles.unpersist(); star.unpersist()
+        docShingles.unpersist()
         n
       }),
       ("components", () => {
@@ -505,35 +590,56 @@ object TextDedup {
                      bands: Int): DataFrame =
     bandedCandidates(minhashSignatures(docs, n, numHashes), numHashes, bands)
 
-  /** (doc_id, band, bh) band-hash table for a (doc_id, sig) signature
+  /** (doc_id, bucket) band-hash table for a (doc_id, sig) signature
     * table — one pass over the signature (no per-band explode of the
     * full signature array). Caller persists (the self-join would
     * otherwise recompute the signature UDF once per branch). */
-  private def bandedTable(sigs: DataFrame, numHashes: Int,
-                          bands: Int): DataFrame = {
+  /** Per-band bucket hashes of a minhash signature, ONE long per band:
+    * the band INDEX is folded into the hash (seed) so one LONG is the
+    * whole bucket key — at 10M docs the band table is 640M rows through
+    * a full shuffle, and carrying (band, bh) instead of one fused key is
+    * ~30% more shuffle bytes plus a composite sort key for zero
+    * information the join needs; a cross-band key collision only creates
+    * a candidate edge the exact verify rejects (~bands²·n²/2⁶⁴ expected
+    * across the corpus). */
+  private def bandHashesUdf(numHashes: Int, bands: Int) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val bandHashes = udf { (sig0: Seq[Long]) =>
+    udf { (sig0: Seq[Long]) =>
       val sig = graft.functions.longArray(sig0) // indexed across all bands
       (0 until bands).map { band =>
-        var h = 0L
+        var h = StableHash.mix64(band + 0x9E3779B97F4A7C15L)
         var i = band * rows
         while (i < (band + 1) * rows) { h = StableHash.mix64(h ^ sig(i)); i += 1 }
         h
       }
     }
-    sigs
-      // _outer: see shingleTable note — plain posexplode would re-inline
-      // the band-hash (and upstream signature) UDFs into inferred filters
-      .select(col("doc_id"), posexplode_outer(bandHashes(col("sig"))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
   }
+
+  private def bandedTable(sigs: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame =
+    sigs
+      // _outer: see shingleTable note — plain explode would re-inline
+      // the band-hash (and upstream signature) UDFs into inferred filters
+      .select(col("doc_id"),
+        explode_outer(bandHashesUdf(numHashes, bands)(col("sig"))).as("bucket"))
+
+  /** [[bandedTable]] with the SHARD folded into the bucket key: every
+    * LSH bucket becomes shard-local, so the window groups, star edges,
+    * and verifies of [[minhashLshStarPairsSharded]]'s first stage never
+    * cross a shard boundary. */
+  private def bandedTableSharded(sigs: DataFrame, numHashes: Int,
+                                 bands: Int): DataFrame =
+    sigs
+      .select(col("doc_id"), col("__shard"),
+        explode_outer(bandHashesUdf(numHashes, bands)(col("sig"))).as("b0"))
+      .select(col("doc_id"), xxhash64(col("__shard"), col("b0")).as("bucket"))
 
   /** Distinct candidate pairs from a persisted band-hash table. */
   private def bandedSelfJoin(banded: DataFrame): DataFrame = {
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
@@ -757,12 +863,25 @@ object TextDedup {
     // longs-only groupBy: map-side partial aggregation absorbs a
     // boilerplate hot span before the exchange
     val counts = skeleton.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
-    val removedIdx = skeleton.join(counts, Seq("h1", "h2"))
+    // singleton prefilter: a span occurring ONCE cannot be
+    // corpus-duplicated, and on a real corpus nearly every span is a
+    // singleton — joining the skeleton against only the duplicated keys
+    // (instead of the full count table) turns the 121M×119M sort-merge
+    // at the 10M rung into a join whose build side is the dup-span set,
+    // small enough for AQE to broadcast; the carrier-only regroup then
+    // also shrinks the reassembly join's right side from |corpus| to
+    // |carrier docs|, which AQE broadcasts too
+    val dupSpans = counts.filter(col("cnt") > 1).select("h1", "h2")
+    val removedIdx = skeleton.join(dupSpans, Seq("h1", "h2"))
       .groupBy("doc_id")
       .agg(
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_removed"),
-        collect_set(when(col("cnt") > 1, col("span_idx"))).as("removed_idx"))
-    toks.join(removedIdx, "doc_id")
+        count(lit(1)).as("n_removed"),
+        collect_set(col("span_idx")).as("removed_idx"))
+    // left join: docs with no duplicated span keep their text unchanged
+    toks.join(removedIdx, Seq("doc_id"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .withColumn("removed_idx",
+        coalesce(col("removed_idx"), array().cast("array<int>")))
       .withColumn("clean_text", concat_ws(" ",
         filter(spanArr, (_, i) => !array_contains(col("removed_idx"), i))))
       .select("doc_id", "n_spans", "n_removed", "clean_text")

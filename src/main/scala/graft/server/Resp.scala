@@ -470,9 +470,13 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
           // candidates against the snapshot's SQ16 store (resident
           // zero-job when the store fits; plan sq16-rerank otherwise)
           require(i + 1 < args.length, "REFINE requires a value.")
-          refine = args(i + 1).toIntOption.filter(_ >= 0).getOrElse(
-            throw new IllegalArgumentException(
-              "REFINE must be a non-negative integer."))
+          // bounded at the wire: k·REFINE is the rerank cut size, and an
+          // unbounded factor lets k*refine overflow Int downstream (the
+          // engine also guards in Long, but a 5-digit factor is already
+          // past any useful recall — fail here with a clear message)
+          refine = args(i + 1).toIntOption.filter(r => r >= 0 && r <= 10000)
+            .getOrElse(throw new IllegalArgumentException(
+              "REFINE must be an integer in [0, 10000]."))
           i += 2
         case "FILTER_MODE" =>
           // HNSW + FILTER semantics: "post" (default — the reference's
@@ -509,6 +513,17 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       }
       if (mgmt.indexConfig(r.tenant, r.index).exists(_.dim != r.vector.length)) {
         writeError(out, s"$ErrDim Vector dimension mismatch."); return
+      }
+      // a flag the index's algo cannot honor is a client misconfiguration
+      // — fail loudly instead of silently serving post-filter/unrefined
+      // semantics (previously TRACE was the only tell)
+      if (r.hnswBeam && m.algo != "HNSW") {
+        writeError(out,
+          s"ERR FILTER_MODE beam requires an HNSW index (algo is ${m.algo})."); return
+      }
+      if (r.refine > 0 && m.algo != "IVF_PQ") {
+        writeError(out,
+          s"ERR REFINE requires an IVF_PQ index (algo is ${m.algo})."); return
       }
       val metric = if (m.metric.isEmpty) "L2" else m.metric
       val t0 = System.nanoTime()

@@ -56,6 +56,17 @@ object DedupRungMain {
       removedDocs = agg.getLong(0); nSpans = agg.getLong(1)
     }
     println(f"span_dedup_sec=$tSpan%.2f removedDocs=$removedDocs spans=$nSpans")
+    // sharded composition (per-shard star + cross-shard canonical merge):
+    // doc_id % 4 scatters every planted cluster across all four shards
+    var keptSharded = 0L
+    val tSharded = timeOnce {
+      val pairsS = TextDedup.minhashLshStarPairsSharded(
+        docs1m.withColumn("shard", pmod(col("doc_id"), lit(4))),
+        "shard", n = 3, tau = 0.5)
+      keptSharded = TextDedup.keepCanonical(docs1m.select("doc_id"), pairsS)
+        .filter(col("keep")).count()
+    }
+    println(f"dedup_sharded_sec=$tSharded%.2f kept=$keptSharded")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
     spark.stop()
   }

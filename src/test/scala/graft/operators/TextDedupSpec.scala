@@ -229,6 +229,36 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds >= 1 && rounds <= 10, s"rounds=$rounds")
   }
 
+  test("sharded star recipe keep-set == unsharded keep-set when clusters straddle shards") {
+    // every cluster's members are scattered round-robin across 4 shards,
+    // so stage 1 (shard-local buckets) can NEVER see a whole cluster —
+    // the cross-shard merge pass must restore exactly the connectivity
+    // the sharding scoped out
+    val corpus = clusterCorpus(clusters = 10, size = 8, unique = 30)
+      .withColumn("shard", pmod(col("doc_id"), lit(4)))
+    def keepSet(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextDedup.keepCanonical(corpus.select("doc_id"), pairs)
+        .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    val sharded = keepSet(
+      TextDedup.minhashLshStarPairsSharded(corpus, "shard", n = 3, tau = 0.5))
+    val unsharded = keepSet(
+      TextDedup.minhashLshStarPairs(corpus, n = 3, tau = 0.5))
+    assert(sharded == unsharded)
+    // structure sanity: 10 cluster canonicals + 30 singletons survive
+    assert(sharded.values.toSet.size == 40, sharded.values.toSet.size)
+    // and stage 1 alone must NOT suffice (the test would be vacuous if
+    // a single shard already connected each cluster): with 8 members
+    // over 4 shards, shard-local components have ≥ 2 canonicals per
+    // cluster unless the cross pass merges them — check via the
+    // sharded pair set minus cross-shard pairs
+    val within = TextDedup
+      .minhashLshStarPairsSharded(corpus, "shard", n = 3, tau = 0.5)
+      .filter(pmod(col("id1"), lit(4)) === pmod(col("id2"), lit(4)))
+    val withinKeep = TextDedup.keepCanonical(corpus.select("doc_id"), within)
+      .select("canonical_id").distinct().count()
+    assert(withinKeep > 40, s"within-shard pairs alone must under-merge: $withinKeep")
+  }
+
   test("star-edge LSH: a boilerplate-collision bucket cannot merge unrelated docs") {
     // 20 docs share a 10-token boilerplate prefix but are otherwise
     // disjoint: their shared shingles can dominate min-hashes into

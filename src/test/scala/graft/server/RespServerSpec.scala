@@ -249,6 +249,39 @@ class RespServerSpec extends SparkSpec {
         case Err(m) => assert(m.contains("REFINE"))
         case other => fail(s"expected REFINE parse error, got $other")
       }
+      // unbounded REFINE is rejected at parse (k*refine Int-overflow guard)
+      c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "1", "VECTOR",
+        "[0,0,0,0]", "REFINE", "2000000000") match {
+        case Err(m) => assert(m.contains("REFINE"))
+        case other => fail(s"expected REFINE bound error, got $other")
+      }
+      // a flag the index algo cannot honor fails loudly instead of
+      // silently serving different semantics: beam needs HNSW
+      c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "1", "VECTOR",
+        "[0,0,0,0]", "FILTER_MODE", "beam") match {
+        case Err(m) => assert(m.contains("HNSW"))
+        case other => fail(s"expected FILTER_MODE algo error, got $other")
+      }
+    }
+  }
+
+  test("REFINE on a non-IVF_PQ index is rejected, not silently unrefined") {
+    val rows = (0 until 8).map(i =>
+      (s"f$i", Seq.fill(4)(i * 0.1f), null: String, Seq.empty[String]))
+    eng.add(records("refflat", "idx", rows))
+    eng.build("refflat", "idx", nlist = 2, algo = "IVF_FLAT")
+    withClient { c =>
+      c.cmd("VEC.SEARCH", "refflat", "idx", "TOPK", "2", "VECTOR",
+        "[0.1,0.1,0.1,0.1]", "REFINE", "5") match {
+        case Err(m) => assert(m.contains("IVF_PQ"))
+        case other => fail(s"expected REFINE algo error, got $other")
+      }
+      // and the same call without the flag serves
+      c.cmd("VEC.SEARCH", "refflat", "idx", "TOPK", "2", "VECTOR",
+        "[0.1,0.1,0.1,0.1]") match {
+        case Arr(hits) => assert(hits.length == 2)
+        case other => fail(s"expected hits array, got $other")
+      }
     }
   }
 
