@@ -1270,6 +1270,10 @@ object Bench {
     //     verify must reject at linear cost
     // The corpus is seeded + expression-only (xxhash64 streams), written
     // to scrubbed parquet so the measured pipeline reads real files.
+    // the 10M rung just released ~8 GB of caches; collect before timing
+    // the rung so its first stages don't pay the previous section's
+    // compaction (same discipline as the serving latency loops)
+    System.gc()
     sentinel("before_dedup_1m_rung")
     var ratesDedup: Map[String, Double] = Map.empty
     try {

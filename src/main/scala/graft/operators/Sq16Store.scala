@@ -150,27 +150,47 @@ object Sq16Store {
       java.util.Arrays.copyOf(codes, n * dim), dim, mn, mx)
   }
 
+  /** Partitions fetched per driver-side wave during [[buildResident]]:
+    * each wave is ONE job whose serialized results stay bounded (the
+    * residency gate caps the whole store at ~3 GB over 32 partitions →
+    * ~95 MB/run → ~380 MB/wave, under the default 1g
+    * `spark.driver.maxResultSize`), while the scan+encode work of the
+    * wave's partitions runs in PARALLEL — a full collect() tripped
+    * maxResultSize at the 10M rung (r8, 1058 MiB) and the r8 fix
+    * (`toLocalIterator`) serialized the fetch to one partition at a
+    * time, pricing the one-time cold build at ~86 s standalone. */
+  val FetchWavePartitions: Int = 4
+
   /** Collect a (id BIGINT, qvec16 ARRAY<INT>) codes table into a resident
     * store: per-partition sorted runs on the executors, k-way merge on
     * the driver. The caller decides residency from measured bytes BEFORE
     * calling (same contract as IdPool).
     *
-    * Runs are fetched with `toLocalIterator` — one small job per
-    * partition — NOT collect(): the store is multi-GB at the 10M rung
-    * and a single collect trips `spark.driver.maxResultSize` (default
-    * 1g) regardless of real driver headroom; per-partition fetches keep
-    * each job's result at one run (~tens of MB) so the one-time cold
-    * build works under default configs. (Found by the r8 bench run:
-    * the 10M refined rung aborted at 1058 MiB of serialized results.) */
+    * Runs are fetched in bounded-parallel WAVES of
+    * [[FetchWavePartitions]] partitions (one runJob per wave) — NOT
+    * collect(), whose single job trips `spark.driver.maxResultSize`
+    * (default 1g) on a multi-GB store regardless of real driver
+    * headroom, and NOT one-partition-at-a-time `toLocalIterator`, which
+    * serializes the scan work behind a single in-flight task. */
   def buildResident(codesTable: DataFrame, dim: Int,
                     mn: Float, mx: Float): Sq16Store = {
-    val runs = codesTable.select("id", "qvec16")
+    val rdd = codesTable.select("id", "qvec16")
       .queryExecution.toRdd.mapPartitions { it =>
         packRun(it.map { r =>
           val arr = r.getArray(1)
           (r.getLong(0), arr.toIntArray())
         }, dim)
-      }.toLocalIterator.toArray
+      }
+    val sc = codesTable.sparkSession.sparkContext
+    val nParts = rdd.getNumPartitions
+    val runs = new Array[Run](nParts)
+    (0 until nParts).grouped(FetchWavePartitions).foreach { wave =>
+      val fetched = sc.runJob(rdd, (it: Iterator[Run]) => it.toArray, wave)
+      wave.zip(fetched).foreach { case (p, rs) =>
+        runs(p) = if (rs.nonEmpty) rs.head
+                  else Run(Array.emptyLongArray, Array.empty[Short])
+      }
+    }
     merge(runs, dim, mn, mx)
   }
 }

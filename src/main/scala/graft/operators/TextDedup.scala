@@ -235,7 +235,7 @@ object TextDedup {
     * short. The classic scheme keeps the documented gating bound;
     * `mix(j)` is hoisted out of the shingle loop (it only depends on j),
     * which is most of the classic scheme's constant factor anyway. */
-  private def minhashUdf(numHashes: Int) = {
+  private[operators] def minhashUdf(numHashes: Int) = {
     val mixedJ = Array.tabulate(numHashes)(j => StableHash.mix64(j.toLong))
     udf { (shingles0: Seq[Long]) =>
       // the shingle hash itself is the base (shingles arrive pre-hashed
@@ -516,7 +516,7 @@ object TextDedup {
     * count column. The window buffer is per-BUCKET (bounded by the
     * largest near-dup cluster, not the corpus). Shared by the pipeline
     * and the stage profiler so they can never measure different plans. */
-  private def starEdges(banded: DataFrame): DataFrame = {
+  private[operators] def starEdges(banded: DataFrame): DataFrame = {
     // the band table is `bands`× the corpus (640M rows at 10M docs), so
     // the session's shuffle-partition count — sized for corpus-scale
     // exchanges — leaves each window partition with an EXTERNAL sort
@@ -616,7 +616,7 @@ object TextDedup {
     }
   }
 
-  private def bandedTable(sigs: DataFrame, numHashes: Int,
+  private[operators] def bandedTable(sigs: DataFrame, numHashes: Int,
                           bands: Int): DataFrame =
     sigs
       // _outer: see shingleTable note — plain explode would re-inline

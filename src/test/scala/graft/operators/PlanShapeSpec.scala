@@ -192,4 +192,34 @@ class PlanShapeSpec extends SparkSpec {
     // no exchange is keyed on the raw span text (posexplode emits `col`)
     assert("hashpartitioning\\((span|col)#".r.findFirstIn(plan).isEmpty, plan)
   }
+
+  test("star edges: the band table crosses ONE exchange (the window's), no cache, no self-join") {
+    // the corpus-scale property of the r9 star stage: bucket-min comes
+    // from a window aggregate, so the bands×corpus table is shuffled
+    // exactly once (on the fused single-long bucket key) and never
+    // persisted — the second hashpartitioning in the plan is the
+    // distinct over the (tiny) edge set, and nothing joins the band
+    // table against itself or a mins table
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 12).map(t => s"w${(i % 5 + t)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = docs
+      .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextDedup.shingleHashesOfTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        TextDedup.minhashUdf(16)(col("sh")).as("sig"))
+    val edges = TextDedup.starEdges(TextDedup.bandedTable(sigs, 16, 8))
+    edges.collect() // finalize the adaptive plan
+    // AQE's toString prints final + initial plans — assert on final only
+    val plan = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"), plan)
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.count(_ == "bucket") == 1,
+      s"band table must cross exactly one bucket exchange: $exchanges\n$plan")
+    assert(!plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
 }
