@@ -422,7 +422,8 @@ object TextDedup {
     * dedup recipe computes, at the scale its docs claim). */
   def minhashLshStarPairs(docs: DataFrame, n: Int, tau: Double,
                           numHashes: Int = 128, bands: Int = 64): DataFrame = {
-    val docShingles = docShingleTable(docs, n).persist()
+    val docShingles = docShingleTable(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val sigs = docShingles.select(col("doc_id"),
         minhashUdf(numHashes)(col("shingles")).as("sig"))
@@ -547,7 +548,8 @@ object TextDedup {
     var comp: DataFrame = null
     Seq(
       ("shingles", () => {
-        docShingles = docShingleTable(docs, n).persist()
+        docShingles = docShingleTable(docs, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         docShingles.count()
       }),
       ("minhash_sigs", () => {
