@@ -328,7 +328,7 @@ object TextDedup {
     * single materializing job instead of needing its own checkpoint:
     * that is what lets [[minhashLshPairs]] run band-gen → bucket join →
     * distinct → hydrate → Jaccard → threshold as one job. */
-  private def verifyPairLocal(docShingles: DataFrame, pairs: DataFrame): DataFrame =
+  private[operators] def verifyPairLocal(docShingles: DataFrame, pairs: DataFrame): DataFrame =
     pairs.select(col("id1"), col("id2"),
         explode(array(col("id1"), col("id2"))).as("doc_id"))
       .join(docShingles, "doc_id")
@@ -502,7 +502,7 @@ object TextDedup {
     * corpus-sized shingle table (measured 3.1 s → 119.4 s going
     * 1M → 10M docs at the rung); the explicit hint keeps the big side
     * stationary, and the count gate keeps the fallback available. */
-  private def hintedPairs(pairs: DataFrame): DataFrame =
+  private[operators] def hintedPairs(pairs: DataFrame): DataFrame =
     if (pairs.count() <= VerifyBroadcastMaxPairs) broadcast(pairs) else pairs
 
   /** Star edges of a (doc_id, bucket) band table in ONE pass: the bucket

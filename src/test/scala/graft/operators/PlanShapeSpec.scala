@@ -222,4 +222,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("InMemoryTableScan"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("verify hydrate BROADCASTS a checkpointed pair side under the gate: the shingle table never shuffles") {
+    // lever (b) of the r9 dedup work, pinned: with the exact-count
+    // broadcast hint, the single verify join keeps the corpus-sized
+    // shingle side stationary regardless of autoBroadcastJoinThreshold
+    // (the default 10 MB abandons the map-side hydrate at ~400k pairs —
+    // measured as a full shuffle of the ~9 GB shingle table at 10M docs)
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 12).map(t => s"w${(i % 5 + t)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docShingles = docs
+      .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextDedup.shingleHashesOfTokens(col("toks"), 3).as("shingles"))
+    val pairs = Seq((0L, 5L), (1L, 6L), (2L, 7L)).toDF("id1", "id2")
+      .localCheckpoint()
+    val verified = TextDedup.verifyPairLocal(
+      docShingles, TextDedup.hintedPairs(pairs))
+    verified.collect()
+    val plan = verified.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the shingle side reaches the join without crossing an exchange:
+    // the only hashpartitioning in the final plan is the pair-fold
+    // groupBy's (id1, id2), never the shingle table's doc_id
+    assert(!"hashpartitioning\\(doc_id#".r.findFirstIn(plan).isDefined, plan)
+  }
 }
