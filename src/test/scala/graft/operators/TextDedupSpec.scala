@@ -114,6 +114,27 @@ class TextDedupSpec extends SparkSpec {
     assert(fRev != fps(0L))
   }
 
+  test("shingle hashes are boundary-exact and total: no separator aliasing, short docs empty") {
+    // the multi-arg hash keeps token boundaries significant: 'a_b','c'
+    // and 'a','b_c' join to the same '_'-separated string but are
+    // DIFFERENT token streams — their trigram hash sets must be
+    // disjoint at the aliased position, while equal token streams hash
+    // identically; and a doc shorter than n yields an empty array, not
+    // a descending-sequence runtime error
+    val rows = Seq(
+      (0L, "a_b c d"), (1L, "a b_c d"), (2L, "a_b c d"), // 0==2, 0!=1
+      (3L, "x y")) // shorter than n=3
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextDedup.shingleHashesOfTokens(col("toks"), 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows(0L) == rows(2L))
+    assert(rows(0L).toSet.intersect(rows(1L).toSet).isEmpty,
+      "separator-aliased token streams must not share shingle hashes")
+    assert(rows(3L).isEmpty)
+  }
+
   test("hub-shingle cap drops ubiquitous shingles but keeps true dups") {
     val withHub = docs.withColumn("text", concat(col("text"), lit(" common tail phrase")))
     val capped = TextDedup.jaccardPairs(withHub, 3, 0.5, maxDocFreq = 4)
