@@ -1572,9 +1572,11 @@ object Queries {
       |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS resized_bytes
       |FROM documents ORDER BY id""".stripMargin
 
-  /** Order-sensitive document fingerprint (rolling hash; rows-only —
-    * the raw 64-bit values are engine-own. The KERNEL is driver-gated
-    * through `fingerprint_dup_pairs` below). */
+  /** Order-sensitive document fingerprint (rolling hash). The raw
+    * 64-bit values are engine-own, but since r10 DuckDB recomputes them
+    * bit-for-bit ([[docFingerprintSql]] — HUGEINT mod-2^64 emulation of
+    * the FNV-1a/splitmix64 family); `fingerprint_dup_pairs` below
+    * additionally gates the kernel through planted-duplicate pairs. */
   val docFingerprint: QueryFn = (s, dir) =>
     TextDedup.fingerprints(t(s, dir, "documents")).orderBy("doc_id")
 
@@ -1626,14 +1628,126 @@ object Queries {
       |FROM t a JOIN t b ON a.text = b.text AND a.doc_id < b.doc_id
       |ORDER BY id1, id2""".stripMargin
 
-  /** Vector SimHash fingerprints (reference E7 LSH cache keys; rows-only —
-    * .NET Random parity is impossible, properties are ScalaTested; the
-    * KERNEL is driver-gated through `simhash_dup_pairs` below). */
+  /** Vector SimHash fingerprints (reference E7 LSH cache keys; .NET
+    * Random parity is impossible so the hyperplane family is engine-own
+    * — but since r10 the raw 64-bit values ARE DuckDB-oracled: the
+    * Rademacher signs come from [[graft.functions.StableHash.mix64]],
+    * which `mix64StagesSql` re-derives in SQL (HUGEINT mod-2^64
+    * emulation), and the per-bit accumulation is an ORDERED
+    * `list_reduce` over doubles, reproducing the kernel's sequential
+    * IEEE adds bit-for-bit (each ±1·float product is exact in double,
+    * and double addition is deterministic given order). */
   val simhashBuckets: QueryFn = (s, dir) =>
     t(s, dir, "embeddings")
       .select(col("vec_id"),
         graft.functions.VectorSimHash.simhashCol(col("embedding")).as("simhash"))
       .orderBy("vec_id")
+
+  /** Emit the SQL columns of one staged splitmix64 finalizer: `src` (a
+    * HUGEINT expression in [0, 2^64)) → column `out`, via lateral column
+    * aliases so each wrap-around multiply is written once. 64-bit
+    * wrap-around arithmetic is emulated in DuckDB HUGEINT (int128):
+    * `x * C mod 2^64` with C = hi·2^32 + lo splits into
+    * `x·lo + ((x·hi) mod 2^32)·2^32` so no intermediate exceeds 2^97
+    * (DuckDB HUGEINT errors on 128-bit overflow rather than wrapping —
+    * the reason NOTES_r7 originally judged these kernels
+    * non-SQL-expressible); logical shifts are exact divisions on the
+    * non-negative domain; `xor` is native on HUGEINT. Constants are
+    * splitmix64's (public domain, Steele et al.). */
+  private def mix64StagesSql(src: String, out: String): String =
+    s"""($src + ${BigInt(java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L))}) % 18446744073709551616 AS m1_$out,
+       |    xor(m1_$out, m1_$out // 1073741824) AS y1_$out,
+       |    (y1_$out * ${0x1ce4e5b9L} + ((y1_$out * ${0xbf58476dL}) % 4294967296) * 4294967296) % 18446744073709551616 AS m2_$out,
+       |    xor(m2_$out, m2_$out // 134217728) AS y2_$out,
+       |    (y2_$out * ${0x133111ebL} + ((y2_$out * ${0x94d049bbL}) % 4294967296) * 4294967296) % 18446744073709551616 AS m3_$out,
+       |    xor(m3_$out, m3_$out // 2147483648) AS $out""".stripMargin
+
+  /** [0,2^64) HUGEINT expression → signed BIGINT (two's complement). */
+  private def toSignedSql(src: String): String =
+    s"CAST(CASE WHEN $src >= 9223372036854775808 THEN $src - 18446744073709551616 ELSE $src END AS BIGINT)"
+
+  /** The rolling-hash fingerprint, recomputed in DuckDB. Exactness
+    * argument: (1) per-token FNV-1a is a sequential fold whose step is
+    * small enough to inline in a `list_reduce` lambda — the FNV prime
+    * 2^40+0x1b3 makes `h·p mod 2^64 = (h mod 2^24)·2^40 + h·0x1b3`;
+    * (2) the corpus is pure ASCII (verified: octet_length(encode(text))
+    * = length(text) for every row at every SF), so `unicode(tok[i])` IS
+    * the UTF-8 byte; (3) the token-level roll `h·p + tokHash` is the
+    * same fold over the finalized token hashes, ordered by token index;
+    * (4) both splitmix64 finalizers run through [[mix64StagesSql]].
+    * Scala Long wrap-around ≡ mod-2^64 two's complement throughout. */
+  val docFingerprintSql: String = {
+    val fnvStep =
+      "((xor(h, c) % 16777216) * 1099511627776 + xor(h, c) * 435) % 18446744073709551616"
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS j, l[i] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d,
+       |       UNNEST(range(1, len(l)+1)) AS u(i)
+       |), raw AS (
+       |  SELECT doc_id, j,
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(range(1, length(tok)+1), c -> CAST(unicode(tok[c]) AS HUGEINT))),
+       |      (h, c) -> $fnvStep) AS h0
+       |  FROM tok
+       |), tokh AS (
+       |  SELECT doc_id, j,
+       |    ${mix64StagesSql("h0", "th")}
+       |  FROM raw
+       |), doc AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::HUGEINT, list(th ORDER BY j)),
+       |      (acc, v) -> ((acc % 16777216) * 1099511627776 + acc * 435 + v) % 18446744073709551616
+       |    ) AS hr
+       |  FROM tokh GROUP BY doc_id
+       |), fin AS (
+       |  SELECT doc_id,
+       |    ${mix64StagesSql("hr", "fp")}
+       |  FROM doc
+       |)
+       |SELECT doc_id, ${toSignedSql("fp")} AS fingerprint
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
+  /** The vector-SimHash fingerprint, recomputed in DuckDB. The sign
+    * planes are data-independent — three staged mix64 passes over a
+    * 64×512 (bit, dim) grid (512 safely exceeds any embedding dim in
+    * the testdata; extra signs are never indexed) — aggregated into one
+    * ordered ±1 list per bit; each (vector, bit) sum is then an ORDERED
+    * `list_reduce` of exact double products, matching the kernel's
+    * sequential accumulation IEEE-exactly. Bits assemble via exact
+    * HUGEINT shifts (`power()` is floating and loses low bits). */
+  val simhashBucketsSql: String =
+    s"""WITH bb AS (
+       |  SELECT CAST(i AS HUGEINT) AS b,
+       |    ${mix64StagesSql("CAST(i AS HUGEINT)", "mb")}
+       |  FROM range(0, 64) t(i)
+       |), bs AS (
+       |  SELECT b,
+       |    ${mix64StagesSql("xor(42::HUGEINT, mb)", "base")}
+       |  FROM bb
+       |), sg AS (
+       |  SELECT b, i,
+       |    ${mix64StagesSql("xor(base, CAST(i AS HUGEINT))", "h")}
+       |  FROM bs CROSS JOIN range(0, 512) d(i)
+       |), sgnlist AS (
+       |  SELECT b, list(CASE WHEN h % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
+       |  FROM sg GROUP BY b
+       |), sums AS (
+       |  SELECT e.vec_id, s.b,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, len(e.embedding)+1),
+       |          i -> s.sl[i] * CAST(e.embedding[i] AS DOUBLE))),
+       |      (a, v) -> a + v) AS s
+       |  FROM embeddings e CROSS JOIN sgnlist s
+       |), fp AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN s >= 0 THEN 1::HUGEINT << CAST(b AS INT) ELSE 0::HUGEINT END) AS HUGEINT) AS f
+       |  FROM sums GROUP BY vec_id
+       |)
+       |SELECT vec_id, ${toSignedSql("f")} AS simhash
+       |FROM fp ORDER BY vec_id""".stripMargin
 
   /** C4-style span dedup over the documents corpus: every 10-token span
     * occurring more than once corpus-wide is stripped from every document
@@ -1873,6 +1987,11 @@ object Queries {
     "hnsw_beam_filtered" -> hnswBeamFilteredSql,
     "fingerprint_dup_pairs" -> fingerprintDupPairsSql,
     "simhash_dup_pairs" -> simhashDupPairsSql,
+    // r10: the raw 64-bit hash dumps, previously rows-only — DuckDB
+    // recomputes the FNV-1a + splitmix64 family exactly via HUGEINT
+    // mod-2^64 emulation (see mix64StagesSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "simhash_buckets" -> simhashBucketsSql,
     "sq8_search" -> sq8SearchSql,
     "engine_cached_search" -> engineCachedSearchSql,
     "engine_prefetch_hit" -> enginePrefetchHitSql,
