@@ -67,7 +67,7 @@ object TextDedup {
 
   /** (doc_id, shingles ARRAY<BIGINT>) with the token array materialized
     * before shingling — the shared first stage of every Jaccard path. */
-  private def docShingleTable(docs: DataFrame, n: Int): DataFrame =
+  private[operators] def docShingleTable(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), shingleHashesOfTokens(col("toks"), n).as("shingles"))
@@ -416,12 +416,16 @@ object TextDedup {
     * S-curve puts per-band collision ≈ 0.5^rows at tau), so the miss
     * probability is (P[fp min])^bands-ish — negligible on real corpora
     * but NOT a strict equivalence to [[minhashLshPairs]]'s keep-set on
-    * adversarial input.
+    * adversarial input. `stars = 2` closes that corner for the price of
+    * 2× the (tiny) edge set: every member also connects to the bucket's
+    * second-smallest id, so a single false-positive hub can no longer
+    * silence a bucket (see [[starEdges]]).
     * Same candidate shape as public large-scale MinHash dedup
     * pipelines (reference behavior match: the keep-set the reference's
     * dedup recipe computes, at the scale its docs claim). */
   def minhashLshStarPairs(docs: DataFrame, n: Int, tau: Double,
-                          numHashes: Int = 128, bands: Int = 64): DataFrame = {
+                          numHashes: Int = 128, bands: Int = 64,
+                          stars: Int = 1): DataFrame = {
     val docShingles = docShingleTable(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
@@ -430,7 +434,7 @@ object TextDedup {
       // star edges are materialized (they are tiny after distinct — the
       // whole point of the star shape) so the verify hydrate can make an
       // exact-count broadcast decision instead of trusting estimates
-      val star = starEdges(bandedTable(sigs, numHashes, bands))
+      val star = starEdges(bandedTable(sigs, numHashes, bands), stars)
         .localCheckpoint()
       verifyPairLocal(docShingles, hintedPairs(star))
         .filter(col("jaccard") >= tau)
@@ -461,28 +465,39 @@ object TextDedup {
   def minhashLshStarPairsSharded(docs: DataFrame, shardCol: String,
                                  n: Int, tau: Double,
                                  numHashes: Int = 128,
-                                 bands: Int = 64): DataFrame = {
+                                 bands: Int = 64,
+                                 stars: Int = 1): DataFrame = {
     val base = docs
       .select(col("doc_id"), col(shardCol).as("__shard"),
         tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("__shard"),
         shingleHashesOfTokens(col("toks"), n).as("shingles"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val sigs = base.select(col("doc_id"), col("__shard"),
         minhashUdf(numHashes)(col("shingles")).as("sig"))
-      val star = starEdges(bandedTableSharded(sigs, numHashes, bands))
+      val star = starEdges(bandedTableSharded(sigs, numHashes, bands), stars)
         .localCheckpoint()
       val within = verifyPairLocal(base.select("doc_id", "shingles"),
           hintedPairs(star))
         .filter(col("jaccard") >= tau)
         .localCheckpoint()
+      // `within` is materialized — release ALL stage-1 scratch before
+      // stage 2 builds its own shingle cache over the survivors. The
+      // blocking unpersist frees the serialized stage-1 shingle cache;
+      // the GC nudge lets ContextCleaner delete stage-1's spilled
+      // shuffle files (the band window's corpus×bands sort), which are
+      // otherwise only reclaimed at an arbitrary later GC. Measured: at
+      // 20M docs on one box the two stages' scratch together overran the
+      // disk mid-stage-2 (NOTES_r9) while either stage alone fits.
+      base.unpersist(blocking = true)
+      System.gc()
       // stage 2: global star pass over stage-1 survivors only
       val kc = keepCanonical(docs.select("doc_id"), within)
       val survivors = docs.join(
         kc.filter(col("keep")).select("doc_id"), "doc_id")
-      val cross = minhashLshStarPairs(survivors, n, tau, numHashes, bands)
+      val cross = minhashLshStarPairs(survivors, n, tau, numHashes, bands, stars)
       within.unionByName(cross)
     } finally base.unpersist()
   }
@@ -517,7 +532,8 @@ object TextDedup {
     * count column. The window buffer is per-BUCKET (bounded by the
     * largest near-dup cluster, not the corpus). Shared by the pipeline
     * and the stage profiler so they can never measure different plans. */
-  private[operators] def starEdges(banded: DataFrame): DataFrame = {
+  private[operators] def starEdges(banded: DataFrame,
+                                   stars: Int = 1): DataFrame = {
     // the band table is `bands`× the corpus (640M rows at 10M docs), so
     // the session's shuffle-partition count — sized for corpus-scale
     // exchanges — leaves each window partition with an EXTERNAL sort
@@ -527,11 +543,34 @@ object TextDedup {
     // inserts no second exchange
     val parts = 8 * banded.sparkSession.sessionState.conf.numShufflePartitions
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    banded.repartition(parts, col("bucket"))
+    val base = banded.repartition(parts, col("bucket"))
       .withColumn("id1", min("doc_id").over(w))
-      .filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
-      .select(col("id1"), col("doc_id").as("id2"))
-      .distinct()
+    if (stars <= 1)
+      base.filter(col("doc_id") =!= col("id1")) // id1 < id2 by construction
+        .select(col("id1"), col("doc_id").as("id2"))
+        .distinct()
+    else {
+      // TWO stars: every member additionally connects to the bucket's
+      // SECOND-smallest id, removing the recipe's one documented
+      // under-merge corner (ADVICE r8): if the bucket minimum is a
+      // false-positive member, all its star edges fail the exact
+      // verify and the bucket's genuine pairs go untested under a
+      // single star — the second hub keeps the bucket connected unless
+      // BOTH elected hubs are false positives ((P[fp])² per bucket,
+      // and still per-band independent). Cost stays Θ(bands·c) per
+      // cluster — 2× the edges, same single exchange: the second
+      // window aggregate reuses the first's partitioning, so Catalyst
+      // plans both min()s in one Window node over one shuffle.
+      val second = base.withColumn("id1b",
+        min(when(col("doc_id") =!= col("id1"), col("doc_id"))).over(w))
+      second
+        .select(explode(array(
+          struct(col("id1"), col("doc_id").as("id2")),
+          struct(col("id1b").as("id1"), col("doc_id").as("id2")))).as("e"))
+        .select(col("e.id1"), col("e.id2"))
+        .filter(col("id1").isNotNull && col("id1") < col("id2"))
+        .distinct()
+    }
   }
 
   /** Stage-by-stage decomposition of [[minhashLshStarPairs]] (+ the

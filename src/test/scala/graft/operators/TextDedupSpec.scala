@@ -280,6 +280,55 @@ class TextDedupSpec extends SparkSpec {
     assert(withinKeep > 40, s"within-shard pairs alone must under-merge: $withinKeep")
   }
 
+  test("starEdges: two stars add exactly the second-hub edges, one window exchange") {
+    // direct edge-set pin on a hand-built bucket table (starEdges is
+    // LSH-agnostic — it sees only (doc_id, bucket)): bucket 100 holds
+    // {1, 5, 9}, bucket 200 holds {2, 7}, bucket 300 holds {3}
+    val banded = Seq((1L, 100L), (5L, 100L), (9L, 100L),
+      (2L, 200L), (7L, 200L), (3L, 300L)).toDF("doc_id", "bucket")
+    val one = TextDedup.starEdges(banded)
+      .as[(Long, Long)].collect().toSet
+    assert(one == Set((1L, 5L), (1L, 9L), (2L, 7L)))
+    val two = TextDedup.starEdges(banded, stars = 2)
+      .as[(Long, Long)].collect().toSet
+    // second hub of bucket 100 is 5 → adds (5, 9); two-member and
+    // singleton buckets gain nothing
+    assert(two == one + ((5L, 9L)))
+    // the scale property survives: both min()s plan into window
+    // aggregation over the SAME single bucket exchange (no join, no
+    // second shuffle of the band table)
+    val df2 = TextDedup.starEdges(banded, stars = 2)
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.count(_ == "bucket") == 1,
+      s"two-star band table must cross exactly one bucket exchange: $exchanges\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("two stars rescue a bucket whose minimum is a false-positive member") {
+    // the documented single-star under-merge corner (ADVICE r8), built
+    // directly: doc 1 is unrelated text, docs 5 ≈ 9 are near-dups, and
+    // all three share one LSH bucket. Under one star both edges touch
+    // the false-positive hub and fail the exact verify — (5, 9) is
+    // never tested and the cluster under-merges. The second hub (5)
+    // carries the genuine edge.
+    val corpus = Seq(
+      (1L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"),
+      (5L, base),
+      (9L, base.replace("oscar", "mercury"))).toDF("doc_id", "text")
+    val shingles = TextDedup.docShingleTable(corpus, 3)
+    val banded = Seq((1L, 100L), (5L, 100L), (9L, 100L)).toDF("doc_id", "bucket")
+    def verified(stars: Int): Set[(Long, Long)] = TextDedup
+      .verifyPairLocal(shingles, TextDedup.starEdges(banded, stars))
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verified(1) == Set.empty, "single star: fp hub silences the bucket")
+    assert(verified(2) == Set((5L, 9L)), "second hub restores connectivity")
+  }
+
   test("star-edge LSH: a boilerplate-collision bucket cannot merge unrelated docs") {
     // 20 docs share a 10-token boilerplate prefix but are otherwise
     // disjoint: their shared shingles can dominate min-hashes into
