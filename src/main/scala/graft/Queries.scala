@@ -1195,10 +1195,11 @@ object Queries {
     * exactly the exact-pair components (TextDedupSpec pins the general
     * clean-cluster equality; this row pins it cross-engine on the
     * driver's corpus at the graded SFs). */
-  val dedupStarPipeline: QueryFn = (s, dir) => {
+  private def starPipelineWith(stars: Int): QueryFn = (s, dir) => {
     val docs = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-    val pairs = TextDedup.minhashLshStarPairs(docs, n = 3, tau = 0.5)
+    val pairs = TextDedup.minhashLshStarPairs(docs, n = 3, tau = 0.5,
+      stars = stars)
     val kc = TextDedup.keepCanonical(docs.select("doc_id", "lang"), pairs)
     val sizes = kc.groupBy("canonical_id").agg(count(lit(1)).as("dup_count"))
     kc.filter(col("keep"))
@@ -1206,6 +1207,16 @@ object Queries {
       .select("doc_id", "lang", "dup_count")
       .orderBy("doc_id")
   }
+
+  val dedupStarPipeline: QueryFn = starPipelineWith(stars = 1)
+
+  /** The two-star robustness variant (r10; see TextDedup.starEdges) under
+    * the SAME oracle: extra second-hub edges connect members that are
+    * already in one component on clean clusters, so the keep-set — and
+    * therefore the recursive-CTE oracle — is unchanged; what the row
+    * gates cross-engine is that the added edges never OVER-merge (every
+    * second-hub edge still passes the exact-Jaccard verify). */
+  val dedupStar2Pipeline: QueryFn = starPipelineWith(stars = 2)
 
   val dedupPipelineSql: String =
     """WITH RECURSIVE sh AS (
@@ -1949,6 +1960,7 @@ object Queries {
     "dedup_components" -> dedupComponents,
     "dedup_pipeline" -> dedupPipeline,
     "dedup_star_pipeline" -> dedupStarPipeline,
+    "dedup_star2_pipeline" -> dedupStar2Pipeline,
     "span_dedup" -> spanDedup,
     "corpus_sample" -> corpusSample,
     "decontamination" -> decontamination,
@@ -2033,6 +2045,7 @@ object Queries {
     "dedup_components" -> dedupComponentsSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_star_pipeline" -> dedupPipelineSql, // same keep-set, see scaladoc
+    "dedup_star2_pipeline" -> dedupPipelineSql, // same keep-set, see scaladoc
     "dedup_simhash" -> dedupSimhashSql,
     "span_dedup" -> spanDedupSql,
     "corpus_sample" -> corpusSampleSql,
