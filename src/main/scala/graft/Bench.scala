@@ -121,17 +121,33 @@ object Bench {
     // under <tag>_storm_*), and let the quieter attempt be the row.
     // The artifact then explains its own outliers instead of needing a
     // round-notes reconstruction from stderr.
+    //
+    // TWO storm channels (r10): the single-thread probe catches a host
+    // whose cores are saturated enough to slow scalar compute, but an
+    // r10 storm measured load1 10-28 while the scalar probe held its
+    // quiet 0.61 s — enough idle cores remained for one thread, yet the
+    // engine's parallel stages ran 2-3× slow. During these serving rows
+    // the bench's own load is a few cores at most (single queries
+    // against a resident store), so a high load1 here is EXTERNAL by
+    // construction — fire the retry on either channel. The absolute
+    // floor (12) keeps the bench's own residual load (GC threads,
+    // executor heartbeats, ~2-4 load1) from ever tripping it.
     def stormGuarded(tag: String)(measure: => Array[Double]): Array[Double] = {
       val first = measure
       val probe = sentinelProbe()
+      val load1 = loadAvg1()
       sentinelRows(s"sentinel_at_${tag}_sec") = probe
-      sentinelRows(s"sentinel_at_${tag}_load1") = loadAvg1()
-      if (sentinelBase == Double.MaxValue || probe <= 2.0 * sentinelBase) first
+      sentinelRows(s"sentinel_at_${tag}_load1") = load1
+      val scalarStorm =
+        sentinelBase != Double.MaxValue && probe > 2.0 * sentinelBase
+      val load1Storm = load1 > 12.0
+      if (!scalarStorm && !load1Storm) first
       else {
         System.err.println(
-          f"# bench-runs storm_retry.$tag probe=$probe%.3f base=$sentinelBase%.3f — re-measuring once")
+          f"# bench-runs storm_retry.$tag probe=$probe%.3f base=$sentinelBase%.3f load1=$load1%.2f scalar=$scalarStorm load=$load1Storm — re-measuring once")
         val second = measure
         sentinelRows(s"sentinel_retry_${tag}_sec") = sentinelProbe()
+        sentinelRows(s"sentinel_retry_${tag}_load1") = loadAvg1()
         val (keep, storm) =
           if (second(second.length / 2) <= first(first.length / 2))
             (second, first) else (first, second)

@@ -534,6 +534,8 @@ object TextDedup {
     * and the stage profiler so they can never measure different plans. */
   private[operators] def starEdges(banded: DataFrame,
                                    stars: Int = 1): DataFrame = {
+    require(stars == 1 || stars == 2,
+      s"stars must be 1 (min hub) or 2 (min + second-min hubs), got $stars")
     // the band table is `bands`× the corpus (640M rows at 10M docs), so
     // the session's shuffle-partition count — sized for corpus-scale
     // exchanges — leaves each window partition with an EXTERNAL sort

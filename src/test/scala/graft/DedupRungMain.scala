@@ -67,6 +67,16 @@ object DedupRungMain {
         .filter(col("keep")).count()
     }
     println(f"dedup_sharded_sec=$tSharded%.2f kept=$keptSharded")
+    // price the two-star robustness option (r10) against the same corpus:
+    // same keep-set (clean planted clusters), ~2x the candidate edges
+    var keptStar2 = 0L
+    val tStar2 = timeOnce {
+      val pairs2 = TextDedup.minhashLshStarPairs(docs1m, n = 3, tau = 0.5,
+        stars = 2)
+      keptStar2 = TextDedup.keepCanonical(docs1m.select("doc_id"), pairs2)
+        .filter(col("keep")).count()
+    }
+    println(f"dedup_star2_sec=$tStar2%.2f kept=$keptStar2")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
     spark.stop()
   }
