@@ -1722,12 +1722,15 @@ object Queries {
 
   /** The vector-SimHash fingerprint, recomputed in DuckDB. The sign
     * planes are data-independent — three staged mix64 passes over a
-    * 64×512 (bit, dim) grid (512 safely exceeds any embedding dim in
-    * the testdata; extra signs are never indexed) — aggregated into one
-    * ordered ±1 list per bit; each (vector, bit) sum is then an ORDERED
-    * `list_reduce` of exact double products, matching the kernel's
-    * sequential accumulation IEEE-exactly. Bits assemble via exact
-    * HUGEINT shifts (`power()` is floating and loses low bits). */
+    * 64×dim (bit, dim) grid, with dim DERIVED from the embeddings
+    * themselves (distinct-unnested per-row ranges; `range()` as a table
+    * function only takes constants, so a fixed bound would silently
+    * null-pad if the driver ever regenerated testdata wider) —
+    * aggregated into one ordered ±1 list per bit; each (vector, bit)
+    * sum is then an ORDERED `list_reduce` of exact double products,
+    * matching the kernel's sequential accumulation IEEE-exactly. Bits
+    * assemble via exact HUGEINT shifts (`power()` is floating and
+    * loses low bits). */
   val simhashBucketsSql: String =
     s"""WITH bb AS (
        |  SELECT CAST(i AS HUGEINT) AS b,
@@ -1740,7 +1743,9 @@ object Queries {
        |), sg AS (
        |  SELECT b, i,
        |    ${mix64StagesSql("xor(base, CAST(i AS HUGEINT))", "h")}
-       |  FROM bs CROSS JOIN range(0, 512) d(i)
+       |  FROM bs CROSS JOIN (
+       |    SELECT DISTINCT unnest(range(0, len(embedding))) AS i
+       |    FROM embeddings) d
        |), sgnlist AS (
        |  SELECT b, list(CASE WHEN h % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
        |  FROM sg GROUP BY b
