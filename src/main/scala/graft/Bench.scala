@@ -132,20 +132,40 @@ object Bench {
     // construction — fire the retry on either channel. The absolute
     // floor (12) keeps the bench's own residual load (GC threads,
     // executor heartbeats, ~2-4 load1) from ever tripping it.
+    //
+    // THIRD channel (this round): external CPU measured INSIDE the
+    // window. Both probes sample the host AROUND a measurement, so a
+    // storm that starts and ends within the row stayed unattributed
+    // (an r10 run recorded a refined-row 24 ms tail with neither
+    // channel tripping). Host busy jiffies (/proc/stat) minus this
+    // process's own jiffies (/proc/self/stat, all threads) over the
+    // SAME interval is a direct reading of CPU burned by OTHER
+    // processes during the row; recorded for every guarded row as
+    // extcpu_at_<tag> (fraction of machine capacity) and fired as a
+    // storm above 0.25 — during guarded serving rows the bench's own
+    // residual load is a few cores, so a quarter of the machine going
+    // to other processes is external by construction.
     def stormGuarded(tag: String)(measure: => Array[Double]): Array[Double] = {
+      val cpu0 = Bench.cpuSample()
       val first = measure
+      val ext1 = Bench.externalCpuFrac(cpu0, Bench.cpuSample())
       val probe = sentinelProbe()
       val load1 = loadAvg1()
       sentinelRows(s"sentinel_at_${tag}_sec") = probe
       sentinelRows(s"sentinel_at_${tag}_load1") = load1
+      sentinelRows(s"extcpu_at_$tag") = ext1
       val scalarStorm =
         sentinelBase != Double.MaxValue && probe > 2.0 * sentinelBase
       val load1Storm = load1 > 12.0
-      if (!scalarStorm && !load1Storm) first
+      val extStorm = ext1 > 0.25
+      if (!scalarStorm && !load1Storm && !extStorm) first
       else {
         System.err.println(
-          f"# bench-runs storm_retry.$tag probe=$probe%.3f base=$sentinelBase%.3f load1=$load1%.2f scalar=$scalarStorm load=$load1Storm — re-measuring once")
+          f"# bench-runs storm_retry.$tag probe=$probe%.3f base=$sentinelBase%.3f load1=$load1%.2f ext=$ext1%.3f scalar=$scalarStorm load=$load1Storm extcpu=$extStorm — re-measuring once")
+        val cpu1 = Bench.cpuSample()
         val second = measure
+        sentinelRows(s"extcpu_retry_$tag") =
+          Bench.externalCpuFrac(cpu1, Bench.cpuSample())
         sentinelRows(s"sentinel_retry_${tag}_sec") = sentinelProbe()
         sentinelRows(s"sentinel_retry_${tag}_load1") = loadAvg1()
         val (keep, storm) =
@@ -155,6 +175,17 @@ object Bench {
         sentinelRows(s"${tag}_storm_p99_ms") = storm(storm.length - 2)
         keep
       }
+    }
+    // record-only attribution for long single-shot rung rows (dedup,
+    // span, sharded, embedding): a retry there costs tens of seconds,
+    // so the artifact carries the in-window external share instead —
+    // an inflated rung row now names its cause in the JSON itself
+    def timeAttributed(tag: String)(f: => Unit): Double = {
+      val cpu0 = Bench.cpuSample()
+      val t = timeOnce(f)
+      sentinelRows(s"extcpu_$tag") =
+        Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      t
     }
     sentinel("warm"); sentinel("start")
     // serving-path measurements are ~0.1-0.5 s where scheduler noise is a
@@ -718,7 +749,7 @@ object Bench {
     // time from a policy frame LANDING in the contract dir to the
     // engine serving under its TTL. Both must be ~ms-scale so the 10 s
     // cadence — not the engine — stays the only real decision lag.
-    val (sidecarTickMs, policyApplyLagMs) = {
+    val (sidecarTickMs, policyApplyLagMs, sidecarWireTickMs) = {
       val scRoot = tempDir("bench_sidecar_engine")
       val contract = tempDir("bench_sidecar_contract")
       val engSc = new GraftEngine(spark, scRoot)
@@ -761,8 +792,29 @@ object Bench {
         s"policy must be live after the tick, ttl=${engSc.servingTtl("t9")}")
       pol.unpersist()
       System.err.println(f"# bench-runs policy_apply_lag_ms $lagMs%.3f")
+      // the framed TCP transport form of the same loop (SidecarWire):
+      // counters out, decision frame back, TTL applied — one round trip,
+      // no Spark job on either half, so the row should read ~ms
+      import graft.streaming.SidecarWire
+      val wireSrv = new SidecarWire.Server(ms => ms.map { m =>
+        val missRate =
+          if (m.nRequests == 0) 0.0 else m.nMisses.toDouble / m.nRequests
+        if (missRate > 0.5)
+          SidecarWire.PolicyRow(m.tenant, m.window, 300, 0.05, "aggressive")
+        else SidecarWire.PolicyRow(m.tenant, m.window, 60, 0.15, "normal")
+      })
+      val wireTickMs = try {
+        val cl = new SidecarWire.Client("127.0.0.1", wireSrv.port)
+        val runs = (1 to 5).map(w => timeOnce(loop.tickWire(10L + w, cl)))
+        System.err.println("# bench-runs sidecar_wire_tick " +
+          runs.map(r => f"$r%.4f").mkString(" "))
+        runs.min * 1000.0
+      } finally wireSrv.close()
+      require(engSc.servingTtl("t9") == 300,
+        "wire-applied policy must be live after tickWire")
       scrubOne(scRoot); scrubOne(contract)
-      (tickRuns.min * 1000.0, lagMs)
+      // ms rows belong in `rates` (excluded from the wall-seconds total)
+      (tickRuns.min * 1000.0, lagMs, wireTickMs)
     }
 
     // Write-heavy delta serving (reference: 5k vectors dim 32, load then
@@ -899,7 +951,7 @@ object Bench {
     sentinel("before_500k_ladder")
     val synth500 = synthVecs(500000).cache()
     synth500.count()
-    val tLoad500 = timeOnce {
+    val tLoad500 = timeAttributed("load_500k") {
       val dir = tempDir("bench_load500")
       synth500.write.mode("overwrite").parquet(dir + "/vectors")
     }
@@ -946,7 +998,7 @@ object Bench {
     // 1M load — the exact operation the reference documents as failing
     val synth1m = synthVecs(1000000).cache()
     synth1m.count()
-    val tLoad1m = timeOnce {
+    val tLoad1m = timeAttributed("load_1m") {
       val dir = tempDir("bench_load1m")
       synth1m.write.mode("overwrite").parquet(dir + "/vectors")
     }
@@ -1008,7 +1060,7 @@ object Bench {
       val n10m = 10000000L
       val synth10m = synthVecs(n10m)
       val dir10m = tempDir("bench_load10m")
-      val tLoad10m = timeOnce {
+      val tLoad10m = timeAttributed("load_10m") {
         synth10m.write.mode("overwrite").parquet(dir10m + "/vectors")
       }
       System.err.println(f"# bench-runs load_10m $tLoad10m%.4f")
@@ -1307,7 +1359,7 @@ object Bench {
       System.err.println(f"# bench-runs docs_1m_gen $tGen%.4f")
       val docs1m = spark.read.parquet(docsDir)
       var nPairs = 0L; var rounds = 0; var kept = 0L
-      val tPipe = timeOnce {
+      val tPipe = timeAttributed("dedup_pipeline_1m") {
         val pairs = TextDedup.minhashLshStarPairs(docs1m, n = 3, tau = 0.5)
           .persist()
         nPairs = pairs.count()
@@ -1329,7 +1381,7 @@ object Bench {
       // C4 span dedup at the same corpus: exactly 12 spans/doc + the hub
       // span for its 100k carriers = 12.1M spans, hub absorbed map-side
       var removedDocs = 0L; var nSpans = 0L
-      val tSpan = timeOnce {
+      val tSpan = timeAttributed("span_dedup_1m") {
         val agg = TextDedup.dedupSpans(docs1m, width = 10).agg(
           sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
           sum("n_spans")).head
@@ -1348,7 +1400,7 @@ object Bench {
       // 1 can never see a whole cluster and the merge pass must restore
       // exactly the planted keep-set
       var keptSharded = 0L
-      val tSharded = timeOnce {
+      val tSharded = timeAttributed("dedup_sharded_1m") {
         val pairsS = TextDedup.minhashLshStarPairsSharded(
           docs1m.withColumn("shard", pmod(col("doc_id"), lit(4))),
           "shard", n = 3, tau = 0.5)
@@ -1409,7 +1461,7 @@ object Bench {
       System.err.println(f"# bench-runs emb_1m_gen $tGenE%.4f")
       val emb1m = spark.read.parquet(embDir)
       var found = 0L; var foundCore = 0L; var hubPairs = 0L
-      val tEmb = timeOnce {
+      val tEmb = timeAttributed("embedding_dedup_1m") {
         val pairs = graft.operators.EmbeddingDedup
           .lshPairs(emb1m, tau = 0.99).persist()
         found = pairs.count()
@@ -1485,6 +1537,7 @@ object Bench {
       "ivf_500k_p50_ms" -> lat500(49),
       "ivf_500k_p99_ms" -> lat500(98),
       "sidecar_tick_ms" -> sidecarTickMs,
+      "sidecar_wire_tick_ms" -> sidecarWireTickMs,
       "policy_apply_lag_ms" -> policyApplyLagMs,
       "delta_head_p50_ms" -> deltaP50,
       "delta_head_p99_ms" -> deltaP99,
@@ -1517,9 +1570,167 @@ object Bench {
     // self-attribution rows last (after `total` so they don't count as
     // work): every sentinel reading + any storm re-measurements
     sentinelRows.foreach { case (k, v) => results(k) = v }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // ---- artifact emit ---------------------------------------------
+    // The recording harness keeps only the last ~2000 chars of stdout;
+    // the full row set (~140 entries at 17-digit precision) overflows
+    // that window, so the recorded line has arrived truncated (and
+    // unparseable) every round. Two-part emit:
+    //   1. BENCH_FULL.json at the repo root — every row, full precision
+    //      (query walls, throughput rates, sentinel + storm rows).
+    //   2. stdout's FINAL line — a size-budgeted headline JSON kept
+    //      under the tail window so it survives capture intact:
+    //      priority rows first (the baseline-comparison set + in-line
+    //      storm attribution summary), then remaining rows until the
+    //      byte budget is reached.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs}"""
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(fullPath),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"# bench-runs full artifact -> $fullPath")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"# bench-runs full artifact write FAILED: ${e.getMessage}")
+    }
+
+    // storm-attribution summary: one row per channel instead of ~30
+    // sentinel rows (which all live in BENCH_FULL.json)
+    results("storm_retries") =
+      sentinelRows.keys.count(_.endsWith("_storm_p50_ms")).toDouble
+    val probes = sentinelRows.collect {
+      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_sec") => v }
+    if (probes.nonEmpty) {
+      results("sentinel_min_sec") = probes.min
+      results("sentinel_max_sec") = probes.max
+    }
+    val loads = sentinelRows.collect {
+      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_load1") => v }
+    if (loads.nonEmpty) results("load1_max") = loads.max
+    val exts = sentinelRows.collect {
+      case (k, v) if k.startsWith("extcpu_") => v }
+    if (exts.nonEmpty) results("extcpu_max") = exts.max
+
+    println(headlineLine(total, sfDir, results))
     spark.stop()
+  }
+
+  /** (host busy jiffies, own process jiffies incl. all threads, nanoTime).
+    * Busy = every /proc/stat cpu field except idle and iowait (steal IS
+    * busy — it is co-tenant pressure). Own = utime + stime from
+    * /proc/self/stat, parsed after the last ')' so an exotic comm can't
+    * shift fields. Returns zeros off-Linux → externalCpuFrac 0, the
+    * channel simply never fires.
+    */
+  private[graft] def cpuSample(): (Long, Long, Long) = {
+    val t = System.nanoTime()
+    try {
+      val statSrc = scala.io.Source.fromFile("/proc/stat")
+      val cpuLine =
+        try statSrc.getLines().next() finally statSrc.close()
+      val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+      val selfLine = try selfSrc.mkString finally selfSrc.close()
+      ((hostBusyJiffies(cpuLine), selfJiffies(selfLine), t))
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L, t) }
+  }
+
+  private[graft] def hostBusyJiffies(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+").drop(1).map(_.toLong)
+    // user nice system idle iowait irq softirq steal [guest guest_nice]
+    f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+  }
+
+  private[graft] def selfJiffies(selfLine: String): Long = {
+    val afterComm = selfLine.substring(selfLine.lastIndexOf(')') + 1).trim
+    val f = afterComm.split("\\s+")
+    // after comm: state ppid pgrp session tty tpgid flags minflt cminflt
+    // majflt cmajflt utime(11) stime(12)
+    f(11).toLong + f(12).toLong
+  }
+
+  /** Fraction of the machine's CPU capacity burned by OTHER processes
+    * between two samples (USER_HZ = 100, the Linux x86 default). */
+  private[graft] def externalCpuFrac(
+      a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+    val dWallSec = (b._3 - a._3) / 1e9
+    if (dWallSec <= 0 || (a._1 == 0 && a._2 == 0)) 0.0
+    else {
+      val ext = (b._1 - a._1) - (b._2 - a._2)
+      math.max(0.0, ext.toDouble) /
+        (Runtime.getRuntime.availableProcessors * 100.0 * dWallSec)
+    }
+  }
+
+  private[graft] def jnum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null"
+    else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else new java.math.BigDecimal(v)
+      .round(new java.math.MathContext(5)).toPlainString
+
+  // graded-first ordering: rows the baseline comparison reads, then the
+  // storm-attribution summary, then quality/recall rows, then whatever
+  // of the remaining rows still fits the byte budget
+  private[graft] val headlinePriority: Seq[String] = Seq(
+    "brute_qps", "ivf_100k_qps", "ivf_100k_p99_ms",
+    "ivf_500k_p50_ms", "ivf_500k_p99_ms",
+    "ivf_1m_qps", "ivf_1m_p99_ms",
+    "ivf_10m_p50_ms", "ivf_10m_p99_ms",
+    "ivf_pq_10m_qps", "ivf_pq_10m_p50_ms", "ivf_pq_10m_p99_ms",
+    "engine_pq_10m_p50_ms", "engine_pq_10m_p99_ms",
+    "engine_pq_10m_refined_p50_ms", "engine_pq_10m_refined_p99_ms",
+    "engine_pq_10m_filtered_p50_ms", "engine_pq_10m_filtered2_p50_ms",
+    "load_500k_vecs_per_sec", "load_1m_vecs_per_sec",
+    "load_10m_vecs_per_sec",
+    "cached_hit_p50_ms", "cached_hit_p99_ms", "cached_hit_qps",
+    "prefetch_hit_p50_ms",
+    "resp_miss_qps", "resp_miss_p50_ms",
+    "stream_ingest_rows_per_sec",
+    "warm_boot_first_call_ms",
+    "dedup_pipeline_1m_sec", "dedup_pipeline_1m_kept",
+    "dedup_sharded_1m_sec", "span_dedup_1m_sec",
+    "embedding_dedup_1m_sec", "embedding_dedup_1m_recall",
+    "embedding_dedup_1m_hub_pairs",
+    "storm_retries", "sentinel_min_sec", "sentinel_max_sec", "load1_max",
+    "extcpu_max",
+    "brute_100k_fused_qps", "brute_100k_qps", "ivf_100k_2000q_qps",
+    "pq_100k_recall10_sq16_wire_refined50",
+    "ivf_100k_recall10_nprobe10", "hnsw_100k_recall10_ef128",
+    "pq_100k_recall10_refined50",
+    "hnsw_100k_serving_p50_ms", "hnsw_100k_serving_p99_ms",
+    "engine_pq_10m_cold_first_call_sec", "engine_pq_10m_refined_cold_sec",
+    "warm_boot_warm_sec", "resp_miss_filtered_p99_ms", "resp_hit_p50_ms",
+    "delta_head_p50_ms", "delta_head_p99_ms",
+    "sidecar_tick_ms", "sidecar_wire_tick_ms", "policy_apply_lag_ms",
+    "ivf_10m_build_sec", "engine_10m_build_sec",
+    "components_rounds_1m", "span_dedup_1m_removed_docs")
+
+  /** The bench's final stdout line: a headline JSON whose length never
+    * exceeds `budget` + the closing braces, so the recorder's ~2000-char
+    * tail window captures it intact and parseable. Rows beyond the
+    * budget live in BENCH_FULL.json (full precision, every row).
+    */
+  private[graft] def headlineLine(
+      total: Double, sfDir: String,
+      results: scala.collection.Map[String, Double],
+      budget: Int = 1800): String = {
+    val ordered =
+      headlinePriority.filter(results.contains) ++
+        results.keys.toSeq.filterNot(headlinePriority.contains).sorted
+    val head = new StringBuilder(
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","full":"BENCH_FULL.json","queries":{""")
+    var first = true
+    ordered.foreach { k =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + jnum(results(k))
+      if (head.length + entry.length <= budget) {
+        head.append(entry); first = false
+      }
+    }
+    head.append("}}")
+    head.toString
   }
 }

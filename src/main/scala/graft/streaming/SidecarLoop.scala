@@ -96,6 +96,25 @@ final class SidecarLoop(engine: GraftEngine, spark: SparkSession,
     applyPolicies()
   }
 
+  /** One loop iteration over the framed TCP/mTLS channel
+    * ([[SidecarWire]]) instead of the contract directory: same two
+    * halves, but the sidecar's reply frame IS this window's policy
+    * application — the request/response form of the reference's gRPC
+    * exchange. Skew or refusal throws (the caller keeps the engine on
+    * its last applied policy, like [[start]]'s catch path). */
+  def tickWire(window: Long, client: SidecarWire.Client): Unit = {
+    val rows = engine.servingCountersLive
+      .groupBy(_._1)
+      .map { case (t, rs) =>
+        val h = rs.map(_._3).sum; val m = rs.map(_._4).sum
+        SidecarWire.MetricsRow(t, window, h + m, m)
+      }.toSeq
+    client.exchange(rows).foreach { p =>
+      engine.applyServingPolicy(p.tenant, p.ttlSeconds,
+        p.admissionThreshold, p.evictionPriority)
+    }
+  }
+
   @volatile private var runner: Thread = _
   @volatile private var running = false
   private val pause = new Object

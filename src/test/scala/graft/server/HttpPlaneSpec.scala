@@ -26,7 +26,11 @@ class HttpPlaneSpec extends SparkSpec {
     val c = new URL("http", InetAddress.getLoopbackAddress.getHostAddress,
       port, path).openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
-    c.setConnectTimeout(10000); c.setReadTimeout(30000)
+    // Spark-backed routes (build/train/snapshot) usually answer in
+    // seconds, but this host carries external co-load storms that have
+    // stretched one to past 30 s — a read timeout here should mean
+    // "the plane hung", not "the machine was busy"
+    c.setConnectTimeout(10000); c.setReadTimeout(180000)
     headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     if (body != null) {
       c.setDoOutput(true)
