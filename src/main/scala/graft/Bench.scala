@@ -147,13 +147,17 @@ object Bench {
     // to other processes is external by construction.
     def stormGuarded(tag: String)(measure: => Array[Double]): Array[Double] = {
       val cpu0 = Bench.cpuSample()
+      val io0 = Bench.ioSample()
       val first = measure
       val ext1 = Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      val io1 = Bench.ioSample()
       val probe = sentinelProbe()
       val load1 = loadAvg1()
       sentinelRows(s"sentinel_at_${tag}_sec") = probe
       sentinelRows(s"sentinel_at_${tag}_load1") = load1
       sentinelRows(s"extcpu_at_$tag") = ext1
+      sentinelRows(s"iowait_at_$tag") = Bench.iowaitFrac(io0, io1)
+      sentinelRows(s"ownio_at_${tag}_mb") = (io1._2 - io0._2) / 1e6
       val scalarStorm =
         sentinelBase != Double.MaxValue && probe > 2.0 * sentinelBase
       val load1Storm = load1 > 12.0
@@ -182,9 +186,13 @@ object Bench {
     // an inflated rung row now names its cause in the JSON itself
     def timeAttributed(tag: String)(f: => Unit): Double = {
       val cpu0 = Bench.cpuSample()
+      val io0 = Bench.ioSample()
       val t = timeOnce(f)
       sentinelRows(s"extcpu_$tag") =
         Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      val io1 = Bench.ioSample()
+      sentinelRows(s"iowait_$tag") = Bench.iowaitFrac(io0, io1)
+      sentinelRows(s"ownio_${tag}_mb") = (io1._2 - io0._2) / 1e6
       t
     }
     sentinel("warm"); sentinel("start")
@@ -1583,6 +1591,26 @@ object Bench {
     //      priority rows first (the baseline-comparison set + in-line
     //      storm attribution summary), then remaining rows until the
     //      byte budget is reached.
+    // storm-attribution summary: one row per channel beside the ~40
+    // per-row sentinel readings
+    results("storm_retries") =
+      sentinelRows.keys.count(_.endsWith("_storm_p50_ms")).toDouble
+    val probes = sentinelRows.collect {
+      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_sec") => v }
+    if (probes.nonEmpty) {
+      results("sentinel_min_sec") = probes.min
+      results("sentinel_max_sec") = probes.max
+    }
+    val loads = sentinelRows.collect {
+      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_load1") => v }
+    if (loads.nonEmpty) results("load1_max") = loads.max
+    val exts = sentinelRows.collect {
+      case (k, v) if k.startsWith("extcpu_") => v }
+    if (exts.nonEmpty) results("extcpu_max") = exts.max
+    val iows = sentinelRows.collect {
+      case (k, v) if k.startsWith("iowait_") => v }
+    if (iows.nonEmpty) results("iowait_max") = iows.max
+
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
@@ -1598,23 +1626,6 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"# bench-runs full artifact write FAILED: ${e.getMessage}")
     }
-
-    // storm-attribution summary: one row per channel instead of ~30
-    // sentinel rows (which all live in BENCH_FULL.json)
-    results("storm_retries") =
-      sentinelRows.keys.count(_.endsWith("_storm_p50_ms")).toDouble
-    val probes = sentinelRows.collect {
-      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_sec") => v }
-    if (probes.nonEmpty) {
-      results("sentinel_min_sec") = probes.min
-      results("sentinel_max_sec") = probes.max
-    }
-    val loads = sentinelRows.collect {
-      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_load1") => v }
-    if (loads.nonEmpty) results("load1_max") = loads.max
-    val exts = sentinelRows.collect {
-      case (k, v) if k.startsWith("extcpu_") => v }
-    if (exts.nonEmpty) results("extcpu_max") = exts.max
 
     println(headlineLine(total, sfDir, results))
     spark.stop()
@@ -1666,6 +1677,40 @@ object Bench {
     }
   }
 
+  /** (host iowait jiffies, own read+write bytes from /proc/self/io,
+    * nanoTime). The extcpu channel proved this host's storms are
+    * IO-bound (load1 19–28 with external CPU ≈ 0 while only the
+    * disk-touching rows inflated); iowait share over the row's window
+    * plus the bench's OWN IO volume let the artifact distinguish "the
+    * disk was saturated" from "we wrote more" — own bytes are constant
+    * across rounds for a given row, so a high iowait at constant own-IO
+    * is external contention. Record-only (our own writeback also counts
+    * into iowait, so it cannot safely fire a retry). Zeros off-Linux. */
+  private[graft] def ioSample(): (Long, Long, Long) = {
+    val t = System.nanoTime()
+    try {
+      val statSrc = scala.io.Source.fromFile("/proc/stat")
+      val cpuLine = try statSrc.getLines().next() finally statSrc.close()
+      val iow = cpuLine.trim.split("\\s+").drop(1)(4).toLong
+      val ioSrc = scala.io.Source.fromFile("/proc/self/io")
+      val ioLines = try ioSrc.getLines().toList finally ioSrc.close()
+      val own = ioLines.collect {
+        case l if l.startsWith("read_bytes:") || l.startsWith("write_bytes:") =>
+          l.split(":")(1).trim.toLong
+      }.sum
+      (iow, own, t)
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L, t) }
+  }
+
+  /** Fraction of machine time spent in iowait between two samples. */
+  private[graft] def iowaitFrac(
+      a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+    val dWallSec = (b._3 - a._3) / 1e9
+    if (dWallSec <= 0 || (a._1 == 0 && a._2 == 0)) 0.0
+    else math.max(0.0, (b._1 - a._1).toDouble) /
+      (Runtime.getRuntime.availableProcessors * 100.0 * dWallSec)
+  }
+
   private[graft] def jnum(v: Double): String =
     if (v.isNaN || v.isInfinite) "null"
     else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
@@ -1696,7 +1741,7 @@ object Bench {
     "embedding_dedup_1m_sec", "embedding_dedup_1m_recall",
     "embedding_dedup_1m_hub_pairs",
     "storm_retries", "sentinel_min_sec", "sentinel_max_sec", "load1_max",
-    "extcpu_max",
+    "extcpu_max", "iowait_max",
     "brute_100k_fused_qps", "brute_100k_qps", "ivf_100k_2000q_qps",
     "pq_100k_recall10_sq16_wire_refined50",
     "ivf_100k_recall10_nprobe10", "hnsw_100k_recall10_ef128",

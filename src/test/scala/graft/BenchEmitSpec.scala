@@ -111,6 +111,25 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(Bench.externalCpuFrac((0L, 0L, t0), (10L, 50L, t1)) >= 0.0)
   }
 
+  test("iowaitFrac: zero on no-proc sample, normalized by capacity") {
+    val t0 = 0L; val t1 = 1000000000L // 1 s apart
+    assert(Bench.iowaitFrac((0L, 0L, t0), (0L, 0L, t1)) == 0.0)
+    val ncpu = Runtime.getRuntime.availableProcessors
+    // half the machine's jiffies spent in iowait over the window
+    val frac = Bench.iowaitFrac((100L, 5L, t0), (100L + 50L * ncpu, 5L, t1))
+    assert(math.abs(frac - 0.5) < 1e-9, s"frac=$frac")
+  }
+
+  test("live ioSample reads monotone counters on Linux") {
+    val a = Bench.ioSample()
+    val b = Bench.ioSample()
+    assert(b._3 > a._3)
+    if (a._1 != 0L || a._2 != 0L) { // on Linux with /proc/self/io
+      assert(b._1 >= a._1)
+      assert(b._2 >= a._2)
+    }
+  }
+
   test("live cpuSample is monotone and self <= host-busy delta-wise") {
     val a = Bench.cpuSample()
     var x = 0L
