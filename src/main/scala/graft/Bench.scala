@@ -931,9 +931,19 @@ object Bench {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/b*/")
       val qS = engS.upsertStream(stream, tempDir("bench_stream_ckpt"))
+      // attributed like the rung rows: a record run read this row at
+      // 2.6k rows/s (band 17-22k) with scalar probe and load1 both
+      // quiet — the drain is checkpoint/commit-write bound, so it needs
+      // the io channels in-artifact to name a transient disk stall
+      val cpu0 = Bench.cpuSample(); val io0 = Bench.ioSample()
       val tS0 = System.nanoTime()
       qS.processAllAvailable()
       val tStream = (System.nanoTime() - tS0) / 1e9
+      sentinelRows("extcpu_stream_ingest") =
+        Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      val io1 = Bench.ioSample()
+      sentinelRows("iowait_stream_ingest") = Bench.iowaitFrac(io0, io1)
+      sentinelRows("ownio_stream_ingest_mb") = (io1._2 - io0._2) / 1e6
       qS.stop()
       val landed = engS.currentState("t0", "s").count()
       require(landed == 100000L, s"stream ingest landed $landed rows")

@@ -191,32 +191,61 @@ class GraftEngine(spark: SparkSession, root: String,
     s"${indexPath(tenant, index)}/v${m.version}"
   }
 
+  /** Parsed-manifest memo keyed by the file's (mtime, size): the wire
+    * serving path reads the manifest on EVERY call, and a steady-state
+    * search was paying a full read + ~10 regex scans per query — with
+    * per-call disk reads also riding this host's external IO storms
+    * straight into serving tails. Freshness stays anchored to the
+    * filesystem (the atomic-rename commit bumps mtime, so ANY writer —
+    * this JVM or another process — invalidates the memo on its next
+    * stat); same-JVM writers additionally drop the entry synchronously
+    * in [[writeManifest]], so only a cross-process write landing within
+    * one mtime tick AND at identical byte size could alias (epoch and
+    * version both monotonically widen, so sizes collide only between
+    * same-width stamps). */
+  private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, Long, Manifest)]()
+
   def manifest(tenant: String, index: String): Manifest = {
     val f = manifestFile(tenant, index)
-    if (Files.exists(f)) {
-      val s = Files.readString(f)
-      def field(k: String): Long =
-        raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
-        .map(_.group(1)).getOrElse("IVF_FLAT")
-      // absent field (pre-upgrade manifest) → UNKNOWN, not L2: defaulting
-      // to a concrete metric would reject the index's true metric and
-      // accept the wrong one; unknown skips validation instead
-      // [A-Za-z0-9_]: "L2" has a digit — a letters-only class silently
-      // parsed every L2-built manifest as unknown-metric, wiping the
-      // cross-metric gate for the most common build
-      val metric = raw""""metric"\s*:\s*"([A-Za-z0-9_]+)"""".r.findFirstMatchIn(s)
-        .map(_.group(1)).getOrElse("")
-      // absent field (older manifest) → assume dirty: correctness over speed
-      val headDirty = raw""""headDirty"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt).getOrElse(1)
-      Manifest(field("epoch"), field("buildWatermark"), algo, field("nVectors"),
-        field("version"), metric, headDirty)
-    } else
-      // metric = "" (unknown), NOT the case-class "L2" default: a
-      // never-built index has recorded no metric, so validation must be
-      // skipped — the same convention as an absent field in the parse path
-      Manifest(0L, Long.MinValue, "IVF_FLAT", metric = "")
+    val attrs =
+      try Some(Files.readAttributes(
+        f, classOf[java.nio.file.attribute.BasicFileAttributes]))
+      catch { case _: java.io.IOException => None }
+    attrs match {
+      case None =>
+        // metric = "" (unknown), NOT the case-class "L2" default: a
+        // never-built index has recorded no metric, so validation must
+        // be skipped — the same convention as an absent field below
+        Manifest(0L, Long.MinValue, "IVF_FLAT", metric = "")
+      case Some(a) =>
+        val key = f.toString
+        val hit = manifestMemo.get(key)
+        if (hit != null && hit._1 == a.lastModifiedTime && hit._2 == a.size)
+          hit._3
+        else {
+          val s = Files.readString(f)
+          def field(k: String): Long =
+            raw""""$k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+          val algo = raw""""algo"\s*:\s*"([A-Z_]+)"""".r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("IVF_FLAT")
+          // absent field (pre-upgrade manifest) → UNKNOWN, not L2:
+          // defaulting to a concrete metric would reject the index's true
+          // metric and accept the wrong one; unknown skips validation.
+          // [A-Za-z0-9_]: "L2" has a digit — a letters-only class silently
+          // parsed every L2-built manifest as unknown-metric, wiping the
+          // cross-metric gate for the most common build
+          val metric = raw""""metric"\s*:\s*"([A-Za-z0-9_]+)"""".r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("")
+          // absent field (older manifest) → assume dirty: correctness over speed
+          val headDirty = raw""""headDirty"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+            .map(_.group(1).toInt).getOrElse(1)
+          val m = Manifest(field("epoch"), field("buildWatermark"), algo,
+            field("nVectors"), field("version"), metric, headDirty)
+          manifestMemo.put(key, (a.lastModifiedTime, a.size, m))
+          m
+        }
+    }
   }
 
   private def writeManifest(tenant: String, index: String, m: Manifest): Unit = {
@@ -230,6 +259,8 @@ class GraftEngine(spark: SparkSession, root: String,
       StandardOpenOption.WRITE)
     Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // a same-JVM writer must never serve even one stale read off the memo
+    manifestMemo.remove(f.toString)
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =

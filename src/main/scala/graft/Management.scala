@@ -124,16 +124,39 @@ class Management(spark: SparkSession, val root: String) {
 
   def tenantExists(tenantId: String): Boolean = Files.exists(tenantFile(tenantId))
 
+  /** Parsed-quota memo keyed by the config file's (mtime, size): the
+    * RESP serving path resolves the tenant's cache quota on every call,
+    * and was paying a file read + 6 regex scans per query (per-call disk
+    * reads ride this host's IO storms into serving tails). Any writer
+    * bumps mtime → next stat re-parses; same-JVM writers also drop the
+    * entry synchronously. */
+  private val quotaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, Long, TenantQuota)]()
+
   def quota(tenantId: String): TenantQuota = {
-    require(tenantExists(tenantId), s"no such tenant: $tenantId")
-    val s = Files.readString(tenantFile(tenantId))
-    TenantQuota(
-      jLong(s, "maxQps").getOrElse(100L).toInt,
-      jLong(s, "maxConcurrentRequests").getOrElse(8L).toInt,
-      jLong(s, "cacheMemoryMb").getOrElse(64L).toInt,
-      jLong(s, "dailyRequestLimit").getOrElse(100000L),
-      jLong(s, "priority").getOrElse(1L).toInt,
-      jDouble(s, "monthlyBudget").getOrElse(100.0))
+    val f = tenantFile(tenantId)
+    val attrs =
+      try Files.readAttributes(
+        f, classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalArgumentException(s"no such tenant: $tenantId")
+      }
+    val hit = quotaMemo.get(tenantId)
+    if (hit != null && hit._1 == attrs.lastModifiedTime &&
+        hit._2 == attrs.size) hit._3
+    else {
+      val s = Files.readString(f)
+      val q = TenantQuota(
+        jLong(s, "maxQps").getOrElse(100L).toInt,
+        jLong(s, "maxConcurrentRequests").getOrElse(8L).toInt,
+        jLong(s, "cacheMemoryMb").getOrElse(64L).toInt,
+        jLong(s, "dailyRequestLimit").getOrElse(100000L),
+        jLong(s, "priority").getOrElse(1L).toInt,
+        jDouble(s, "monthlyBudget").getOrElse(100.0))
+      quotaMemo.put(tenantId, (attrs.lastModifiedTime, attrs.size, q))
+      q
+    }
   }
 
   def updateQuota(tenantId: String, q: TenantQuota,
@@ -141,6 +164,7 @@ class Management(spark: SparkSession, val root: String) {
     authorize(tenantId, actingUser, "admin")
     require(tenantExists(tenantId), s"no such tenant: $tenantId")
     writeJson(tenantFile(tenantId), quotaJson(q, apiKeyHash(tenantId)))
+    quotaMemo.remove(tenantId)
   }
 
   private def apiKeyHash(tenantId: String): String =
@@ -151,6 +175,7 @@ class Management(spark: SparkSession, val root: String) {
     authorize(tenantId, actingUser, "admin")
     require(tenantExists(tenantId), s"no such tenant: $tenantId")
     writeJson(tenantFile(tenantId), quotaJson(quota(tenantId), newHash))
+    quotaMemo.remove(tenantId)
   }
 
   /** Whether the tenant has any API key set — the protocol planes only

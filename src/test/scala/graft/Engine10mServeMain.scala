@@ -55,6 +55,15 @@ object Engine10mServeMain {
     val qs = records(100).select(col("id"), col("vector")).collect()
       .map(r => (r.getString(0).stripPrefix("v").toLong,
         r.getSeq[Float](1).toArray))
+    // Past the rows tier's manifest gate (RowsServeMaxRows = 16M: the
+    // IdPool heap bound) EVERY per-call serve must take the documented
+    // plan fallback — a run above the bound PROVES the designed
+    // degradation (gates deny residency, the distributed plan answers,
+    // nothing crashes) instead of the zero-job paths. Per-call plan
+    // latency is Spark-job-scale, so the sample shrinks accordingly.
+    val expectPlan = n > 16000000L
+    val servePath = if (expectPlan) "plan-fallback" else "head+pqtail"
+    val nLat = if (expectPlan) 20 else qs.length
     // cold first call: codes pack + id pool build + serve, all at once
     t0 = System.nanoTime()
     val (firstRows, firstTrace) =
@@ -62,61 +71,79 @@ object Engine10mServeMain {
     println(f"cold_first_call_sec ${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"path=${firstTrace.path} rows=${firstRows.length}")
     require(firstRows.nonEmpty)
+    require(firstTrace.path == servePath,
+      s"expected $servePath at n=$n, got ${firstTrace.path}")
     (0 until 3).foreach { _ =>
-      eng.searchRows("t1", "big", qs, k = 10, nprobe = 10)
+      eng.searchRows("t1", "big", qs.take(nLat min 8), k = 10, nprobe = 10)
     }
-    val lat = qs.map { q =>
+    val lat = qs.take(nLat).map { q =>
       val t = System.nanoTime()
       val (rows, tr) = eng.searchRowsTraced("t1", "big", Array(q), k = 10,
         nprobe = 10)
-      require(rows.length == 10 && tr.path == "head+pqtail",
-        s"expected zero-job PQ serving, got ${tr.path} / ${rows.length} rows")
+      require(rows.length == 10 && tr.path == servePath,
+        s"expected $servePath serving, got ${tr.path} / ${rows.length} rows")
       (System.nanoTime() - t) / 1e6
     }.sorted
-    println(f"engine_pq_${n}%d_single_query_ms p50=${lat(49)}%.3f p99=${lat(98)}%.3f")
+    println(f"engine_pq_${n}%d_single_query_ms p50=${lat(lat.length / 2)}%.3f p99=${lat(lat.length - 1)}%.3f path=$servePath")
     // REFINED cold: the one-time sq16 store build (sidecar read →
     // per-partition sorted runs → k-way merge), then steady-state
-    // refined latency — isolates the bench's refined_cold row
+    // refined latency — isolates the bench's refined_cold row. Above
+    // the gate the plan fallback reranks in sq16 mode off the sidecar
+    // TABLE (same refined answer, no resident store).
+    val refinedPath =
+      if (expectPlan) "plan-fallback" else "head+pqtail-refined"
+    val nLatR = if (expectPlan) 5 else qs.length
     t0 = System.nanoTime()
     val (r0, rt0) = eng.searchRowsTraced("t1", "big", Array(qs.head),
       k = 10, nprobe = 10, refine = 50)
     println(f"cold_refined_call_sec ${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"path=${rt0.path} rows=${r0.length}")
+    require(rt0.path == refinedPath,
+      s"expected $refinedPath at n=$n, got ${rt0.path}")
     (0 until 3).foreach { _ =>
-      eng.searchRows("t1", "big", qs.take(8), k = 10, nprobe = 10, refine = 50)
+      eng.searchRows("t1", "big", qs.take(nLatR min 8), k = 10,
+        nprobe = 10, refine = 50)
     }
-    val latR = qs.map { q =>
+    val latR = qs.take(nLatR).map { q =>
       val t = System.nanoTime()
       val (rows, tr) = eng.searchRowsTraced("t1", "big", Array(q), k = 10,
         nprobe = 10, refine = 50)
-      require(rows.length == 10 && tr.path == "head+pqtail-refined",
-        s"expected refined PQ serving, got ${tr.path} / ${rows.length} rows")
+      require(rows.length == 10 && tr.path == refinedPath,
+        s"expected $refinedPath serving, got ${tr.path} / ${rows.length} rows")
       (System.nanoTime() - t) / 1e6
     }.sorted
-    println(f"engine_pq_${n}%d_refined_single_query_ms p50=${latR(49)}%.3f p99=${latR(98)}%.3f")
+    println(f"engine_pq_${n}%d_refined_single_query_ms p50=${latR(latR.length / 2)}%.3f p99=${latR(latR.length - 1)}%.3f path=$refinedPath")
     // FILTERED serving at the same rung: first call builds the packed
     // tag index (10M (record, tag) entries → per-tag sorted arrays),
-    // then steady-state latency over the half-corpus "even" tag
+    // then steady-state latency over the half-corpus "even" tag. Above
+    // the gate the filtered rows tier declines (returns None) and the
+    // cascade's caller takes the plan — assert the decline here.
     t0 = System.nanoTime()
     val f0 = eng.searchRowsFilteredTraced("t1", "big", Array(qs.head), 10,
       "L2", 10, Seq("even"))
     println(f"cold_filtered_call_sec ${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"path=${f0.map(_._2.path)}")
-    require(f0.exists(_._1.nonEmpty), "filtered rows tier must serve at 10M")
-    (0 until 3).foreach { _ =>
-      eng.searchRowsFilteredTraced("t1", "big", qs, 10, "L2", 10, Seq("even"))
+    if (expectPlan) {
+      require(f0.isEmpty,
+        s"filtered rows tier must DECLINE past the gate at n=$n, got $f0")
+      println(s"filtered_tier_declined_at_${n} true (cascade serves via plan)")
+    } else {
+      require(f0.exists(_._1.nonEmpty), "filtered rows tier must serve at 10M")
+      (0 until 3).foreach { _ =>
+        eng.searchRowsFilteredTraced("t1", "big", qs, 10, "L2", 10, Seq("even"))
+      }
+      val latF = qs.map { q =>
+        val t = System.nanoTime()
+        val Some((rows, tr)) = eng.searchRowsFilteredTraced("t1", "big",
+          Array(q), 10, "L2", 10, Seq("even")): @unchecked
+        require(rows.length == 10 && tr.path == "head+pqtail-filtered",
+          s"expected filtered PQ serving, got ${tr.path} / ${rows.length} rows")
+        require(rows.forall(_._3.stripPrefix("v").toLong % 2 == 0),
+          "filtered results must respect the tag")
+        (System.nanoTime() - t) / 1e6
+      }.sorted
+      println(f"engine_pq_${n}%d_filtered_single_query_ms p50=${latF(49)}%.3f p99=${latF(98)}%.3f")
     }
-    val latF = qs.map { q =>
-      val t = System.nanoTime()
-      val Some((rows, tr)) = eng.searchRowsFilteredTraced("t1", "big",
-        Array(q), 10, "L2", 10, Seq("even")): @unchecked
-      require(rows.length == 10 && tr.path == "head+pqtail-filtered",
-        s"expected filtered PQ serving, got ${tr.path} / ${rows.length} rows")
-      require(rows.forall(_._3.stripPrefix("v").toLong % 2 == 0),
-        "filtered results must respect the tag")
-      (System.nanoTime() - t) / 1e6
-    }.sorted
-    println(f"engine_pq_${n}%d_filtered_single_query_ms p50=${latF(49)}%.3f p99=${latF(98)}%.3f")
     spark.stop()
   }
 }
