@@ -73,19 +73,27 @@ object GraftEngine {
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
 
   /** Per-index ceiling for the resident SQ16 rerank store (2·dim bytes/
-    * vec over the RAW vectors — 10M×128 ≈ 2.6 GB, still half the floats):
-    * its OWN budget line, deliberately not the id-pool budget — a refine
-    * store drawing on the pool budget would starve pools/tag indexes (the
-    * r7 ADVICE hazard class). uint16 rather than uint8 because the refine
-    * step's whole purpose is near-exact answers: uint8's error measurably
-    * reorders near-equidistant top-k boundaries (gauge recall 0.980 vs
-    * 0.995 exact); uint16's is 256× smaller and prices at exact. */
-  val Sq16MaxBytesDefault: Long = 3072L << 20
+    * vec over the RAW vectors — 10M×128 ≈ 2.6 GB, 20M ≈ 5.3 GB, still
+    * half the floats): its OWN budget line, deliberately not the id-pool
+    * budget — a refine store drawing on the pool budget would starve
+    * pools/tag indexes (the r7 ADVICE hazard class). uint16 rather than
+    * uint8 because the refine step's whole purpose is near-exact
+    * answers: uint8's error measurably reorders near-equidistant top-k
+    * boundaries (gauge recall 0.980 vs 0.995 exact); uint16's is 256×
+    * smaller and prices at exact. Sized (with the global line below) for
+    * the repo's 32 GiB serving JVM (build.sbt's default -Xmx) so the
+    * refine tier reaches the same ~20M×128 corpora the rows gate admits
+    * — the store is segmented, so the budget is the ONLY ceiling;
+    * smaller deployments pass a smaller `sq16MaxBytes`. */
+  val Sq16MaxBytesDefault: Long = 8192L << 20
 
   /** JVM-wide ceiling across ALL resident SQ16 stores — weak-keyed like
     * the other residency registries (eviction returns a share explicitly;
-    * a dropped engine returns it on GC). */
-  val Sq16GlobalMaxBytes: Long = 4096L << 20
+    * a dropped engine returns it on GC). 1.5× the per-index default:
+    * one full-size store plus change, ~37% of the default 32 GiB heap —
+    * the aggregate stop that keeps N engines from each admitting a
+    * budget-legal store into one JVM. */
+  val Sq16GlobalMaxBytes: Long = 12288L << 20
   private val sq16Registry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
   private[graft] def sq16BytesUsed: Long = {
@@ -1717,8 +1725,10 @@ class GraftEngine(spark: SparkSession, root: String,
         case None => (None, true)
         case Some((n, dim)) =>
           val est = n * (8L + 2L * dim) + 64L
-          // flat-array ceiling: codes live in ONE Int-indexed short array
-          if (n * dim.toLong >= Int.MaxValue - 64L || est > sq16MaxBytes)
+          // byte budgets are the ONLY capacity gate: the store is
+          // segmented (Sq16Store.SegMaxCodes), so no Int-indexed-array
+          // ceiling exists to deny around
+          if (est > sq16MaxBytes)
             (None, true)
           else if (GraftEngine.sq16BytesUsed + est >
               GraftEngine.Sq16GlobalMaxBytes)
@@ -2194,16 +2204,28 @@ class GraftEngine(spark: SparkSession, root: String,
     * so unbounded appends would grow per-call cost with serving duration. */
   private val CacheGcFileThreshold = 64L
 
-  /** Row ceiling for the rows serving tier's manifest gate: the
-    * surrogate → id resolver behind [[searchRows]] is a compact [[IdPool]]
-    * (sorted longs + one UTF-8 blob, ~12 bytes + id length per entry), so
-    * 16M ids ≈ 350 MB of driver heap — actual residency is still decided
-    * by exact measured bytes in [[idPoolOf]] (per-pool + JVM-global
-    * budgets); corpora past either fall back to the DataFrame plan, which
-    * resolves ids with a broadcast semi-join instead of a resident map.
-    * (Was 1M when the resolver was a boxed Map — the compact pool is what
-    * lets the wire serve the 10M rung driver-side.) */
-  private val RowsServeMaxRows = 16000000L
+  /** Row ceiling for the rows serving tier's manifest gate — a cheap
+    * PRE-gate, not the admission decision: every rows-tier serve needs
+    * the resident [[IdPool]] (sorted longs + one UTF-8 blob, ≥ 12 bytes
+    * per entry before the id text), so `idPoolMaxBytes / 12` is the row
+    * count past which NO pool could be admitted even with zero-length
+    * ids — the gate skips the residency-estimate jobs for corpora the
+    * byte budgets could never accept, and everything under it is decided
+    * by exact measured bytes in [[idPoolOf]] / [[sq16StoreOf]] /
+    * packedDriver (per-structure + JVM-global budgets). Corpora past any
+    * budget fall back to the DataFrame plan, which resolves ids with a
+    * broadcast semi-join instead of a resident map. Floored at 16M so
+    * deliberately tiny test budgets still exercise the measured-byte
+    * denial paths rather than this gate. At the 512 MB default the gate
+    * sits at ~44.7M rows; a 20M×dim128 IVF_PQ corpus (codes 320 MB,
+    * pool ~420 MB, segmented sq16 refine store 5.3 GB under its 8 GiB
+    * line) now serves RESIDENT on the plain, refined, AND filtered
+    * paths (Engine10mServeMain 20000000 measures exactly that).
+    * (Was a scalar 16M; before that 1M when the resolver was a boxed
+    * Map — the compact pool is what lets the wire serve 10M+ rungs
+    * driver-side.) */
+  private val RowsServeMaxRows =
+    math.max(16000000L, idPoolMaxBytes / 12L)
 
   /** Miss-batch bound for [[searchCached]]'s zero-job serving shortcut:
     * batches at most this size collect their miss queries (≤1024 × dim

@@ -33,34 +33,89 @@ import org.apache.spark.sql.DataFrame
   * `refineStore = "sq16"` mode and this store score IDENTICAL floats —
   * tier parity is exact, spec-pinned.
   *
-  * Layout: one sorted surrogate array + one flat uint16 code blob
-  * (row r's codes at r·dim, stored in Short cells, read `& 0xffff`).
-  * Built from per-partition PRE-SORTED runs merged on the driver (k-way,
-  * same discipline as [[graft.IdPool]]) — transient footprint equals the
-  * final store, never n boxed rows.
+  * Layout: SEGMENTED — sorted surrogate arrays + aligned flat uint16
+  * code blobs (Short cells, read `& 0xffff`), each segment bounded at
+  * [[Sq16Store.SegMaxCodes]] cells so NO array-index ceiling exists:
+  * the store's only capacity limit is its byte budget (the same
+  * "budgets, not Int cliffs" discipline as the rows gate — a flat
+  * single-array layout capped the store at Int.MaxValue/dim vectors,
+  * 16.7M at dim 128, an accident of JVM indexing rather than a policy).
+  * Segments are globally sorted (every id in segment i precedes segment
+  * i+1), so a lookup is two binary searches: segment by first-id, then
+  * row within — the same probe count as the flat layout ±1. Built from
+  * per-partition PRE-SORTED runs merged on the driver (k-way, same
+  * discipline as [[graft.IdPool]]) — transient footprint equals the
+  * final store, never n boxed rows. Rows are addressed by a GLOBAL Long
+  * row index (what [[lookup]] returns and [[dequant]] takes).
   */
-final class Sq16Store(val ids: Array[Long], val codes: Array[Short],
-                      val dim: Int, val mn: Float, val mx: Float)
+final class Sq16Store private[operators] (
+    private val segIds: Array[Array[Long]],
+    private val segCodes: Array[Array[Short]],
+    val dim: Int, val mn: Float, val mx: Float)
   extends Serializable {
 
   val delta: Double = if (mx > mn) (mx - mn) / 65535.0 else 0.0
 
-  /** Resident bytes (for the engine's residency registry). */
-  val bytes: Long = ids.length * 8L + codes.length.toLong * 2L + 64L
-
-  def size: Int = ids.length
-
-  /** Row position of a surrogate id, or -1 when absent. */
-  def lookup(id: Long): Int = {
-    val i = java.util.Arrays.binarySearch(ids, id)
-    if (i < 0) -1 else i
+  /** Global row index of each segment's first row (length nSegs + 1;
+    * last entry = total rows). */
+  private val segStarts: Array[Long] = {
+    val out = new Array[Long](segIds.length + 1)
+    var i = 0
+    while (i < segIds.length) { out(i + 1) = out(i) + segIds(i).length; i += 1 }
+    out
   }
 
-  /** Dequantized vector of row `row` — bit-exact twin of the plan-side
-    * decode expression ((mn + code·delta).toFloat, double arithmetic). */
-  def dequant(row: Int): Array[Float] = {
+  /** First surrogate of each segment — the lookup's segment router. */
+  private val segFirst: Array[Long] =
+    segIds.map(ids => if (ids.nonEmpty) ids(0) else Long.MaxValue)
+
+  def size: Long = segStarts(segStarts.length - 1)
+
+  /** Resident heap bytes (for the engine's residency registry). */
+  val bytes: Long = {
+    var b = 64L
+    var i = 0
+    while (i < segIds.length) {
+      b += segIds(i).length * 8L + segCodes(i).length.toLong * 2L + 64L
+      i += 1
+    }
+    b
+  }
+
+  /** Global row index of a surrogate id, or -1 when absent. */
+  def lookup(id: Long): Long = {
+    // greatest segment whose first id is <= id (global sort order)
+    val p = java.util.Arrays.binarySearch(segFirst, id)
+    val seg = if (p >= 0) p else -p - 2
+    if (seg < 0) return -1L
+    val i = java.util.Arrays.binarySearch(segIds(seg), id)
+    if (i < 0) -1L else segStarts(seg) + i
+  }
+
+  /** The uint16 code cell of global row `row`, coordinate `d` (specs /
+    * debugging; the serving path uses [[dequant]]). */
+  def code(row: Long, d: Int): Int = {
+    val seg = segOf(row)
+    val local = (row - segStarts(seg)).toInt
+    segCodes(seg)(local * dim + d) & 0xffff
+  }
+
+  private def segOf(row: Long): Int = {
+    val p = java.util.Arrays.binarySearch(segStarts, row)
+    val seg = if (p >= 0) p else -p - 2
+    require(seg >= 0 && seg < segIds.length && row < size,
+      s"sq16 row $row out of range [0, $size)")
+    seg
+  }
+
+  /** Dequantized vector of global row `row` — bit-exact twin of the
+    * plan-side decode expression ((mn + code·delta).toFloat, double
+    * arithmetic). */
+  def dequant(row: Long): Array[Float] = {
+    val seg = segOf(row)
+    val codes = segCodes(seg)
+    val off = (row - segStarts(seg)).toInt * dim
     val out = new Array[Float](dim)
-    val off = row * dim
     val mnD = mn.toDouble
     var i = 0
     while (i < dim) {
@@ -72,6 +127,14 @@ final class Sq16Store(val ids: Array[Long], val codes: Array[Short],
 }
 
 object Sq16Store {
+
+  /** Per-segment code-cell bound: 2^30 Short cells = 2 GiB per code
+    * array — comfortably inside JVM array limits while keeping segment
+    * count single-digit at multi-GB stores (a 20M×128 store is 3
+    * segments). Small enough that the last segment's trim waste is
+    * bounded; large enough that the lookup's extra segment probe is ~2
+    * comparisons. */
+  val SegMaxCodes: Int = 1 << 30
 
   /** One partition's pre-sorted run: ids ascending + aligned flat codes. */
   final case class Run(ids: Array[Long], codes: Array[Short])
@@ -101,24 +164,33 @@ object Sq16Store {
   /** K-way merge of sorted runs into one store — driver side. Duplicate
     * surrogates (xxhash64 collisions across distinct id strings — ~n²/2⁶⁵)
     * keep the first occurrence, deterministically (runs ordered, then id):
-    * the same tie the id pool resolves the same way. */
-  def merge(runs: Array[Run], dim: Int, mn: Float, mx: Float): Sq16Store = {
-    // accumulate the run lengths in LONG: an Int sum wraps silently and
-    // a direct caller (the engine's residency gate is upstream of this)
-    // would see a negative allocation or index corruption, not an error
-    // — same guard discipline as IdPool.merge
+    * the same tie the id pool resolves the same way. Output rows fill
+    * bounded segments sequentially (`rowsPerSeg`, default
+    * [[SegMaxCodes]]/dim), so total capacity is heap-bounded, never
+    * Int-index-bounded; the run-length sum stays in LONG throughout
+    * (an Int sum wraps silently — same guard discipline as
+    * IdPool.merge). */
+  def merge(runs: Array[Run], dim: Int, mn: Float, mx: Float): Sq16Store =
+    merge(runs, dim, mn, mx, math.max(1, SegMaxCodes / dim))
+
+  private[operators] def merge(runs: Array[Run], dim: Int, mn: Float,
+                               mx: Float, rowsPerSeg: Int): Sq16Store = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(rowsPerSeg > 0, s"rowsPerSeg must be positive, got $rowsPerSeg")
     val totalL = runs.map(_.ids.length.toLong).sum
-    require(totalL * dim <= Int.MaxValue,
-      s"sq16 store exceeds the Int-indexed flat-array bound: $totalL vectors x dim $dim")
-    val total = totalL.toInt
-    val ids = new Array[Long](total)
-    // flat JVM arrays are Int-indexed (≤ ~2^31 shorts — 16M vectors at
-    // dim 128); the engine's residency gate denies past that, and
-    // multiplyExact turns a gate bug into a loud failure, not corruption
-    val codes = new Array[Short](math.multiplyExact(total, dim))
+    val nSegs = math.max(1L, (totalL + rowsPerSeg - 1) / rowsPerSeg)
+    require(nSegs <= 4096,
+      s"sq16 store would need $nSegs segments ($totalL vectors × dim " +
+        s"$dim) — past any sane residency budget")
+    val segIds = new Array[Array[Long]](nSegs.toInt)
+    val segCodes = new Array[Array[Short]](nSegs.toInt)
+    var seg = -1 // current segment (allocated lazily below)
+    var segLen = 0 // rows filled in the current segment
+    var segCap = 0 // row capacity of the current segment
+    var remaining = totalL
     val cur = new Array[Int](runs.length)
-    var n = 0
     var lastId = Long.MinValue
+    var wrote = 0L
     var any = true
     var first = true
     while (any) {
@@ -135,30 +207,58 @@ object Sq16Store {
       }
       if (any) {
         if (first || bestId != lastId) {
-          ids(n) = bestId
+          if (seg < 0 || segLen == segCap) {
+            seg += 1
+            segCap = math.min(remaining, rowsPerSeg.toLong).toInt
+            segIds(seg) = new Array[Long](segCap)
+            segCodes(seg) = new Array[Short](segCap * dim)
+            segLen = 0
+          }
+          segIds(seg)(segLen) = bestId
           System.arraycopy(runs(best).codes, cur(best) * dim,
-            codes, n * dim, dim)
-          n += 1
+            segCodes(seg), segLen * dim, dim)
+          segLen += 1
+          wrote += 1
+          remaining -= 1
           lastId = bestId
           first = false
         }
         cur(best) += 1
       }
     }
-    if (n == total) new Sq16Store(ids, codes, dim, mn, mx)
-    else new Sq16Store(java.util.Arrays.copyOf(ids, n),
-      java.util.Arrays.copyOf(codes, n * dim), dim, mn, mx)
+    // duplicates dropped entries: trim the tail segment to its filled
+    // prefix and drop never-allocated segments
+    val used = if (seg < 0) 0 else seg + 1
+    val outIds = new Array[Array[Long]](math.max(used, 1))
+    val outCodes = new Array[Array[Short]](math.max(used, 1))
+    if (used == 0) {
+      outIds(0) = Array.emptyLongArray
+      outCodes(0) = Array.empty[Short]
+    } else {
+      var i = 0
+      while (i < used) {
+        if (i < used - 1 || segLen == segIds(i).length) {
+          outIds(i) = segIds(i)
+          outCodes(i) = segCodes(i)
+        } else {
+          outIds(i) = java.util.Arrays.copyOf(segIds(i), segLen)
+          outCodes(i) = java.util.Arrays.copyOf(segCodes(i), segLen * dim)
+        }
+        i += 1
+      }
+    }
+    new Sq16Store(outIds, outCodes, dim, mn, mx)
   }
 
   /** Partitions fetched per driver-side wave during [[buildResident]]:
-    * each wave is ONE job whose serialized results stay bounded (the
-    * residency gate caps the whole store at ~3 GB over 32 partitions →
-    * ~95 MB/run → ~380 MB/wave, under the default 1g
-    * `spark.driver.maxResultSize`), while the scan+encode work of the
-    * wave's partitions runs in PARALLEL — a full collect() tripped
-    * maxResultSize at the 10M rung (r8, 1058 MiB) and the r8 fix
-    * (`toLocalIterator`) serialized the fetch to one partition at a
-    * time, pricing the one-time cold build at ~86 s standalone. */
+    * each wave is ONE job whose serialized results stay bounded (a
+    * multi-GB store over 32 partitions → ~100-200 MB/run → well under
+    * the default 1g `spark.driver.maxResultSize` per wave), while the
+    * scan+encode work of the wave's partitions runs in PARALLEL — a
+    * full collect() tripped maxResultSize at the 10M rung (r8,
+    * 1058 MiB) and the r8 fix (`toLocalIterator`) serialized the fetch
+    * to one partition at a time, pricing the one-time cold build at
+    * ~86 s standalone. */
   val FetchWavePartitions: Int = 4
 
   /** Collect a (id BIGINT, qvec16 ARRAY<INT>) codes table into a resident

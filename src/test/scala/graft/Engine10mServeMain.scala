@@ -55,13 +55,41 @@ object Engine10mServeMain {
     val qs = records(100).select(col("id"), col("vector")).collect()
       .map(r => (r.getString(0).stripPrefix("v").toLong,
         r.getSeq[Float](1).toArray))
-    // Past the rows tier's manifest gate (RowsServeMaxRows = 16M: the
-    // IdPool heap bound) EVERY per-call serve must take the documented
-    // plan fallback — a run above the bound PROVES the designed
-    // degradation (gates deny residency, the distributed plan answers,
-    // nothing crashes) instead of the zero-job paths. Per-call plan
-    // latency is Spark-job-scale, so the sample shrinks accordingly.
-    val expectPlan = n > 16000000L
+    // The serving ladder's regimes are BYTE-BUDGET boundaries, and this
+    // probe computes the expected regime from `n` and the engine's own
+    // budget constants, then asserts it:
+    //  - n ≤ sq16 budget (8 GiB / (8+2·dim) B/vec ≈ 32.5M at dim 128):
+    //    everything resident — plain, refined, filtered all zero-job
+    //    (the segmented store has no array-index ceiling; the budget is
+    //    the only line).
+    //  - sq16-denied but pool-admitted (possible at dim ≳ 170 or under
+    //    per-deployment budgets; EngineSpec's sq16-budget-denial test
+    //    pins it at small scale): plain and filtered serve RESIDENT,
+    //    only refine degrades to the plan fallback, which reranks in
+    //    sq16 mode off the sidecar TABLE — same refined answer,
+    //    job-scale latency.
+    //  - past the pool budget (~24M at these ~9-char ids: est = n·12 +
+    //    Σ|id| vs the 512 MB default; the manifest pre-gate sits higher,
+    //    at idPoolMaxBytes/12 ≈ 44.7M): every call takes the documented
+    //    plan fallback (gates deny residency, the distributed plan
+    //    answers, nothing crashes). Per-call plan latency is
+    //    Spark-job-scale, so the sample shrinks accordingly.
+    val sq16Budget = GraftEngine.Sq16MaxBytesDefault
+    val sq16Resident = n * (8L + 2L * dim) + 64L <= sq16Budget
+    // "v" + decimal seq digits, the generator's id shape: the pool
+    // estimate the engine itself computes (n·12 + Σ|id| + 32)
+    val sumIdLen: Long = {
+      // Σ over v0..v(n-1) of (1 + digits(seq)) without enumerating
+      var s = 0L; var lo = 0L; var d = 1
+      while (lo < n) {
+        val hi = math.min(n, math.pow(10, d).toLong)
+        s += (hi - lo) * (1L + d); lo = hi; d += 1
+      }
+      s
+    }
+    val poolResident =
+      n * 12L + sumIdLen + 32L <= GraftEngine.IdPoolMaxBytesDefault
+    val expectPlan = !poolResident
     val servePath = if (expectPlan) "plan-fallback" else "head+pqtail"
     val nLat = if (expectPlan) 20 else qs.length
     // cold first call: codes pack + id pool build + serve, all at once
@@ -87,12 +115,17 @@ object Engine10mServeMain {
     println(f"engine_pq_${n}%d_single_query_ms p50=${lat(lat.length / 2)}%.3f p99=${lat(lat.length - 1)}%.3f path=$servePath")
     // REFINED cold: the one-time sq16 store build (sidecar read →
     // per-partition sorted runs → k-way merge), then steady-state
-    // refined latency — isolates the bench's refined_cold row. Above
-    // the gate the plan fallback reranks in sq16 mode off the sidecar
-    // TABLE (same refined answer, no resident store).
+    // refined latency — isolates the bench's refined_cold row. Past the
+    // store's OWN budget (n·(8+2·dim) > Sq16MaxBytesDefault, ~32.5M at
+    // dim 128 under the 8 GiB default — reachable only via a smaller
+    // per-deployment budget while the pool still admits)
+    // the plan fallback reranks in sq16 mode off the sidecar TABLE —
+    // same refined answer, no resident store — even while plain calls
+    // keep serving resident.
     val refinedPath =
-      if (expectPlan) "plan-fallback" else "head+pqtail-refined"
-    val nLatR = if (expectPlan) 5 else qs.length
+      if (expectPlan || !sq16Resident) "plan-fallback"
+      else "head+pqtail-refined"
+    val nLatR = if (refinedPath == "plan-fallback") 5 else qs.length
     t0 = System.nanoTime()
     val (r0, rt0) = eng.searchRowsTraced("t1", "big", Array(qs.head),
       k = 10, nprobe = 10, refine = 50)

@@ -5,10 +5,10 @@ import scala.util.Random
 import graft.SparkSpec
 
 /** The resident uint16 rerank store behind refined PQ serving: packed
-  * sorted runs, k-way merge, wave-fetched build — direct unit coverage
-  * for the pieces EngineSpec only exercises end-to-end (the Long-sum
-  * merge guard, the empty-partition wave slot, duplicate-surrogate
-  * resolution, dequant bit-exactness). */
+  * sorted runs, k-way merge into bounded SEGMENTS, wave-fetched build —
+  * direct unit coverage for the pieces EngineSpec only exercises
+  * end-to-end (segment routing, the empty-partition wave slot,
+  * duplicate-surrogate resolution, dequant bit-exactness). */
 class Sq16StoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,12 +30,15 @@ class Sq16StoreSpec extends SparkSpec {
     ref.foreach { case (id, cs) =>
       val r = store.lookup(id)
       assert(r >= 0, s"missing $id")
-      val got = (0 until dim).map(d => store.codes(r * dim + d) & 0xffff)
+      val got = (0 until dim).map(d => store.code(r, d))
       assert(got == cs, s"codes mismatch at $id")
     }
     assert(store.lookup(rows.map(_._1).max + 1) == -1)
-    // ids come out globally sorted (binary-search contract)
-    assert(store.ids.toSeq == store.ids.toSeq.sorted)
+    // global row order follows ascending id order (the sorted contract
+    // segment routing relies on)
+    val sortedIds = rows.map(_._1).sorted
+    assert(sortedIds.zipWithIndex.forall { case (id, i) =>
+      store.lookup(id) == i.toLong })
   }
 
   test("merge keeps the FIRST occurrence of a duplicate surrogate (runs ordered, then id)") {
@@ -47,22 +50,50 @@ class Sq16StoreSpec extends SparkSpec {
     val b = run(5L -> 99, 7L -> 12) // 5L duplicates run a's
     val store = Sq16Store.merge(Array(a, b), dim, -1f, 1f)
     assert(store.size == 3)
-    assert((store.codes(store.lookup(5L) * dim) & 0xffff) == 11,
+    assert(store.code(store.lookup(5L), 0) == 11,
       "first run's row must win the duplicate-surrogate tie")
   }
 
-  test("merge fails LOUDLY when total*dim exceeds the Int-indexed flat-array bound") {
-    val ids = Array.tabulate(20000)(_.toLong)
-    val codes = new Array[Short](20000 * dim)
-    val run = Sq16Store.Run(ids, codes)
-    // 120k real cells, but a dim claim that puts total*dim past
-    // Int.MaxValue must hit the Long-sum require, not a negative or
-    // wrapped allocation (the engine's residency gate is upstream of
-    // direct callers like this one)
-    val e = intercept[IllegalArgumentException] {
-      Sq16Store.merge(Array.fill(6000)(run), 200000, -1f, 1f)
+  test("segmented merge: tiny per-segment cap, lookups/dequant/size identical to flat") {
+    val rng = new Random(23)
+    val entries = (0 until 200).map(_ => (rng.nextLong(), codesOf(rng)))
+      .distinctBy(_._1)
+    // three runs with interleaved id ranges — the merge must weave them
+    val runs = entries.grouped((entries.size + 2) / 3).map(g =>
+      Sq16Store.packRun(g.iterator, dim).next()).toArray
+    val flat = Sq16Store.merge(runs, dim, -2f, 2f)
+    // rowsPerSeg 7 → ~29 segments, incl. a partial tail
+    val segd = Sq16Store.merge(runs, dim, -2f, 2f, rowsPerSeg = 7)
+    assert(segd.size == flat.size && segd.size == entries.size)
+    entries.foreach { case (id, _) =>
+      val rf = flat.lookup(id)
+      val rs = segd.lookup(id)
+      assert(rs == rf, s"global row mismatch at $id: $rs vs $rf")
+      assert(segd.dequant(rs).toSeq == flat.dequant(rf).toSeq)
     }
-    assert(e.getMessage.contains("Int-indexed"))
+    assert(segd.lookup(entries.map(_._1).max + 1) == -1)
+    // duplicate dropping across a segment boundary: re-merge with every
+    // id duplicated in a second run — size and first-win unchanged
+    val dupRuns = runs ++ runs.map(r =>
+      Sq16Store.Run(r.ids.clone(), r.codes.map(c => (c + 1).toShort)))
+    val dd = Sq16Store.merge(dupRuns, dim, -2f, 2f, rowsPerSeg = 7)
+    assert(dd.size == entries.size)
+    entries.foreach { case (id, cs) =>
+      assert(dd.code(dd.lookup(id), 0) == cs(0),
+        s"first occurrence must win at $id")
+    }
+  }
+
+  test("out-of-range rows fail loudly; byte accounting covers every segment") {
+    val run = Sq16Store.packRun(
+      (0L until 20L).iterator.map(i => (i, Array.fill(dim)(i.toInt))), dim)
+      .next()
+    val store = Sq16Store.merge(Array(run), dim, -1f, 1f, rowsPerSeg = 6)
+    intercept[IllegalArgumentException](store.dequant(20L))
+    intercept[IllegalArgumentException](store.dequant(-1L))
+    // 4 segments (6+6+6+2): ids 8 B/row + codes 2 B/cell + 64/segment + 64
+    val want = 20L * 8 + 20L * dim * 2 + 4 * 64L + 64L
+    assert(store.bytes == want, s"bytes ${store.bytes} != $want")
   }
 
   test("dequant is the documented affine map in double arithmetic") {
