@@ -674,14 +674,6 @@ class GraftEngine(spark: SparkSession, root: String,
     // other algos' tails already score exactly); the refined rows tier
     // additionally needs the resident SQ16 rerank store
     val wantRefine = refine > 0 && m.algo == "IVF_PQ"
-    // lazy: the store collect is multi-GB at 10M — it must only run once
-    // the cheaper gates below (packed-code residency, in particular)
-    // have established the rows tier can actually use it; the && chains
-    // below force it last
-    lazy val sq16Opt: Option[graft.operators.Sq16Store] =
-      if (wantRefine && m.nVectors <= RowsServeMaxRows)
-        sq16StoreOf(tenant, index, m)
-      else None
     // cheap manifest gates FIRST: a dirty-head HNSW/oversized index must
     // not pay the bounded head-read job just to fall back
     val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
@@ -691,9 +683,8 @@ class GraftEngine(spark: SparkSession, root: String,
     // float vectors never could (10M codes ≈ 240 MB packed). Gated on
     // ACTUAL residency — memoized per snapshot version; a too-big codes
     // table memoizes None once and every later call short-circuits here.
-    val algoPq = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
-      pqIndexOf(tenant, index, m).packedDriver.isDefined &&
-      (!wantRefine || sq16Opt.isDefined) // refined serving needs the store
+    val algoPqBase = m.algo == "IVF_PQ" && m.nVectors <= RowsServeMaxRows &&
+      pqIndexOf(tenant, index, m).packedDriver.isDefined
     // HNSW rows tier: graphs hold their full vectors, so residency
     // economics match IvfFlat's (bound checked before collect, memoized
     // per snapshot version — a too-big graph set memoizes None once)
@@ -706,8 +697,21 @@ class GraftEngine(spark: SparkSession, root: String,
     // [[IdPool]] — a pool past its measured-byte budgets memoizes None
     // and the call keeps the DataFrame plan (broadcast-join id resolve)
     val poolOpt: Option[IdPool] =
-      if (algoFlat || algoPq || algoHnsw) idPoolOf(tenant, index, m)
+      if (algoFlat || algoPqBase || algoHnsw) idPoolOf(tenant, index, m)
       else None
+    // the sq16 store collect is multi-GB at 10M+, so it is the LAST
+    // residency decision — only after the packed codes AND the pool's
+    // cheap byte estimate have admitted. Building it earlier could
+    // strand gigabytes in a registered store no call would ever use
+    // when the pool then denies (pool and store admissions are
+    // independent budget lines: long user ids can deny a pool whose
+    // corpus the store budget happily admits).
+    val sq16Opt: Option[graft.operators.Sq16Store] =
+      if (wantRefine && algoPqBase && poolOpt.isDefined)
+        sq16StoreOf(tenant, index, m)
+      else None
+    val algoPq = algoPqBase &&
+      (!wantRefine || sq16Opt.isDefined) // refined serving needs the store
     val algoOk = (algoFlat || algoPq || algoHnsw) && poolOpt.isDefined
     // the head path below is exact-scan; the reference's RESP serving has
     // the same shape (fresh delta head scanned per query,
@@ -1739,7 +1743,7 @@ class GraftEngine(spark: SparkSession, root: String,
             val p = graft.operators.ScalarQuant.loadParams(
               s"${snapDir(tenant, index, m)}/sq16/params.json")
             val store = graft.operators.Sq16Store.buildResident(
-              codes, dim, p.min, p.max)
+              codes, dim, p.min, p.max, estBytes = est)
             GraftEngine.registerSq16(store, store.bytes)
             (Some(store), true)
           }
@@ -1947,6 +1951,9 @@ class GraftEngine(spark: SparkSession, root: String,
           // groupBy job (~2.4 s at the 10M rung — measured as exactly
           // the residue the r8 warm-boot bench row exposed when warm
           // only touched packedDriver), centroidsLocal a small collect
+          val poolOpt =
+            if (m.nVectors <= RowsServeMaxRows) idPoolOf(tenant, index, m)
+            else None
           m.algo match {
             case "IVF_PQ" =>
               val pq = pqIndexOf(tenant, index, m)
@@ -1954,7 +1961,13 @@ class GraftEngine(spark: SparkSession, root: String,
               pq.centroidsLocal
               pq.clusterCounts
               pq.sizeStats
-              sq16StoreOf(tenant, index, m) // refined-serving store
+              // refined-serving store — warmed under the SAME gates the
+              // serving path applies (store build is the last residency
+              // decision, after codes and pool admit): a pool-denied
+              // index can never serve rows-native, so warming its store
+              // would strand the bytes against the global sq16 line
+              if (pq.packedDriver.isDefined && poolOpt.isDefined)
+                sq16StoreOf(tenant, index, m)
             case "HNSW" => hnswGraphsOf(tenant, index, m)
             case _ =>
               val tail = tailIndexOf(tenant, index, m)
@@ -1963,7 +1976,6 @@ class GraftEngine(spark: SparkSession, root: String,
               tail.clusterCounts
               tail.sizeStats
           }
-          if (m.nVectors <= RowsServeMaxRows) idPoolOf(tenant, index, m)
           ok += 1
         } else skipped += 1
       } catch {
@@ -2217,10 +2229,12 @@ class GraftEngine(spark: SparkSession, root: String,
     * broadcast semi-join instead of a resident map. Floored at 16M so
     * deliberately tiny test budgets still exercise the measured-byte
     * denial paths rather than this gate. At the 512 MB default the gate
-    * sits at ~44.7M rows; a 20M×dim128 IVF_PQ corpus (codes 320 MB,
-    * pool ~420 MB, segmented sq16 refine store 5.3 GB under its 8 GiB
-    * line) now serves RESIDENT on the plain, refined, AND filtered
-    * paths (Engine10mServeMain 20000000 measures exactly that).
+    * sits at ~44.7M rows; a 20M×dim128 IVF_PQ corpus (packed codes
+    * ~480 MB at 24 B/vec — the BINDING line on the plain path, denying
+    * at ~22.4M of its 512 MB budget; pool ~420 MB of 512 MB; segmented
+    * sq16 refine store 5.3 GB under its 8 GiB line) now serves RESIDENT
+    * on the plain, refined, AND filtered paths (Engine10mServeMain
+    * 20000000 measures exactly that).
     * (Was a scalar 16M; before that 1M when the resolver was a boxed
     * Map — the compact pool is what lets the wire serve 10M+ rungs
     * driver-side.) */

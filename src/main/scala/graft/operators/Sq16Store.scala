@@ -139,15 +139,22 @@ object Sq16Store {
   /** One partition's pre-sorted run: ids ascending + aligned flat codes. */
   final case class Run(ids: Array[Long], codes: Array[Short])
 
-  /** Pack one partition's (id, codes ARRAY<INT> in 0..65535) rows into a
-    * sorted run — executor side; emits flat primitive arrays only. */
+  /** Pack one partition's (id, codes ARRAY<INT> in 0..65535) rows into
+    * sorted runs — executor side; emits flat primitive arrays only.
+    * Partitions past [[SegMaxCodes]]/dim rows (16.7M at dim 128 — a
+    * raised `maxPartitionBytes`, an unsplittable codec, an upstream
+    * coalesce) emit MULTIPLE bounded runs instead of overflowing the
+    * Int-sized `rows·dim` code allocation: each chunk is sorted
+    * internally, which is all [[merge]] requires of a run, and chunks
+    * keep partition order so duplicate-surrogate resolution stays
+    * first-occurrence-deterministic. */
   def packRun(rows: Iterator[(Long, Array[Int])], dim: Int): Iterator[Run] = {
-    val buf = rows.toArray
-    if (buf.isEmpty) Iterator.empty
-    else {
+    val cap = math.max(1, SegMaxCodes / dim)
+    rows.grouped(cap).map { chunk =>
+      val buf = chunk.toArray
       val order = Array.range(0, buf.length).sortBy(i => buf(i)._1)
       val ids = new Array[Long](buf.length)
-      val codes = new Array[Short](buf.length * dim)
+      val codes = new Array[Short](math.multiplyExact(buf.length, dim))
       var i = 0
       while (i < buf.length) {
         val (id, c) = buf(order(i))
@@ -157,7 +164,7 @@ object Sq16Store {
         while (d < dim) { codes(i * dim + d) = c(d).toShort; d += 1 }
         i += 1
       }
-      Iterator(Run(ids, codes))
+      Run(ids, codes)
     }
   }
 
@@ -250,30 +257,41 @@ object Sq16Store {
     new Sq16Store(outIds, outCodes, dim, mn, mx)
   }
 
-  /** Partitions fetched per driver-side wave during [[buildResident]]:
-    * each wave is ONE job whose serialized results stay bounded (a
-    * multi-GB store over 32 partitions → ~100-200 MB/run → well under
-    * the default 1g `spark.driver.maxResultSize` per wave), while the
-    * scan+encode work of the wave's partitions runs in PARALLEL — a
-    * full collect() tripped maxResultSize at the 10M rung (r8,
-    * 1058 MiB) and the r8 fix (`toLocalIterator`) serialized the fetch
-    * to one partition at a time, pricing the one-time cold build at
-    * ~86 s standalone. */
+  /** Max partitions fetched per driver-side wave during
+    * [[buildResident]]: each wave is ONE job whose serialized results
+    * stay bounded, while the scan+encode work of the wave's partitions
+    * runs in PARALLEL — a full collect() tripped the default 1g
+    * `spark.driver.maxResultSize` at the 10M rung (r8, 1058 MiB) and
+    * the r8 fix (`toLocalIterator`) serialized the fetch to one
+    * partition at a time, pricing the one-time cold build at ~86 s
+    * standalone. When the caller supplies the store's estimated bytes,
+    * the wave narrows further so one wave's results stay under
+    * [[WaveResultBudgetBytes]] even for a near-budget store over few
+    * partitions (an 8 GiB-admitted store over 32 partitions is
+    * ~256 MB/run — four of those in one job is the exact r8 failure
+    * again). */
   val FetchWavePartitions: Int = 4
+
+  /** Per-wave serialized-result budget: half the default 1g
+    * `spark.driver.maxResultSize`, leaving headroom for serialization
+    * overhead and estimate error. */
+  val WaveResultBudgetBytes: Long = 512L << 20
 
   /** Collect a (id BIGINT, qvec16 ARRAY<INT>) codes table into a resident
     * store: per-partition sorted runs on the executors, k-way merge on
     * the driver. The caller decides residency from measured bytes BEFORE
-    * calling (same contract as IdPool).
+    * calling (same contract as IdPool); passing that estimate as
+    * `estBytes` lets the wave sizing bound each job's serialized
+    * results (unknown/-1 keeps the fixed [[FetchWavePartitions]]).
     *
-    * Runs are fetched in bounded-parallel WAVES of
-    * [[FetchWavePartitions]] partitions (one runJob per wave) — NOT
-    * collect(), whose single job trips `spark.driver.maxResultSize`
+    * Runs are fetched in bounded-parallel WAVES (one runJob per wave) —
+    * NOT collect(), whose single job trips `spark.driver.maxResultSize`
     * (default 1g) on a multi-GB store regardless of real driver
     * headroom, and NOT one-partition-at-a-time `toLocalIterator`, which
     * serializes the scan work behind a single in-flight task. */
   def buildResident(codesTable: DataFrame, dim: Int,
-                    mn: Float, mx: Float): Sq16Store = {
+                    mn: Float, mx: Float,
+                    estBytes: Long = -1L): Sq16Store = {
     val rdd = codesTable.select("id", "qvec16")
       .queryExecution.toRdd.mapPartitions { it =>
         packRun(it.map { r =>
@@ -283,14 +301,22 @@ object Sq16Store {
       }
     val sc = codesTable.sparkSession.sparkContext
     val nParts = rdd.getNumPartitions
-    val runs = new Array[Run](nParts)
-    (0 until nParts).grouped(FetchWavePartitions).foreach { wave =>
-      val fetched = sc.runJob(rdd, (it: Iterator[Run]) => it.toArray, wave)
-      wave.zip(fetched).foreach { case (p, rs) =>
-        runs(p) = if (rs.nonEmpty) rs.head
-                  else Run(Array.emptyLongArray, Array.empty[Short])
+    val waveSize =
+      if (estBytes <= 0 || nParts == 0) FetchWavePartitions
+      else {
+        val perPart = math.max(1L, estBytes / nParts)
+        math.max(1, math.min(FetchWavePartitions.toLong,
+          WaveResultBudgetBytes / perPart).toInt)
       }
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
+    (0 until nParts).grouped(waveSize).foreach { wave =>
+      val fetched = sc.runJob(rdd, (it: Iterator[Run]) => it.toArray, wave)
+      // partition-then-chunk order (waves are sequential, partitions
+      // in-order within a wave): duplicate surrogates stay
+      // first-occurrence-deterministic through the merge. Empty
+      // partitions emit no runs and contribute nothing.
+      fetched.foreach(runs ++= _)
     }
-    merge(runs, dim, mn, mx)
+    merge(runs.toArray, dim, mn, mx)
   }
 }

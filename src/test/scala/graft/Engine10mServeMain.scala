@@ -57,25 +57,30 @@ object Engine10mServeMain {
         r.getSeq[Float](1).toArray))
     // The serving ladder's regimes are BYTE-BUDGET boundaries, and this
     // probe computes the expected regime from `n` and the engine's own
-    // budget constants, then asserts it:
-    //  - n ≤ sq16 budget (8 GiB / (8+2·dim) B/vec ≈ 32.5M at dim 128):
-    //    everything resident — plain, refined, filtered all zero-job
-    //    (the segmented store has no array-index ceiling; the budget is
-    //    the only line).
-    //  - sq16-denied but pool-admitted (possible at dim ≳ 170 or under
-    //    per-deployment budgets; EngineSpec's sq16-budget-denial test
-    //    pins it at small scale): plain and filtered serve RESIDENT,
-    //    only refine degrades to the plan fallback, which reranks in
-    //    sq16 mode off the sidecar TABLE — same refined answer,
-    //    job-scale latency.
-    //  - past the pool budget (~24M at these ~9-char ids: est = n·12 +
-    //    Σ|id| vs the 512 MB default; the manifest pre-gate sits higher,
-    //    at idPoolMaxBytes/12 ≈ 44.7M): every call takes the documented
+    // budget constants — mirroring each admission formula the engine
+    // actually evaluates — then asserts it:
+    //  - resident tier = packed codes (n·(pqM+16) B vs 512 MB — the
+    //    BINDING line at these params, denying at ~22.4M with pqM 8)
+    //    AND the id pool (n·12 + Σ|id| vs 512 MB, ~25.6M at these
+    //    ~9-char ids; the manifest pre-gate sits higher, at
+    //    idPoolMaxBytes/12 ≈ 44.7M). Inside it, plain and filtered
+    //    serve zero-job.
+    //  - refine additionally needs the sq16 store (n·(8+2·dim) B vs
+    //    8 GiB ≈ 32.5M at dim 128 — non-binding here, so wherever
+    //    plain serves resident, refined does too; a SMALLER
+    //    per-deployment sq16 budget re-opens the split regime, which
+    //    EngineSpec's sq16-budget-denial test pins at small scale:
+    //    refined-only degrades to the plan fallback, reranking in sq16
+    //    mode off the sidecar TABLE — same answer, job-scale latency).
+    //  - past any binding line: the affected calls take the documented
     //    plan fallback (gates deny residency, the distributed plan
     //    answers, nothing crashes). Per-call plan latency is
     //    Spark-job-scale, so the sample shrinks accordingly.
-    val sq16Budget = GraftEngine.Sq16MaxBytesDefault
-    val sq16Resident = n * (8L + 2L * dim) + 64L <= sq16Budget
+    val pqM = 8 // must match the build() call above
+    val codesResident =
+      n * (pqM + 16L) <= graft.operators.IvfPq.PackedCodesMaxBytes
+    val sq16Resident =
+      n * (8L + 2L * dim) + 64L <= GraftEngine.Sq16MaxBytesDefault
     // "v" + decimal seq digits, the generator's id shape: the pool
     // estimate the engine itself computes (n·12 + Σ|id| + 32)
     val sumIdLen: Long = {
@@ -89,7 +94,7 @@ object Engine10mServeMain {
     }
     val poolResident =
       n * 12L + sumIdLen + 32L <= GraftEngine.IdPoolMaxBytesDefault
-    val expectPlan = !poolResident
+    val expectPlan = !(poolResident && codesResident)
     val servePath = if (expectPlan) "plan-fallback" else "head+pqtail"
     val nLat = if (expectPlan) 20 else qs.length
     // cold first call: codes pack + id pool build + serve, all at once

@@ -1543,6 +1543,42 @@ class EngineSpec extends SparkSpec {
       eng.searchRows("t1", "idx", Array((12L, qv)), 5, "L2", 2).nonEmpty)
   }
 
+  test("pool denial must not build or register the sq16 refine store") {
+    // the store collect is the most expensive residency decision, so it
+    // must run LAST: an engine whose id-pool budget denies every pool
+    // can never serve rows-native, and building (and permanently
+    // registering, against the JVM-global sq16 line) a store no call
+    // will use would strand its bytes for the engine's lifetime
+    val root = Files.createTempDirectory("engine_sq16order").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(83)
+    val recs = (0 until 60).map(i =>
+      (s"v$i", Seq.fill(8)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 3, algo = "IVF_PQ", pqM = 2, pqK = 16)
+    val qv = Array.fill(8)(rng.nextFloat())
+    // pool-denied engine, default sq16 budget (which WOULD admit this
+    // tiny store): the refined call must fall back WITHOUT touching the
+    // global sq16 registry
+    val denied = new GraftEngine(spark, root, idPoolMaxBytes = 16L)
+    val before = GraftEngine.sq16BytesUsed
+    val (rowsP, trP) = denied.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trP.path == "plan-fallback", trP)
+    assert(rowsP.nonEmpty)
+    assert(GraftEngine.sq16BytesUsed == before,
+      "a pool-denied refined call must not build the sq16 store")
+    // sanity: an unconstrained engine on the same root serves refined
+    // rows-native and DOES register the store
+    val free = new GraftEngine(spark, root)
+    val (rowsF, trF) = free.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trF.path == "head+pqtail-refined", trF)
+    assert(rowsF.toSeq == rowsP.toSeq,
+      "both paths must serve the same refined answer")
+    assert(GraftEngine.sq16BytesUsed > before)
+  }
+
   test("beam-filtered HNSW: new semantics flag returns reachable members the parity post-filter loses; scoped cache keys") {
     val root = Files.createTempDirectory("engine_hnswbeam").toString
     val eng = new GraftEngine(spark, root)
