@@ -1625,8 +1625,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs}"""
+    // cwd-relative default: sbt forks run from the project base dir, so
+    // this lands at the repo root here while staying runnable from any
+    // checkout (an absolute /root/... default silently lost the full
+    // artifact on any other machine)
     val fullPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+      "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
@@ -1642,8 +1646,10 @@ object Bench {
   }
 
   /** (host busy jiffies, own process jiffies incl. all threads, nanoTime).
-    * Busy = every /proc/stat cpu field except idle and iowait (steal IS
-    * busy — it is co-tenant pressure). Own = utime + stime from
+    * Busy = every /proc/stat cpu field except idle, iowait, and the
+    * guest pair (steal IS busy — it is co-tenant pressure; guest and
+    * guest_nice are already folded into user/nice per proc(5), so
+    * counting them double-counts VM time). Own = utime + stime from
     * /proc/self/stat, parsed after the last ')' so an exotic comm can't
     * shift fields. Returns zeros off-Linux → externalCpuFrac 0, the
     * channel simply never fires.
@@ -1663,7 +1669,13 @@ object Bench {
   private[graft] def hostBusyJiffies(cpuLine: String): Long = {
     val f = cpuLine.trim.split("\\s+").drop(1).map(_.toLong)
     // user nice system idle iowait irq softirq steal [guest guest_nice]
-    f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    // guest/guest_nice (8, 9) are ALREADY included in user/nice per
+    // proc(5) — summing them too double-counts VM-guest time on a
+    // virtualization host, inflating extcpu past 1.0 and spuriously
+    // tripping the storm-retry channel; exclude them with idle/iowait
+    f.zipWithIndex.collect {
+      case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+    }.sum
   }
 
   private[graft] def selfJiffies(selfLine: String): Long = {

@@ -219,7 +219,12 @@ class GraftEngine(spark: SparkSession, root: String,
     val attrs =
       try Some(Files.readAttributes(
         f, classOf[java.nio.file.attribute.BasicFileAttributes]))
-      catch { case _: java.io.IOException => None }
+      catch {
+        // ONLY absence means "never built" — mapping a transient I/O or
+        // permission error to the never-built manifest would serve
+        // index-not-found for a live index mid-storm; propagate those
+        case _: java.nio.file.NoSuchFileException => None
+      }
     attrs match {
       case None =>
         // metric = "" (unknown), NOT the case-class "L2" default: a
@@ -862,7 +867,12 @@ class GraftEngine(spark: SparkSession, root: String,
                                 store: graft.operators.Sq16Store): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, _) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
-    val kAdc = refineCutSize(k, refine) + hs.maskInTail
+    // the cut is Long-guarded, but + maskInTail can still wrap a cut
+    // near Int.MaxValue back negative — keep the whole sum guarded
+    val kAdcL = refineCutSize(k, refine).toLong + hs.maskInTail
+    require(kAdcL <= Int.MaxValue,
+      s"k*refine + head mask overflows Int: $k * $refine + ${hs.maskInTail}")
+    val kAdc = kAdcL.toInt
     val adc = graft.operators.IvfPq.searchLocalRowsPath(pqIdx, tq, kAdc,
       nprobe, spark, mtBound = pqServeMaxLookupsMT)
     val byQuery = adc.groupBy(_._1)
@@ -1754,6 +1764,17 @@ class GraftEngine(spark: SparkSession, root: String,
                               m: Manifest): Boolean =
     Files.isDirectory(
       Paths.get(s"${snapDir(tenant, index, m)}/sq16/codes"))
+
+  /** Refine-store choice for PLAN-path refined calls (the wire's
+    * WITH_META branch and any other direct [[search]] caller that wants
+    * tier parity): "sq16" when the snapshot carries the sidecar — the
+    * same dequantized floats the rows tier reranks with — else "exact"
+    * (pre-sidecar snapshots). Mirrors [[searchRowsTraced]]'s fallback. */
+  private[graft] def refineStoreFor(tenant: String, index: String): String = {
+    val m = manifest(tenant, index)
+    if (m.algo == "IVF_PQ" && sq16TableExists(tenant, index, m)) "sq16"
+    else "exact"
+  }
 
   // tag → sorted surrogate-id array for the FILTERED rows serving tier
   // (the reference keeps per-record tags in the same process heap it

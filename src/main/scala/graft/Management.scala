@@ -139,7 +139,12 @@ class Management(spark: SparkSession, val root: String) {
       try Files.readAttributes(
         f, classOf[java.nio.file.attribute.BasicFileAttributes])
       catch {
-        case _: java.io.IOException =>
+        // ONLY absence means "no such tenant" — a transient I/O or
+        // permission error reported as a missing tenant would hand the
+        // client a wrong, actionable-looking answer during the exact
+        // disk storms this memo exists to ride out; let those propagate
+        // as the internal errors they are
+        case _: java.nio.file.NoSuchFileException =>
           throw new IllegalArgumentException(s"no such tenant: $tenantId")
       }
     val hit = quotaMemo.get(tenantId)

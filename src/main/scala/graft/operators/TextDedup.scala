@@ -613,8 +613,14 @@ object TextDedup {
         val n = verified.count()
         // release everything the fused pipeline would have released at
         // its one materialization — later stages must not run under
-        // cache pressure the real pipeline never sees
+        // cache pressure the real pipeline never sees. The star edges'
+        // localCheckpoint blocks are only reclaimed when the DataFrame
+        // is GC'd (ContextCleaner), so drop the reference and nudge —
+        // otherwise the components stage runs with the full edge-set
+        // checkpoint still resident, skewing its measurement
         docShingles.unpersist()
+        star = null
+        System.gc()
         n
       }),
       ("components", () => {

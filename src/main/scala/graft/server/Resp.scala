@@ -528,14 +528,27 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       val metric = if (m.metric.isEmpty) "L2" else m.metric
       val t0 = System.nanoTime()
       if (r.withMeta) {
-        // hydration rides the DataFrame plan (head meta wins, F4/F5)
+        // beam is a rows-tier semantics flag; the hydration plan below
+        // has no beam hook — reject rather than silently serving the
+        // post-filter parity shape (same fail-loudly contract as the
+        // algo checks above)
+        if (r.hnswBeam) {
+          writeError(out,
+            "ERR FILTER_MODE beam does not support WITH_META."); return
+        }
+        // hydration rides the DataFrame plan (head meta wins, F4/F5);
+        // REFINE rides the plan's own refine branch in sq16 mode — the
+        // same dequantized floats the rows tier reranks with, so a
+        // refined WITH_META reply ranks identically to the refined
+        // wire reply (previously the flag was silently dropped here)
         import spark.implicits._
         val base = Seq((queryIds.getAndIncrement(), r.vector.toSeq))
           .toDF("query_id", "qvec")
         val qDf = if (r.filterTags.isEmpty) base
           else base.withColumn("filter_tags", typedLit(r.filterTags))
         val rows = engine.search(r.tenant, r.index, qDf, r.k, metric,
-            withMeta = true).collect()
+            withMeta = true, refine = r.refine,
+            refineStore = engine.refineStoreFor(r.tenant, r.index)).collect()
         val hits = rows.map(row => (row.getString(2), row.getDouble(3),
           Option(row.getString(4))))
         if (r.trace) writeArrayHeader(out, 2)

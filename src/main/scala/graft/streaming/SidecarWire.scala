@@ -97,10 +97,18 @@ object SidecarWire {
     require(at >= 0, s"frame row missing contract field '$name': $json")
     var i = at + k.length
     if (json.charAt(i) == '"') {
+      // escape-aware scan: a lookbehind on charAt(i-1) == '\\' misreads
+      // a value ENDING in an escaped backslash ("a\\") — the backslash
+      // before the closing quote is itself escaped, so the quote
+      // terminates; consume escape PAIRS instead of peeking back
       val sb = new StringBuilder
       i += 1
-      while (json.charAt(i) != '"' || json.charAt(i - 1) == '\\') {
-        sb.append(json.charAt(i)); i += 1
+      var done = false
+      while (!done) {
+        val c = json.charAt(i)
+        if (c == '\\') { sb.append(c).append(json.charAt(i + 1)); i += 2 }
+        else if (c == '"') done = true
+        else { sb.append(c); i += 1 }
       }
       unesc(sb.toString)
     } else {
@@ -231,7 +239,15 @@ object SidecarWire {
           val t = new Thread(() => serve(sock), "graft-sidecar-wire-conn")
           t.setDaemon(true)
           t.start()
-        } catch { case NonFatal(_) if !running => case NonFatal(_) => }
+        } catch {
+          case NonFatal(_) if !running => // close() raced accept(): done
+          case NonFatal(e) =>
+            // a PERSISTENT accept failure (fd exhaustion, socket error
+            // state) must not hot-loop a daemon thread at 100% CPU on
+            // the serving driver — back off briefly before retrying
+            System.err.println(s"[sidecar-wire] accept failed: ${e.getMessage}")
+            try Thread.sleep(100) catch { case _: InterruptedException => }
+        }
       }
     }, "graft-sidecar-wire-accept")
     acceptor.setDaemon(true)

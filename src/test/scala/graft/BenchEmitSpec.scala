@@ -85,10 +85,12 @@ class BenchEmitSpec extends AnyFunSuite {
 
   // ---- external-CPU attribution channel ---------------------------
 
-  test("hostBusyJiffies sums every field but idle and iowait") {
-    // user nice system idle iowait irq softirq steal guest guest_nice
+  test("hostBusyJiffies sums busy fields, excluding idle/iowait AND guest/guest_nice") {
+    // user nice system idle iowait irq softirq steal guest guest_nice —
+    // guest fields are already folded into user/nice per proc(5), so
+    // counting them would double-count VM-guest time on a virt host
     val line = "cpu  100 2 30 9999 500 4 6 8 1 1"
-    assert(Bench.hostBusyJiffies(line) == 100 + 2 + 30 + 4 + 6 + 8 + 1 + 1)
+    assert(Bench.hostBusyJiffies(line) == 100 + 2 + 30 + 4 + 6 + 8)
     // older kernels: no guest fields
     assert(Bench.hostBusyJiffies("cpu 10 0 5 1000 20 1 2 3") == 21)
   }

@@ -243,6 +243,18 @@ class RespServerSpec extends SparkSpec {
           assert(ids == Vector("r0", "r1", "r2", "r3"))
         case other => fail(s"expected hits array, got $other")
       }
+      // REFINE + WITH_META: the hydration plan honors the refine flag
+      // (it was silently dropped — review finding): under the selective
+      // filter the members must come back refined AND hydrated, same
+      // cut as the wire reply above
+      c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "4", "VECTOR",
+        "[0.05,0.05,0.05,0.05]", "REFINE", "2",
+        "FILTER", "rare", "WITH_META") match {
+        case Arr(hits) =>
+          val ids = hits.map { case Arr(Bulk(id) +: _) => id }.sorted
+          assert(ids == Vector("r0", "r1", "r2", "r3"))
+        case other => fail(s"expected hydrated refined hits, got $other")
+      }
       // malformed REFINE is rejected at parse
       c.cmd("VEC.SEARCH", "refpq", "idx", "TOPK", "1", "VECTOR",
         "[0,0,0,0]", "REFINE", "-3") match {
@@ -281,6 +293,30 @@ class RespServerSpec extends SparkSpec {
         "[0.1,0.1,0.1,0.1]") match {
         case Arr(hits) => assert(hits.length == 2)
         case other => fail(s"expected hits array, got $other")
+      }
+    }
+  }
+
+  test("FILTER_MODE beam + WITH_META is rejected, not silently post-filtered") {
+    // the hydration plan has no beam hook: serving it anyway would hand
+    // the client post-filter parity semantics under a beam flag (review
+    // finding — the WITH_META branch previously dropped the flag)
+    val rows = (0 until 8).map(i =>
+      (s"h$i", Seq.fill(4)(i * 0.1f), null: String, Seq("t")))
+    eng.add(records("beammeta", "idx", rows))
+    eng.build("beammeta", "idx", nlist = 1, algo = "HNSW")
+    withClient { c =>
+      c.cmd("VEC.SEARCH", "beammeta", "idx", "TOPK", "2", "VECTOR",
+        "[0.1,0.1,0.1,0.1]", "FILTER", "t", "FILTER_MODE", "beam",
+        "WITH_META") match {
+        case Err(m) => assert(m.contains("WITH_META"))
+        case other => fail(s"expected beam+WITH_META error, got $other")
+      }
+      // beam WITHOUT meta serves on the same index
+      c.cmd("VEC.SEARCH", "beammeta", "idx", "TOPK", "2", "VECTOR",
+        "[0.1,0.1,0.1,0.1]", "FILTER", "t", "FILTER_MODE", "beam") match {
+        case Arr(hits) => assert(hits.length == 2)
+        case other => fail(s"expected beam hits, got $other")
       }
     }
   }

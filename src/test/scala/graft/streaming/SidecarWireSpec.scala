@@ -31,11 +31,17 @@ class SidecarWireSpec extends SparkSpec {
   test("codec roundtrip, including escapes in tenant names") {
     val ms = Seq(
       MetricsRow("t0", 7L, 100L, 80L),
-      MetricsRow("we\"ird\\ten\nant", 7L, 5L, 0L))
+      MetricsRow("we\"ird\\ten\nant", 7L, 5L, 0L),
+      // value ENDING in a backslash: a lookbehind scanner misreads the
+      // escaped backslash before the closing quote and runs past it,
+      // corrupting the row (review finding) — pin the escape-pair scan
+      MetricsRow("trailing\\", 9L, 1L, 1L),
+      MetricsRow("\\", 10L, 2L, 0L))
     assert(SidecarWire.decodeMetrics(SidecarWire.encodeMetrics(ms)) == ms)
     val ps = Seq(
       PolicyRow("t0", 7L, 300, 0.05, "aggressive"),
-      PolicyRow("a\\b\"c", 8L, 60, 0.15, "nor\"mal"))
+      PolicyRow("a\\b\"c", 8L, 60, 0.15, "nor\"mal"),
+      PolicyRow("t1", 9L, 60, 0.15, "ends\\"))
     assert(SidecarWire.decodePolicies(SidecarWire.encodePolicies(ps)) == ps)
     assert(SidecarWire.decodeMetrics(Array.empty[Byte]).isEmpty)
   }
