@@ -44,6 +44,13 @@ object Resp {
     }
   }
 
+  /** Bulk-payload bound: a dim-4096 vector in text form is ~50 KB and
+    * metadata JSON is KBs, so 16 MB is far past any legitimate request
+    * — while an UNbounded `$<len>` header lets one pre-auth connection
+    * allocate up to 2 GB on the driver JVM per bulk (×256 connections =
+    * an OOM of the process hosting the resident serving tiers). */
+  private val MaxBulkBytes = 16 << 20
+
   private def readBulk(in: InputStream): String = {
     val t = in.read()
     if (t == -1) throw new EOFException("EOF inside command")
@@ -51,6 +58,9 @@ object Resp {
       throw new ProtocolException(s"expected bulk string, got '${t.toChar}'")
     val len = readLine(in).toInt
     if (len < 0) throw new ProtocolException("null bulk in request")
+    if (len > MaxBulkBytes)
+      throw new ProtocolException(
+        s"bulk payload $len B exceeds bound $MaxBulkBytes")
     val buf = new Array[Byte](len)
     var off = 0
     while (off < len) {
@@ -67,6 +77,11 @@ object Resp {
     var c = in.read()
     while (c != '\r') {
       if (c == -1) throw new EOFException("EOF inside line")
+      // same driver-protection bound as readBulk: an inline command (or
+      // a length header) that never sends \r must not grow a buffer
+      // without limit on a pre-auth connection
+      if (sb.length >= MaxBulkBytes)
+        throw new ProtocolException(s"line exceeds bound $MaxBulkBytes")
       sb.append(c.toChar)
       c = in.read()
     }
@@ -274,7 +289,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
           case None => live = false
           case Some(cmd) if cmd.isEmpty => // ignore blank inline line
           case Some(cmd) =>
-            cmd.head.toUpperCase match {
+            cmd.head.toUpperCase(java.util.Locale.ROOT) match {
               case "PING" => writeSimple(out, "PONG")
               case "QUIT" => writeSimple(out, "OK"); live = false
               case "AUTH" =>
@@ -286,7 +301,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
               case "VEC.UPSERT" => handleWrite(cmd.tail, add = false, sessionTenant, out)
               case "VEC.DEL" => handleDelete(cmd.tail, sessionTenant, out)
               case "VEC.SEARCH" => handleSearch(cmd.tail, sessionTenant, out)
-              case "VEC.STATS" => handleStats(cmd.tail, out)
+              case "VEC.STATS" => handleStats(cmd.tail, sessionTenant, out)
               case other => writeError(out, s"ERR unknown command '$other'")
             }
             out.flush()
@@ -332,10 +347,15 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
   private def parseTags(v: String): Seq[String] = {
     val t = v.trim
     if (t.isEmpty) Nil
-    else if (t.startsWith("["))
-      t.substring(1, t.lastIndexOf(']').max(1)).split(",").toSeq
+    else if (t.startsWith("[")) {
+      // reject an unterminated list instead of silently parsing Nil —
+      // a dropped FILTER serves UNfiltered results the caller believes
+      // are filtered, and a dropped TAGS writes rows invisible to every
+      // future filtered search (parseVector already requires the ']')
+      require(t.endsWith("]"), "unterminated JSON tag list")
+      t.substring(1, t.length - 1).split(",").toSeq
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    else t.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    } else t.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   private case class WriteReq(tenant: String, index: String, id: String,
@@ -353,7 +373,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     var apiKey: Option[String] = None
     var i = 5
     while (i < args.length) {
-      args(i).toUpperCase match {
+      args(i).toUpperCase(java.util.Locale.ROOT) match {
         case "META" =>
           require(i + 1 < args.length, "META requires a JSON payload.")
           meta = Some(args(i + 1)); i += 2
@@ -383,6 +403,13 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       if (quotaExceeded(r.tenant)) {
         writeError(out, s"$ErrQuota Tenant quota exceeded."); return
       }
+      // declared-dim gate on WRITES, not just searches: a wrong-dim
+      // vector acknowledged with +VEC_OK lands in the record log and
+      // poisons later builds/scans — the reference rejects it at the
+      // write (VectorCommandSet.cs:607-615)
+      if (mgmt.indexConfig(r.tenant, r.index).exists(_.dim != r.vector.length)) {
+        writeError(out, s"$ErrDim Vector dimension mismatch."); return
+      }
       import spark.implicits._
       val df = Seq((r.tenant, r.index, r.id, r.vector.toSeq,
           r.meta.orNull, r.tags, System.currentTimeMillis()))
@@ -403,7 +430,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       var apiKey: Option[String] = None
       var i = 3
       while (i < args.length) {
-        args(i).toUpperCase match {
+        args(i).toUpperCase(java.util.Locale.ROOT) match {
           case "API_KEY" =>
             require(i + 1 < args.length, "API_KEY requires a value.")
             apiKey = Some(args(i + 1)); i += 2
@@ -412,6 +439,12 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       }
       if (!authorized(tenant, apiKey, sessionTenant)) {
         writeError(out, s"$ErrAuth Unauthorized."); return
+      }
+      // deletes are metered like writes/searches: each one appends a
+      // tombstone and bumps the epoch (a cache invalidation), so an
+      // unmetered DEL loop defeats the QPS quota the other verbs enforce
+      if (quotaExceeded(tenant)) {
+        writeError(out, s"$ErrQuota Tenant quota exceeded."); return
       }
       if (!indexKnown(tenant, index)) {
         writeError(out, s"$ErrNotFound Index not found."); return
@@ -449,7 +482,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     var hnswBeam = false
     var i = 6
     while (i < args.length) {
-      args(i).toUpperCase match {
+      args(i).toUpperCase(java.util.Locale.ROOT) match {
         case "FILTER" =>
           require(i + 1 < args.length, "FILTER requires tag list.")
           filterTags = parseTags(args(i + 1)); i += 2
@@ -483,7 +516,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
           // fetch-k*10-then-filter parity shape) or "beam"
           // (filter-during-beam: k members whenever reachable)
           require(i + 1 < args.length, "FILTER_MODE requires a value.")
-          args(i + 1).toLowerCase match {
+          args(i + 1).toLowerCase(java.util.Locale.ROOT) match {
             case "beam" => hnswBeam = true
             case "post" => hnswBeam = false
             case other => throw new IllegalArgumentException(
@@ -590,16 +623,50 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
       case NonFatal(e) => writeKnown(out, e)
     }
 
-  private def traceJson(requestId: Option[String], cacheHit: Boolean,
-                        info: String, latencyMs: Double): String = {
-    val rid = requestId.map(r => s""""requestId": "$r", """).getOrElse("")
-    f"""{$rid"cacheHit": $cacheHit, "info": "$info", "latencyMs": $latencyMs%.3f}"""
+  /** Minimal JSON string escape for client-echoed values — a quote or
+    * backslash in a REQUEST_ID otherwise makes the trace blob
+    * unparseable for the very client that sent it. */
+  private def escJson(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
-  private def handleStats(args: Seq[String], out: OutputStream): Unit =
+  private def traceJson(requestId: Option[String], cacheHit: Boolean,
+                        info: String, latencyMs: Double): String = {
+    val rid = requestId
+      .map(r => s""""requestId": "${escJson(r)}", """).getOrElse("")
+    f"""{$rid"cacheHit": $cacheHit, "info": "${escJson(info)}", "latencyMs": $latencyMs%.3f}"""
+  }
+
+  private def handleStats(args: Seq[String], sessionTenant: Option[String],
+                          out: OutputStream): Unit =
     try {
       require(args.length >= 2, "Expected 2 arguments: tenant index.")
-      writeBulk(out, engine.statsText(args(0), args(1)))
+      val Seq(tenant, index) = args.take(2)
+      var apiKey: Option[String] = None
+      var i = 2
+      while (i < args.length) {
+        args(i).toUpperCase(java.util.Locale.ROOT) match {
+          case "API_KEY" =>
+            require(i + 1 < args.length, "API_KEY requires a value.")
+            apiKey = Some(args(i + 1)); i += 2
+          case other => throw new IllegalArgumentException(s"Unknown token '$other'.")
+        }
+      }
+      // metrics are tenant data: the HTTP plane's GET /v1/metrics
+      // requires the tenant's key, so the RESP form must too — an
+      // unauthenticated VEC.STATS was cross-tenant disclosure on a
+      // plane whose other tenant verbs all authorize
+      if (!authorized(tenant, apiKey, sessionTenant)) {
+        writeError(out, s"$ErrAuth Unauthorized."); return
+      }
+      writeBulk(out, engine.statsText(tenant, index))
     } catch {
       case NonFatal(e) => writeKnown(out, e)
     }
@@ -608,7 +675,7 @@ final class RespServer(engine: GraftEngine, mgmt: Management,
     * (VectorCommandSet.cs:837-847 + write-path literals cs:607-615). */
   private def writeKnown(out: OutputStream, e: Throwable): Unit = {
     val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-    if (msg.toLowerCase.contains("dimension"))
+    if (msg.toLowerCase(java.util.Locale.ROOT).contains("dimension"))
       writeError(out, s"$ErrDim Vector dimension mismatch.")
     else if (msg.contains("already exists"))
       writeError(out, "ERR Vector already exists.")

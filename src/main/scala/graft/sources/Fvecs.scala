@@ -24,7 +24,10 @@ object Fvecs {
       override def hasNext: Boolean = i < limit && buf.remaining() >= 4
       override def next(): (Long, Seq[Float]) = {
         val dim = buf.getInt()
-        require(dim > 0 && buf.remaining() >= dim * 4,
+        // dim.toLong: a corrupt header near 2^29 overflows `dim * 4`
+        // NEGATIVE, making the remaining() check vacuously true and the
+        // guard's loud error an OOM on a 2 GB allocation instead
+        require(dim > 0 && buf.remaining() >= dim.toLong * 4,
           s"corrupt fvecs record at index $i: dim=$dim remaining=${buf.remaining()}")
         val v = new Array[Float](dim)
         var j = 0

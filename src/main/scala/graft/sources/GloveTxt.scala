@@ -18,8 +18,12 @@ object GloveTxt {
   def read(spark: SparkSession, path: String, dim: Int,
            skipInvalid: Boolean = true): DataFrame = {
     val lines = spark.read.text(path)
+      // blank-line drop must happen BEFORE split: splitting "" yields
+      // [""] (size 1), so a size-based filter after the split never
+      // fires and a blank line reaches strict mode as a phantom
+      // invalid record with an empty token
+      .filter(length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("parts"))
-      .filter(size(col("parts")) > 0)
     val shaped = lines
       .select(
         col("parts").getItem(0).as("token"),

@@ -396,6 +396,37 @@ class RespServerSpec extends SparkSpec {
           assert(id == "a")
         case other => fail(s"expected hits, got $other")
       }
+      // the WRITE path applies the same gate (review finding: a
+      // wrong-dim ADD was acknowledged +VEC_OK and poisoned the log)
+      c.cmd("VEC.ADD", "cfg", "cidx", "bad", "VECTOR", "[1.0,2.0]") match {
+        case Err(m) => assert(m.startsWith("VEC_ERR_DIM"))
+        case other => fail(s"expected write dim error, got $other")
+      }
+      c.cmd("VEC.ADD", "cfg", "cidx", "ok3", "VECTOR", "[1.0,2.0,3.0]") match {
+        case Simple(s) => assert(s == "VEC_OK")
+        case other => fail(s"expected VEC_OK, got $other")
+      }
+      // malformed FILTER list is rejected, not silently unfiltered
+      c.cmd("VEC.SEARCH", "cfg", "cidx", "TOPK", "1", "VECTOR",
+        "[0.9,0.1,0]", "FILTER", "[red") match {
+        case Err(m) => assert(m.toLowerCase.contains("unterminated"))
+        case other => fail(s"expected tag parse error, got $other")
+      }
+    }
+  }
+
+  test("VEC.STATS on a keyed tenant requires auth like every other tenant verb") {
+    mgmt.createTenant("statsec", TenantQuota(), apiKeyHash = sha256Hex("sk"))
+    eng.add(records("statsec", "idx", Seq(("a", Seq(1f, 0f, 0f, 0f), null, Nil))))
+    withClient { c =>
+      c.cmd("VEC.STATS", "statsec", "idx") match {
+        case Err(m) => assert(m.startsWith("VEC_ERR_AUTH"))
+        case other => fail(s"expected auth error, got $other")
+      }
+      c.cmd("VEC.STATS", "statsec", "idx", "API_KEY", "sk") match {
+        case Bulk(text) => assert(text.nonEmpty)
+        case other => fail(s"expected stats text, got $other")
+      }
     }
   }
 

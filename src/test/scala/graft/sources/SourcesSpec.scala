@@ -25,6 +25,11 @@ class SourcesSpec extends SparkSpec {
     assert(limited.size == 2)
     val corrupt = Array[Byte](9, 0, 0, 0, 1, 2) // dim=9 but 2 bytes of data
     intercept[IllegalArgumentException] { Fvecs.decode(corrupt).toSeq }
+    // a header whose dim*4 overflows Int (dim = 2^29 → dim*4 = Int.Min)
+    // must hit the SAME loud guard, not attempt a 2 GB allocation
+    // (review finding: the old `dim * 4` comparison was vacuously true)
+    val overflow = Array[Byte](0, 0, 0, 0x20, 1, 2, 3, 4) // LE dim=0x20000000
+    intercept[IllegalArgumentException] { Fvecs.decode(overflow).toSeq }
   }
 
   test("glove txt reader parses and skips invalid lines (GloveTxtReader.cs:13-50)") {
@@ -35,6 +40,19 @@ class SourcesSpec extends SparkSpec {
       .orderBy("token").as[(String, Seq[Float])].collect()
     assert(got.map(_._1).toSeq == Seq("hello", "world"))
     assert(got.head._2 == Seq(0.1f, 0.2f, 0.3f))
+  }
+
+  test("glove txt: blank lines are dropped, not phantom invalid records in strict mode") {
+    // split("") yields [""] (size 1), so the old post-split size filter
+    // never dropped blank lines and strict mode errored on the blank
+    // (review finding); the drop now happens before the split
+    val dir = Files.createTempDirectory("glove_blank")
+    Files.writeString(dir.resolve("emb.txt"),
+      "hello 0.1 0.2 0.3\n\nworld -1.0 2.0 0.5\n   \n")
+    val strict = GloveTxt.read(spark, dir.toString + "/emb.txt", dim = 3,
+      skipInvalid = false).orderBy("token")
+      .as[(String, Seq[Float])].collect()
+    assert(strict.map(_._1).toSeq == Seq("hello", "world"))
   }
 
   test("vector payload: JSON, CSV, and binary decode agree (VectorParsing.cs:12-35)") {
