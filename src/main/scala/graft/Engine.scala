@@ -445,7 +445,7 @@ class GraftEngine(spark: SparkSession, root: String,
     val nVectors = wmRow.getLong(1)
     val keyed = vecs.withColumn("id_str", col("id"))
       .select(xxhash64(col("id")).as("id"), col("vec"), col("id_str"))
-    val algoU = algo.toUpperCase
+    val algoU = algo.toUpperCase(java.util.Locale.ROOT)
     val m0 = manifest(tenant, index)
     // whole snapshot lands in a fresh versioned dir; nothing below is
     // visible to readers until the manifest swap at the end
@@ -474,7 +474,7 @@ class GraftEngine(spark: SparkSession, root: String,
         // 163-199 comments). Only the coded tail is normalized; `records`
         // keeps raw vectors (hydration/export and the exact rerank, which
         // scores cosine directly — normalization-invariant).
-        val metricU = metric.toUpperCase
+        val metricU = metric.toUpperCase(java.util.Locale.ROOT)
         require(metricU == "L2" || metricU == "COSINE" || metricU == "IP",
           s"IVF_PQ tails are L2-trained (COSINE via unit normalization, " +
             s"IP via MIPS augmentation); cannot build with metric=$metric")
@@ -572,7 +572,7 @@ class GraftEngine(spark: SparkSession, root: String,
       val mNow = manifest(tenant, index)
       writeManifest(tenant, index,
         Manifest(mNow.epoch + 1, watermark, algoU, nVectors, newVersion,
-          metric.toUpperCase,
+          metric.toUpperCase(java.util.Locale.ROOT),
           headDirty = if (mNow.epoch != m0.epoch) 1 else 0))
     }
     // keep the previous snapshot too: lazy frames returned by search()
@@ -674,7 +674,7 @@ class GraftEngine(spark: SparkSession, root: String,
     require(queries.map(_._1).distinct.length == queries.length,
       "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     // `refine` is an IVF_PQ semantic (the plan ignores it elsewhere —
     // other algos' tails already score exactly); the refined rows tier
     // additionally needs the resident SQ16 rerank store
@@ -999,7 +999,7 @@ class GraftEngine(spark: SparkSession, root: String,
     require(queries.map(_._1).distinct.length == queries.length,
       "searchRows batch contains duplicate query_ids")
     val m = manifest(tenant, index)
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     val algoFlat = (m.algo == "IVF_FLAT" || m.algo == "FLAT") &&
       m.nVectors <= RowsServeMaxRows
     // filtered PQ serving piggybacks the resident byte-code tier (the
@@ -1862,9 +1862,10 @@ class GraftEngine(spark: SparkSession, root: String,
       // heap unboundedly and starve future id pools. Per-handle denial
       // memoizes None (null to the kernels) and the scan keeps the
       // sorted-array binary search — slower, never wrong.
-      var cap = 16L
-      while (cap < sorted.length.toLong * 2L) cap <<= 1
-      val est = cap * 8L + 32L
+      // shared estimator: a hand-copied capacity formula here would
+      // silently diverge from the bytes the built set registers if the
+      // set's load factor or header ever changed
+      val est = graft.operators.LongHashSet.estimateBytes(sorted.length)
       if (est > idPoolMaxBytes) (None, true)
       else if (GraftEngine.idPoolBytesUsed + est >
           GraftEngine.IdPoolGlobalMaxBytes) (None, false)
@@ -2526,7 +2527,7 @@ class GraftEngine(spark: SparkSession, root: String,
     // rows). Tie-break identical: highest score, then lowest cluster_id
     // (centroids iterate in ascending-cid order).
     val bcCents = spark.sparkContext.broadcast(l2CentroidsLocal(tenant, index, m))
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     val bestU = udf { (qv: Seq[Float]) =>
       val arr = qv.toArray
       var bcid = -1; var bs = Double.NegativeInfinity
@@ -3304,7 +3305,7 @@ class GraftEngine(spark: SparkSession, root: String,
     val tTrace0 = System.nanoTime()
     import graft.operators.Caching
     val m = manifest(tenant, index)
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     // beam-filtered HNSW is only a different ANSWER when a filter is on
     val beam = hnswBeam && tags.nonEmpty && m.algo == "HNSW"
     // refined / beam-filtered answers live under their OWN key space:

@@ -283,14 +283,14 @@ class Management(spark: SparkSession, val root: String) {
     authorize(tenantId, actingUser, "admin")
     requireName(tenantId, "tenant id"); requireName(indexName, "index name")
     require(cfg.dim > 0, s"dim must be positive: ${cfg.dim}")
-    require(Set("L2", "IP", "COSINE")(cfg.metric.toUpperCase),
+    require(Set("L2", "IP", "COSINE")(cfg.metric.toUpperCase(java.util.Locale.ROOT)),
       s"unknown metric: ${cfg.metric}")
-    require(Set("FLAT", "IVF_FLAT", "IVF_PQ", "HNSW")(cfg.algo.toUpperCase),
+    require(Set("FLAT", "IVF_FLAT", "IVF_PQ", "HNSW")(cfg.algo.toUpperCase(java.util.Locale.ROOT)),
       s"unknown algo: ${cfg.algo}")
     require(!Files.exists(indexFile(tenantId, indexName)),
       s"index already exists: $tenantId/$indexName")
     writeJson(indexFile(tenantId, indexName),
-      s"""{"dim": ${cfg.dim}, "metric": "${cfg.metric.toUpperCase}", "algo": "${cfg.algo.toUpperCase}", "nlist": ${cfg.nlist}, "pqM": ${cfg.pqM}, "pqK": ${cfg.pqK}}""")
+      s"""{"dim": ${cfg.dim}, "metric": "${cfg.metric.toUpperCase(java.util.Locale.ROOT)}", "algo": "${cfg.algo.toUpperCase(java.util.Locale.ROOT)}", "nlist": ${cfg.nlist}, "pqM": ${cfg.pqM}, "pqK": ${cfg.pqK}}""")
   }
 
   def indexConfig(tenantId: String, indexName: String): Option[DeclaredIndex] = {

@@ -16,6 +16,17 @@ import org.apache.spark.sql.types._
   *
   * Inputs must already be `ARRAY<FLOAT>`; the Column wrappers in
   * [[graft.functions]] insert casts, so no implicit type coercion is needed.
+  *
+  * Element-null PRECONDITION (documented, deliberately unchecked): the
+  * kernels read primitive float slots, so a null ELEMENT scores as 0.0
+  * rather than propagating null. Rejecting `containsNull = true`
+  * schemas is not an option — parquet-read vector columns are declared
+  * nullable even when no null ever occurs — and a per-element null
+  * branch would put a test in the hottest loop of every scan for a
+  * shape the ingest paths (wire parse, payload decode, fvecs) cannot
+  * produce. Library callers constructing vectors with null elements
+  * own that contract (NULL whole-vector inputs DO propagate — the
+  * expressions are null-safe at the value level).
   */
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -40,7 +40,12 @@ object VectorSimHash {
   }
 
   def simhashCol(vec: Column, seed: Long = 42L): Column =
-    udf((v: Seq[Float]) => simhash64(v, seed)).apply(vec)
+    // null propagates as SQL NULL (a boxed-null Long return) instead of
+    // NPE-ing the task — the native expressions are nullSafeEval and
+    // the UDF form must match
+    udf((v: Seq[Float]) =>
+      if (v == null) null
+      else java.lang.Long.valueOf(simhash64(v, seed))).apply(vec)
 
   def hamming(a: Long, b: Long): Int = StableHash.popcount(a ^ b)
 }

@@ -34,17 +34,20 @@ package object functions {
   private lazy val unitUdf = {
     import org.apache.spark.sql.functions.udf
     udf { (v: Seq[Float]) =>
-      val a = floatArray(v)
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
-      if (s == 0) v
+      if (v == null) null // NULL in → NULL out, like the native exprs
       else {
-        val n = math.sqrt(s)
-        val out = new Array[Float](a.length)
-        i = 0
-        while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+        val a = floatArray(v)
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+        if (s == 0) v
+        else {
+          val n = math.sqrt(s)
+          val out = new Array[Float](a.length)
+          i = 0
+          while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+        }
       }
     }
   }
@@ -65,17 +68,20 @@ package object functions {
   private lazy val mipsAugmentUdf = {
     import org.apache.spark.sql.functions.udf
     udf { (v: Seq[Float], maxSq: Double, targetLen: Int) =>
-      val a = floatArray(v)
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
-      val out = new Array[Float](math.max(targetLen, a.length + 1))
-      System.arraycopy(a, 0, out, 0, a.length)
-      out(a.length) = math.sqrt(math.max(0.0, maxSq - s)).toFloat
-      // positions past a.length + 1 stay 0f: zero pads keep every L2
-      // distance and dot product unchanged while restoring the PQ
-      // subspace divisibility (dim+1 is rarely divisible by M)
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      if (v == null) null
+      else {
+        val a = floatArray(v)
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+        val out = new Array[Float](math.max(targetLen, a.length + 1))
+        System.arraycopy(a, 0, out, 0, a.length)
+        out(a.length) = math.sqrt(math.max(0.0, maxSq - s)).toFloat
+        // positions past a.length + 1 stay 0f: zero pads keep every L2
+        // distance and dot product unchanged while restoring the PQ
+        // subspace divisibility (dim+1 is rarely divisible by M)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
     }
   }
 
@@ -85,7 +91,7 @@ package object functions {
   /** Metric-aware score, uniformly "higher is better"
     * (L2 → -distance², InnerProduct → dot, Cosine → cosine). */
   def vector_score(metric: String, query: Column, v: Column): Column =
-    metric.toUpperCase match {
+    metric.toUpperCase(java.util.Locale.ROOT) match {
       case "L2"                  => -vector_l2sq(query, v)
       case "IP" | "INNERPRODUCT" => vector_dot(query, v)
       case "COSINE"              => vector_cosine(query, v)

@@ -59,6 +59,10 @@ object Components {
       e.join(e.select(col("src").as("dst")), Seq("dst"), "left_semi").isEmpty
     var round = 0
     while (!isStarForest(edges) && round < maxRounds) {
+      // each round's localCheckpoint blocks become unreachable on this
+      // reassignment and ContextCleaner reclaims them at the next GC —
+      // intra-call retention is bounded by GC cadence (edge sets after
+      // the dedup verify are ~tens of MB per round), not by round count
       edges = smallStar(largeStar(edges))
       round += 1
     }

@@ -36,7 +36,7 @@ object Hnsw {
     private val mL = 1.0 / math.log(m.toDouble)
 
     /** "distance": lower is better — negated metric score. */
-    private def dist(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase match {
+    private def dist(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase(java.util.Locale.ROOT) match {
       case "L2" =>
         var s = 0.0; var i = 0
         while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }

@@ -317,7 +317,7 @@ object IvfFlat {
     * cluster_id, matching the probe ranking's tie order. */
   def assign(vectors: DataFrame, index: Index, metric: String = "L2"): DataFrame = {
     val cents = index.centroidsLocal
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     val spark = vectors.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
     val nearest = udf { (v: Seq[Float]) =>
@@ -359,7 +359,7 @@ object IvfFlat {
   def probes(index: Index, queries: DataFrame, metric: String, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(index.centroidsLocal)
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     val probeU = udf { (qv: Seq[Float]) =>
       rankProbes(bc.value, qv.toArray, metricU, nprobe)
     }
@@ -388,7 +388,7 @@ object IvfFlat {
                           metric: String, nprobe: Int,
                           spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val cents = index.centroidsLocal
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     val rows = qs.flatMap { case (qid, qv) =>
       cents.headOption.foreach { case (_, cv) =>
         require(qv.length == cv.length,
@@ -527,7 +527,7 @@ object IvfFlat {
     }
     val nq = queries.length
     val qvecs = queries.map(_._2)
-    val metricU = metric.toUpperCase
+    val metricU = metric.toUpperCase(java.util.Locale.ROOT)
     // per-query probe ranking (same scores/tie-break as probesLocal),
     // inverted into cluster → probing query indexes
     val byCluster = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]

@@ -32,6 +32,16 @@ final class LongHashSet private (keys: Array[Long], mask: Int,
 
 object LongHashSet {
 
+  /** Resident-bytes estimate for a set over `n` values WITHOUT building
+    * it — the same capacity rule (next pow2 ≥ 2n, min 16) and header as
+    * [[from]]/`bytes`, shared so budget pre-checks can never silently
+    * diverge from what a built set actually registers. */
+  def estimateBytes(n: Long): Long = {
+    var cap = 16L
+    while (cap < n * 2L) cap <<= 1
+    cap * 8L + 32L
+  }
+
   /** Finalizer-style multiplicative mix (xxhash/splitmix tail): linear
     * probing needs well-spread high bits folded into the low ones. */
   private def smear(k: Long): Int = {

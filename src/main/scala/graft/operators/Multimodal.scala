@@ -61,6 +61,9 @@ object Multimodal {
     * byte picking; payloads shorter than `target` pass through unchanged.
     * Replace the inner loop with a real resampler at the StubCodec seam. */
   def resize(media: DataFrame, target: Int): DataFrame = {
+    // driver-side validation: a bad target otherwise surfaces as one
+    // confusing NegativeArraySizeException per task at runtime
+    require(target > 0, s"resize target must be positive, got $target")
     implicit val rowEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
       Encoders.BINARY)
@@ -88,6 +91,10 @@ object Multimodal {
     * payload becomes a "frame" row (id, frame_no, frame BINARY) — the
     * shape of video-frame extraction with the codec stubbed to slicing. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    // driver-side validation: stride 0 throws "step cannot be 0" once
+    // per task, and a negative stride silently yields ZERO frames —
+    // both look like data problems instead of the call-site bug they are
+    require(stride > 0, s"frame stride must be positive, got $stride")
     implicit val rowEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.BINARY)

@@ -30,6 +30,19 @@ object Sampling {
     */
   def stratified(docs: DataFrame, stratumCol: String, idCol: String,
                  n: Int, seed: Long = 42L): DataFrame = {
+    // the top-k aggregate carries (BIGINT id, DOUBLE score) — a
+    // non-integral id column would fail analysis with an opaque type
+    // error deep in the plan; state the contract at the call boundary
+    // (callers with string ids map through a surrogate, e.g. xxhash64,
+    // and join back — the engine's id-pool pattern)
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(docs.schema(idCol).dataType)
+    },
+      s"stratified requires an integral id column; '$idCol' is " +
+        s"${docs.schema(idCol).dataType.simpleString} — hash it to a " +
+        "surrogate (xxhash64) and join back, or cast")
     val key = substring(
       md5(concat_ws(":", lit(seed).cast("string"),
         col(idCol).cast("string"))), 1, 13)

@@ -44,12 +44,15 @@ final class TopKBuf(val k: Int) {
   /** keep the best k by (score desc, id asc). */
   def compact(): Unit = {
     val order = Array.range(0, n).sortBy(i => (-scores(i), ids(i)))
-    val m = math.min(k, n)
+    // k <= 0 keeps nothing (m clamped at 0) and must not read
+    // scores(-1) below: `topk_hits(id, s, 0)` is a legal degenerate
+    // call that returns an empty list, matching the typed Aggregator
+    val m = math.max(0, math.min(k, n))
     val ni = new Array[Long](cap); val ns = new Array[Double](cap)
     var i = 0
     while (i < m) { ni(i) = ids(order(i)); ns(i) = scores(order(i)); i += 1 }
     ids = ni; scores = ns; n = m
-    if (n >= k) { threshold = scores(n - 1); compacted = true }
+    if (k > 0 && n >= k) { threshold = scores(n - 1); compacted = true }
   }
 
   def mergeFrom(o: TopKBuf): Unit = {

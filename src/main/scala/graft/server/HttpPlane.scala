@@ -161,7 +161,7 @@ final class HttpPlane(mgmt: Management, port: Int = 0) {
 
   private def route(ex: HttpExchange): Unit =
     try {
-      val method = ex.getRequestMethod.toUpperCase
+      val method = ex.getRequestMethod.toUpperCase(java.util.Locale.ROOT)
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
       (method, parts) match {
         // health / metrics (HealthController.cs:16-27)
