@@ -96,23 +96,49 @@ object Bench {
       sentinelAcc = acc
       (System.nanoTime() - t0) / 1e9
     }
+    // PARALLEL-capacity probe: all cores run 1/4 of the scalar probe's
+    // LCG work concurrently — on a quiet host the wall is ~1/4 the
+    // scalar reading; on a guest whose parallel capacity is withheld
+    // (hypervisor steal, cgroup quota, thermal clamp) it inflates while
+    // the scalar probe can stay AT FLOOR (one vCPU keeps its slice).
+    // This is the instrument for the r10 run-B signature: 32-thread
+    // work 5-10× slow with extcpu 0, iowait 0, scalar sentinel quiet.
+    @volatile var sentinelMtAcc = 0L
+    def sentinelProbeMT(): Double = {
+      val n = Runtime.getRuntime.availableProcessors
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { t =>
+        val th = new Thread(() => {
+          var acc = 0x9E3779B97F4A7C15L + t; var i = 0L
+          while (i < 100000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+          if (acc == 42L) sentinelMtAcc = acc // JIT keep-alive
+        })
+        th.setDaemon(true); th.start(); th
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     // the quietest probe this run defines "this host, unloaded"; the
     // warm call is excluded (first-call JIT)
     var sentinelBase = Double.MaxValue
+    var sentinelMtBase = Double.MaxValue
     def loadAvg1(): Double = try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.trim.split(" ").head.toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
     def sentinel(tag: String): Unit = {
       val dt = sentinelProbe()
+      val dtMt = sentinelProbeMT()
       val load1 = loadAvg1()
       if (tag != "warm") {
         sentinelBase = math.min(sentinelBase, dt)
+        sentinelMtBase = math.min(sentinelMtBase, dtMt)
         sentinelRows(s"sentinel_${tag}_sec") = dt
+        sentinelRows(s"sentinel_${tag}_mt_sec") = dtMt
         sentinelRows(s"sentinel_${tag}_load1") = load1
       }
       System.err.println(
-        f"# bench-runs cpu_sentinel.$tag sec=$dt%.4f load1=$load1%.2f cores=${Runtime.getRuntime.availableProcessors} acc=${sentinelAcc}%d")
+        f"# bench-runs cpu_sentinel.$tag sec=$dt%.4f mt=$dtMt%.4f load1=$load1%.2f cores=${Runtime.getRuntime.availableProcessors} acc=${sentinelAcc}%d")
     }
     // Storm guard for per-call latency-percentile rows: measure, then
     // probe the sentinel. A probe > 2× this run's quietest reading means
@@ -145,32 +171,88 @@ object Bench {
     // storm above 0.25 — during guarded serving rows the bench's own
     // residual load is a few cores, so a quarter of the machine going
     // to other processes is external by construction.
+    // Drain-to-band barrier (r9 verdict #1): the serving rungs run in
+    // the settling wake of the builds/encodes that precede them — the
+    // r9 artifact itself measured sentinel_at_ivf_pq_10m_load1 28.5
+    // with extcpu ≈ 0, i.e. the bench's OWN residue (executor teardown,
+    // GC debt, page reclaim), and the storm retry re-measured into the
+    // same wake, so the graded serving rows read 2-4× their quiet band
+    // (NOTES quiet runs on the same binary: ivf_10m p99 65-70 vs graded
+    // 230). Before each guarded serving row: one GC nudge, then poll
+    // the scalar probe + load1 until the probe is within 1.5× this
+    // run's floor AND load1 decays under 10 (below the 12 storm
+    // threshold, above the bench's own 2-4 residual). Bounded per call
+    // (120 s) AND by a whole-run budget (420 s): a persistently loaded
+    // host spends the budget once and the remaining rows run unguarded
+    // but ATTRIBUTED (their sentinel_at_/extcpu_at_ rows still land in
+    // the artifact). The wait is recorded per row as drain_<tag>_sec +
+    // drain_<tag>_settled, so "the machine never settled" is a row, not
+    // a reconstruction.
+    var drainBudgetNanos = 420L * 1000 * 1000 * 1000
+    def drainToBand(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      System.gc()
+      def quiet(probe: Double, load1: Double): Boolean =
+        (sentinelBase == Double.MaxValue || probe <= 1.5 * sentinelBase) &&
+          (load1 < 0 || load1 <= 10.0)
+      var probe = sentinelProbe()
+      var load1 = loadAvg1()
+      val deadline = t0 + math.min(120L * 1000 * 1000 * 1000, drainBudgetNanos)
+      while (!quiet(probe, load1) && System.nanoTime() < deadline) {
+        Thread.sleep(2000)
+        probe = sentinelProbe()
+        load1 = loadAvg1()
+      }
+      // a quiet drain probe is as good a floor sample as any sentinel()
+      sentinelBase = math.min(sentinelBase, probe)
+      val waited = System.nanoTime() - t0
+      drainBudgetNanos = math.max(0L, drainBudgetNanos - waited)
+      sentinelRows(s"drain_${tag}_sec") = waited / 1e9
+      sentinelRows(s"drain_${tag}_settled") = if (quiet(probe, load1)) 1.0 else 0.0
+    }
     def stormGuarded(tag: String)(measure: => Array[Double]): Array[Double] = {
+      drainToBand(tag)
       val cpu0 = Bench.cpuSample()
       val io0 = Bench.ioSample()
+      val steal0 = (Bench.stealJiffies(), System.nanoTime())
       val first = measure
       val ext1 = Bench.externalCpuFrac(cpu0, Bench.cpuSample())
       val io1 = Bench.ioSample()
+      val steal = Bench.stealFrac(steal0, (Bench.stealJiffies(), System.nanoTime()))
       val probe = sentinelProbe()
+      val probeMt = sentinelProbeMT()
       val load1 = loadAvg1()
       sentinelRows(s"sentinel_at_${tag}_sec") = probe
+      sentinelRows(s"sentinel_at_${tag}_mt_sec") = probeMt
       sentinelRows(s"sentinel_at_${tag}_load1") = load1
       sentinelRows(s"extcpu_at_$tag") = ext1
+      sentinelRows(s"steal_at_$tag") = steal
       sentinelRows(s"iowait_at_$tag") = Bench.iowaitFrac(io0, io1)
       sentinelRows(s"ownio_at_${tag}_mb") = (io1._2 - io0._2) / 1e6
       val scalarStorm =
         sentinelBase != Double.MaxValue && probe > 2.0 * sentinelBase
+      // parallel capacity withheld (steal/quota/thermal): the MT probe
+      // inflates while the scalar one can stay at floor — the fourth
+      // storm channel, for the run-B signature
+      val mtStorm =
+        sentinelMtBase != Double.MaxValue && probeMt > 2.0 * sentinelMtBase
+      val stealStorm = steal > 0.10
       val load1Storm = load1 > 12.0
       val extStorm = ext1 > 0.25
-      if (!scalarStorm && !load1Storm && !extStorm) first
+      if (!scalarStorm && !load1Storm && !extStorm && !mtStorm && !stealStorm)
+        first
       else {
         System.err.println(
-          f"# bench-runs storm_retry.$tag probe=$probe%.3f base=$sentinelBase%.3f load1=$load1%.2f ext=$ext1%.3f scalar=$scalarStorm load=$load1Storm extcpu=$extStorm — re-measuring once")
+          f"# bench-runs storm_retry.$tag probe=$probe%.3f base=$sentinelBase%.3f mt=$probeMt%.3f mtbase=$sentinelMtBase%.3f steal=$steal%.3f load1=$load1%.2f ext=$ext1%.3f scalar=$scalarStorm load=$load1Storm extcpu=$extStorm mt=$mtStorm stealStorm=$stealStorm — re-measuring once")
         val cpu1 = Bench.cpuSample()
+        val stealR0 = (Bench.stealJiffies(), System.nanoTime())
         val second = measure
         sentinelRows(s"extcpu_retry_$tag") =
           Bench.externalCpuFrac(cpu1, Bench.cpuSample())
+        sentinelRows(s"steal_retry_$tag") =
+          Bench.stealFrac(stealR0, (Bench.stealJiffies(), System.nanoTime()))
         sentinelRows(s"sentinel_retry_${tag}_sec") = sentinelProbe()
+        sentinelRows(s"sentinel_retry_${tag}_mt_sec") = sentinelProbeMT()
         sentinelRows(s"sentinel_retry_${tag}_load1") = loadAvg1()
         val (keep, storm) =
           if (second(second.length / 2) <= first(first.length / 2))
@@ -187,9 +269,12 @@ object Bench {
     def timeAttributed(tag: String)(f: => Unit): Double = {
       val cpu0 = Bench.cpuSample()
       val io0 = Bench.ioSample()
+      val steal0 = (Bench.stealJiffies(), System.nanoTime())
       val t = timeOnce(f)
       sentinelRows(s"extcpu_$tag") =
         Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      sentinelRows(s"steal_$tag") =
+        Bench.stealFrac(steal0, (Bench.stealJiffies(), System.nanoTime()))
       val io1 = Bench.ioSample()
       sentinelRows(s"iowait_$tag") = Bench.iowaitFrac(io0, io1)
       sentinelRows(s"ownio_${tag}_mb") = (io1._2 - io0._2) / 1e6
@@ -284,11 +369,21 @@ object Bench {
     // float32, dim 128, 100 queries, topK 10): deterministic synthetic
     // table, brute + IVF search, load throughput.
     val dim = 128
-    def synthVecs(n: Long) = spark.range(n)
-      .select(col("id"), transform(sequence(lit(1), lit(dim)),
-        i => (pmod(xxhash64(col("id") * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0)
-          .cast("float")).as("vec"))
-      .repartition(nCpus)
+    // `shuffle = false` skips the balancing repartition: range is
+    // already even across defaultParallelism partitions, and for the
+    // UNCACHED 10M rung the repartition only inserted a full shuffle
+    // write+read of the corpus into every lineage evaluation — the r9
+    // load_10m row carried ownio 15.7 GB for a 5.1 GB parquet write
+    // (3× write amplification measured by the new IO channel, verdict
+    // #7). The cached small-rung corpora keep the shuffle: they
+    // materialize once and the layout matches prior rounds.
+    def synthVecs(n: Long, shuffle: Boolean = true) = {
+      val base = spark.range(n)
+        .select(col("id"), transform(sequence(lit(1), lit(dim)),
+          i => (pmod(xxhash64(col("id") * lit(dim) + i), lit(2000000)) / 1000000.0 - 1.0)
+            .cast("float")).as("vec"))
+      if (shuffle) base.repartition(nCpus) else base
+    }
     val synth = synthVecs(100000).cache()
     synth.count()
     val q100 = synth.filter(col("id") < 100)
@@ -993,6 +1088,7 @@ object Bench {
     (0 until 3).foreach { _ =>
       IvfFlat.searchLocalRows(idx500, q100x500, "L2", 10, nprobe = 10, spark).length
     }
+    drainToBand("ivf_500k_qps") // QPS row right after the 500k build wake
     val tIvf500k = timeRuns("ivf_500k_dim128_100q", 3) {
       require(IvfFlat.searchLocalRows(idx500, q100x500, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
@@ -1003,11 +1099,11 @@ object Bench {
     // one throwaway call pays the one-time resident materialization.
     IvfFlat.searchLocalRows(idx500, Array(q100x500.head), "L2", 10,
       nprobe = 10, spark)
-    val lat500 = q100x500.map { q =>
+    val lat500 = stormGuarded("ivf_500k") { q100x500.map { q =>
       val t0 = System.nanoTime()
       IvfFlat.searchLocalRows(idx500, Array(q), "L2", 10, nprobe = 10, spark)
       (System.nanoTime() - t0) / 1e6
-    }.sorted
+    }.sorted }
     System.err.println(
       f"# bench-runs ivf_500k_single_query_ms p50=${lat500(49)}%.3f p99=${lat500(98)}%.3f")
     synth500.unpersist()
@@ -1043,16 +1139,23 @@ object Bench {
       IvfFlat.searchLocalRows(idx1m, q100x1m, "L2", 10, nprobe = 10, spark).length
     }
     servingState("ivf_1m_dim128_100q.pre", Some(idx1m.packed))
+    // the r9 ivf_1m regression (336 → 211 QPS, p99 3×) was the ONE
+    // serving row with no sentinel/extcpu bracket — r9 verdict #2: the
+    // QPS row gets the drain barrier (it runs straight off the 1M
+    // build + pack wake) and the latency row gets the full storm guard,
+    // so a recurrence is either prevented (drained) or attributed
+    // (sentinel_at_ivf_1m_* / extcpu_at_ivf_1m rows in-artifact)
+    drainToBand("ivf_1m_qps")
     val tIvf1m = timeRuns("ivf_1m_dim128_100q", 3) {
       require(IvfFlat.searchLocalRows(idx1m, q100x1m, "L2", 10, nprobe = 10, spark).nonEmpty)
     }
     servingState("ivf_1m_dim128_100q.post", Some(idx1m.packed))
     IvfFlat.searchLocalRows(idx1m, Array(q100x1m.head), "L2", 10, nprobe = 10, spark)
-    val lat1m = q100x1m.map { q =>
+    val lat1m = stormGuarded("ivf_1m") { q100x1m.map { q =>
       val t0 = System.nanoTime()
       IvfFlat.searchLocalRows(idx1m, Array(q), "L2", 10, nprobe = 10, spark)
       (System.nanoTime() - t0) / 1e6
-    }.sorted
+    }.sorted }
     System.err.println(
       f"# bench-runs ivf_1m_single_query_ms p50=${lat1m(49)}%.3f p99=${lat1m(98)}%.3f")
     synth1m.unpersist()
@@ -1076,7 +1179,12 @@ object Bench {
     var rates10m: Map[String, Double] = Map.empty
     try {
       val n10m = 10000000L
-      val synth10m = synthVecs(n10m)
+      // unshuffled synthesis for the WHOLE rung: the corpus is uncached
+      // (pure codegen re-synthesis beats 5 GB of cache churn), so every
+      // scan would otherwise re-read the repartition's 10 GB shuffle;
+      // without it the load row measures synthesize+write (the honest
+      // load cost) and the build scans are pure codegen
+      val synth10m = synthVecs(n10m, shuffle = false)
       val dir10m = tempDir("bench_load10m")
       val tLoad10m = timeAttributed("load_10m") {
         synth10m.write.mode("overwrite").parquet(dir10m + "/vectors")
@@ -1100,6 +1208,7 @@ object Bench {
         IvfFlat.searchLocalRows(idx10m, q100x10m, "L2", 10, nprobe = 10, spark).length
       }
       servingState("ivf_10m_dim128_100q.pre", Some(idx10m.packed))
+      drainToBand("ivf_10m_qps") // serving starts in the 10M build wake
       val tIvf10m = timeRuns("ivf_10m_dim128_100q", 3) {
         require(IvfFlat.searchLocalRows(idx10m, q100x10m, "L2", 10,
           nprobe = 10, spark).nonEmpty)
@@ -1111,13 +1220,24 @@ object Bench {
       System.gc()
       IvfFlat.searchLocalRows(idx10m, Array(q100x10m.head), "L2", 10,
         nprobe = 10, spark)
-      val lat10m = stormGuarded("ivf_10m") { q100x10m.map { q =>
-        val t0 = System.nanoTime()
-        IvfFlat.searchLocalRows(idx10m, Array(q), "L2", 10, nprobe = 10, spark)
-        (System.nanoTime() - t0) / 1e6
-      }.sorted }
+      // 3 interleaved rounds (300 samples): each call is a full
+      // distributed job over the 5.2 GB packed RDD, so its tail is a
+      // straggler-task distribution — at 100 samples the p99 estimator
+      // is the 2nd-worst CALL and swings 2× run-to-run on scheduler/GC
+      // noise alone (r10 first run: p50 42.7 in quiet band, p99 138 with
+      // every attribution channel quiet). Same p98-estimator index as
+      // the 100-sample convention, 3× the evidence behind it.
+      val lat10m = stormGuarded("ivf_10m") {
+        (0 until 3).flatMap(_ => q100x10m.map { q =>
+          val t0 = System.nanoTime()
+          IvfFlat.searchLocalRows(idx10m, Array(q), "L2", 10, nprobe = 10, spark)
+          (System.nanoTime() - t0) / 1e6
+        }).toArray.sorted
+      }
+      val lat10mP50 = lat10m(lat10m.length / 2)
+      val lat10mP99 = lat10m(lat10m.length * 98 / 100)
       System.err.println(
-        f"# bench-runs ivf_10m_single_query_ms p50=${lat10m(49)}%.3f p99=${lat10m(98)}%.3f")
+        f"# bench-runs ivf_10m_single_query_ms p50=$lat10mP50%.3f p99=$lat10mP99%.3f n=${lat10m.length}")
       // IVF_PQ at 10M: byte codes are M=8 bytes/vec — the 10M corpus
       // quantizes to ~240 MB packed, INSIDE the driver residency bound
       // the raw floats exceed 10×. The serving rows below therefore run
@@ -1141,6 +1261,7 @@ object Bench {
         graft.operators.IvfPq.searchLocalRows(pq10m, q100x10m, 10,
           nprobe = 10, spark).length
       }
+      drainToBand("ivf_pq_10m_qps") // runs in the 10M PQ-encode wake
       val tPq10m = timeRuns("ivf_pq_10m_dim128_100q", 3) {
         require(graft.operators.IvfPq.searchLocalRows(pq10m, q100x10m, 10,
           nprobe = 10, spark).nonEmpty)
@@ -1164,8 +1285,8 @@ object Bench {
       rates10m = Map(
         "load_10m_vecs_per_sec" -> n10m.toDouble / tLoad10m,
         "ivf_10m_qps" -> 100.0 / tIvf10m,
-        "ivf_10m_p50_ms" -> lat10m(49),
-        "ivf_10m_p99_ms" -> lat10m(98),
+        "ivf_10m_p50_ms" -> lat10mP50,
+        "ivf_10m_p99_ms" -> lat10mP99,
         "ivf_pq_10m_qps" -> 100.0 / tPq10m,
         "ivf_pq_10m_p50_ms" -> latPq10m(49),
         "ivf_pq_10m_p99_ms" -> latPq10m(98))
@@ -1201,7 +1322,10 @@ object Bench {
             pqM = 8, pqK = 256)
         }
         System.err.println(f"# bench-runs engine_10m_build $tEngBuild%.4f")
-        // cold first call packs the codes + builds the id pool + serves
+        // cold first call packs the codes + builds the id pool + serves —
+        // drained first so the row prices the pack work, not the engine
+        // build's settling wake (r9 graded 49.9 s vs 22.1 quiet)
+        drainToBand("engine_pq_10m_cold")
         val tCold = timeOnce {
           require(eng.searchRows("t1", "big", Array(q100x10m.head), 10,
             nprobe = 10).nonEmpty)
@@ -1302,6 +1426,7 @@ object Bench {
         // thread, and THIS row proves the first wire call then serves at
         // steady state — the cliff the feature claims to remove.
         val engRestart = new GraftEngine(spark, engRoot)
+        drainToBand("warm_boot") // price the boot work, not the rung wake
         val tWarm = timeOnce { engRestart.warmServing() }
         val tFirstWarm = {
           val t0 = System.nanoTime()
@@ -1314,6 +1439,48 @@ object Bench {
         System.err.println(
           f"# bench-runs warm_boot warm_sec=$tWarm%.2f first_call_ms=$tFirstWarm%.3f " +
             f"(unwarmed restart first call = cold row $tCold%.2f s)")
+        // DEGRADED u8 refine tier gauge (r9 verdict #6): an engine whose
+        // refine budget denies the 2.6 GB sq16 store but admits the
+        // 1.4 GB u8 copy (opt-in) must serve refined rows RESIDENT —
+        // the tier that turns the sq16-denial cliff (resident ~ms →
+        // plan ~seconds) into a recall trade. The gauge records that
+        // recall against the full-precision refined answer on the same
+        // 100 queries, plus the tier's latency.
+        val engU8 = new GraftEngine(spark, engRoot,
+          sq16MaxBytes = 2048L << 20, refineU8Fallback = true)
+        val tU8Cold = timeOnce {
+          val (r0, t0) = engU8.searchRowsTraced("t1", "big",
+            Array(q100x10m.head), 10, nprobe = 10, refine = 50)
+          require(r0.length == 10 && t0.path == "head+pqtail-refined-u8",
+            s"u8 gauge expected head+pqtail-refined-u8, got ${t0.path}")
+        }
+        (0 until 3).foreach { _ =>
+          engU8.searchRows("t1", "big", q100x10m.take(8), 10, nprobe = 10,
+            refine = 50)
+        }
+        var u8Overlap = 0
+        val latU8 = stormGuarded("engine_pq_10m_u8") {
+          // assigned, not accumulated: a storm retry re-runs this block
+          var ov = 0
+          val arr = q100x10m.map { q =>
+            val t0 = System.nanoTime()
+            val (rowsU, trU) = engU8.searchRowsTraced("t1", "big", Array(q),
+              10, nprobe = 10, refine = 50)
+            val dt = (System.nanoTime() - t0) / 1e6
+            require(rowsU.length == 10 && trU.path == "head+pqtail-refined-u8",
+              s"u8 gauge expected head+pqtail-refined-u8, got ${trU.path}")
+            val full = engRestart.searchRows("t1", "big", Array(q), 10,
+              nprobe = 10, refine = 50).map(_._3).toSet
+            ov += rowsU.map(_._3).count(full.contains)
+            dt
+          }.sorted
+          u8Overlap = ov
+          arr
+        }
+        val u8Recall = u8Overlap.toDouble / (q100x10m.length * 10)
+        System.err.println(
+          f"# bench-runs engine_pq_10m_u8 p50=${latU8(49)}%.3f " +
+            f"p99=${latU8(98)}%.3f cold=$tU8Cold%.2f recall10=$u8Recall%.4f")
         results("engine_10m_ingest_sec") = tIngest
         results("engine_10m_build_sec") = tEngBuild
         rates10m = rates10m ++ Map(
@@ -1328,7 +1495,11 @@ object Bench {
           "engine_pq_10m_filtered2_p50_ms" -> latF2(49),
           "engine_pq_10m_filtered2_p99_ms" -> latF2(98),
           "warm_boot_warm_sec" -> tWarm,
-          "warm_boot_first_call_ms" -> tFirstWarm)
+          "warm_boot_first_call_ms" -> tFirstWarm,
+          "engine_pq_10m_u8_cold_sec" -> tU8Cold,
+          "engine_pq_10m_u8_p50_ms" -> latU8(49),
+          "engine_pq_10m_u8_p99_ms" -> latU8(98),
+          "engine_pq_10m_u8_recall10" -> u8Recall)
         scrubOne(engRoot)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -1377,6 +1548,11 @@ object Bench {
       System.err.println(f"# bench-runs docs_1m_gen $tGen%.4f")
       val docs1m = spark.read.parquet(docsDir)
       var nPairs = 0L; var rounds = 0; var kept = 0L
+      // the dedup rung starts in the 10M engine section's own wake
+      // (three engines' resident stores awaiting GC; the r10 artifact
+      // read sentinel_before_dedup_1m at 2.6x floor and the rung rows
+      // 2x their quiet band) — drain to band like every serving row
+      drainToBand("dedup_1m_rung")
       val tPipe = timeAttributed("dedup_pipeline_1m") {
         val pairs = TextDedup.minhashLshStarPairs(docs1m, n = 3, tau = 0.5)
           .persist()
@@ -1399,6 +1575,7 @@ object Bench {
       // C4 span dedup at the same corpus: exactly 12 spans/doc + the hub
       // span for its 100k carriers = 12.1M spans, hub absorbed map-side
       var removedDocs = 0L; var nSpans = 0L
+      drainToBand("span_dedup_1m")
       val tSpan = timeAttributed("span_dedup_1m") {
         val agg = TextDedup.dedupSpans(docs1m, width = 10).agg(
           sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
@@ -1418,6 +1595,7 @@ object Bench {
       // 1 can never see a whole cluster and the merge pass must restore
       // exactly the planted keep-set
       var keptSharded = 0L
+      drainToBand("dedup_sharded_1m")
       val tSharded = timeAttributed("dedup_sharded_1m") {
         val pairsS = TextDedup.minhashLshStarPairsSharded(
           docs1m.withColumn("shard", pmod(col("doc_id"), lit(4))),
@@ -1479,6 +1657,7 @@ object Bench {
       System.err.println(f"# bench-runs emb_1m_gen $tGenE%.4f")
       val emb1m = spark.read.parquet(embDir)
       var found = 0L; var foundCore = 0L; var hubPairs = 0L
+      drainToBand("embedding_dedup_1m")
       val tEmb = timeAttributed("embedding_dedup_1m") {
         val pairs = graft.operators.EmbeddingDedup
           .lshPairs(emb1m, tau = 0.99).persist()
@@ -1606,10 +1785,17 @@ object Bench {
     results("storm_retries") =
       sentinelRows.keys.count(_.endsWith("_storm_p50_ms")).toDouble
     val probes = sentinelRows.collect {
-      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_sec") => v }
+      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_sec") &&
+        !k.endsWith("_mt_sec") => v }
     if (probes.nonEmpty) {
       results("sentinel_min_sec") = probes.min
       results("sentinel_max_sec") = probes.max
+    }
+    val probesMt = sentinelRows.collect {
+      case (k, v) if k.startsWith("sentinel_") && k.endsWith("_mt_sec") => v }
+    if (probesMt.nonEmpty) {
+      results("sentinel_mt_min_sec") = probesMt.min
+      results("sentinel_mt_max_sec") = probesMt.max
     }
     val loads = sentinelRows.collect {
       case (k, v) if k.startsWith("sentinel_") && k.endsWith("_load1") => v }
@@ -1617,6 +1803,9 @@ object Bench {
     val exts = sentinelRows.collect {
       case (k, v) if k.startsWith("extcpu_") => v }
     if (exts.nonEmpty) results("extcpu_max") = exts.max
+    val steals = sentinelRows.collect {
+      case (k, v) if k.startsWith("steal_") => v }
+    if (steals.nonEmpty) results("steal_max") = steals.max
     val iows = sentinelRows.collect {
       case (k, v) if k.startsWith("iowait_") => v }
     if (iows.nonEmpty) results("iowait_max") = iows.max
@@ -1664,6 +1853,31 @@ object Bench {
       val selfLine = try selfSrc.mkString finally selfSrc.close()
       ((hostBusyJiffies(cpuLine), selfJiffies(selfLine), t))
     } catch { case scala.util.control.NonFatal(_) => (0L, 0L, t) }
+  }
+
+  /** Hypervisor steal jiffies (/proc/stat cpu field 8) — the channel
+    * that sees VM co-tenancy the in-guest extcpu CANNOT: a throttled
+    * guest's own processes burn no extra jiffies and its single-thread
+    * probe may stay at floor (one vCPU keeps its slice) while parallel
+    * capacity is withheld. Measured need (r10 bench run B): load_10m
+    * wrote 5.2 GB in 137 s and distributed p99 read 5× its quiet band
+    * with extcpu 0, iowait 0, scalar sentinel at floor — nothing in the
+    * artifact could name the cause. Returns 0 off-Linux / pre-steal
+    * kernels → the channel simply reads 0. */
+  private[graft] def stealJiffies(): Long = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val line = try src.getLines().next() finally src.close()
+    val f = line.trim.split("\\s+")
+    if (f.length > 8) f(8).toLong else 0L
+  } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** Steal share of machine capacity between two (stealJiffies, nanos)
+    * samples. */
+  private[graft] def stealFrac(a: (Long, Long), b: (Long, Long)): Double = {
+    val dWallSec = (b._2 - a._2) / 1e9
+    if (dWallSec <= 0) 0.0
+    else math.max(0.0, (b._1 - a._1).toDouble) /
+      (Runtime.getRuntime.availableProcessors * 100.0 * dWallSec)
   }
 
   private[graft] def hostBusyJiffies(cpuLine: String): Long = {
@@ -1762,14 +1976,17 @@ object Bench {
     "dedup_sharded_1m_sec", "span_dedup_1m_sec",
     "embedding_dedup_1m_sec", "embedding_dedup_1m_recall",
     "embedding_dedup_1m_hub_pairs",
-    "storm_retries", "sentinel_min_sec", "sentinel_max_sec", "load1_max",
-    "extcpu_max", "iowait_max",
+    "storm_retries", "sentinel_min_sec", "sentinel_max_sec",
+    "sentinel_mt_min_sec", "sentinel_mt_max_sec", "load1_max",
+    "extcpu_max", "steal_max", "iowait_max",
     "brute_100k_fused_qps", "brute_100k_qps", "ivf_100k_2000q_qps",
     "pq_100k_recall10_sq16_wire_refined50",
     "ivf_100k_recall10_nprobe10", "hnsw_100k_recall10_ef128",
     "pq_100k_recall10_refined50",
     "hnsw_100k_serving_p50_ms", "hnsw_100k_serving_p99_ms",
     "engine_pq_10m_cold_first_call_sec", "engine_pq_10m_refined_cold_sec",
+    "engine_pq_10m_u8_p50_ms", "engine_pq_10m_u8_recall10",
+    "engine_pq_10m_u8_cold_sec",
     "warm_boot_warm_sec", "resp_miss_filtered_p99_ms", "resp_hit_p50_ms",
     "delta_head_p50_ms", "delta_head_p99_ms",
     "sidecar_tick_ms", "sidecar_wire_tick_ms", "policy_apply_lag_ms",

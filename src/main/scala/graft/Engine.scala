@@ -80,20 +80,33 @@ object GraftEngine {
     * uint8 because the refine step's whole purpose is near-exact
     * answers: uint8's error measurably reorders near-equidistant top-k
     * boundaries (gauge recall 0.980 vs 0.995 exact); uint16's is 256×
-    * smaller and prices at exact. Sized (with the global line below) for
-    * the repo's 32 GiB serving JVM (build.sbt's default -Xmx) so the
-    * refine tier reaches the same ~20M×128 corpora the rows gate admits
-    * — the store is segmented, so the budget is the ONLY ceiling;
-    * smaller deployments pass a smaller `sq16MaxBytes`. */
-  val Sq16MaxBytesDefault: Long = 8192L << 20
+    * smaller and prices at exact.
+    *
+    * DERIVED from the running JVM's heap, not a constant: 1/4 of
+    * `Runtime.maxMemory`, capped at 8 GiB. On the repo's 32 GiB serving
+    * JVM (build.sbt's default -Xmx) that is the same 8 GiB the refine
+    * tier was sized for (reaching the ~20M×128 corpora the rows gate
+    * admits); an embedded deployment on a 4 GiB heap that forgets to
+    * pass `sq16MaxBytes` now defaults to 1 GiB and takes the plan
+    * fallback instead of OOMing on a budget sized for someone else's
+    * heap (ADVICE r9). The store is segmented, so the budget is the
+    * ONLY ceiling; deployments override per engine via `sq16MaxBytes`. */
+  val Sq16MaxBytesDefault: Long =
+    math.min(8192L << 20, Runtime.getRuntime.maxMemory / 4)
 
   /** JVM-wide ceiling across ALL resident SQ16 stores — weak-keyed like
     * the other residency registries (eviction returns a share explicitly;
-    * a dropped engine returns it on GC). 1.5× the per-index default:
-    * one full-size store plus change, ~37% of the default 32 GiB heap —
-    * the aggregate stop that keeps N engines from each admitting a
-    * budget-legal store into one JVM. */
-  val Sq16GlobalMaxBytes: Long = 12288L << 20
+    * a dropped engine returns it on GC). 1.5× the per-index default
+    * (heap-derived like it: 3/8 of max heap, capped at 12 GiB — ~37% of
+    * the default 32 GiB heap): one full-size store plus change, the
+    * aggregate stop that keeps N engines from each admitting a
+    * budget-legal store into one JVM. Overridable for deployments whose
+    * heap headroom differs from the default fraction via
+    * `-Dgraft.sq16.globalMaxBytes=<bytes>` (read once at class init —
+    * the registry's ceiling must not move while stores are resident). */
+  val Sq16GlobalMaxBytes: Long =
+    sys.props.get("graft.sq16.globalMaxBytes").map(_.toLong).getOrElse(
+      math.min(12288L << 20, Runtime.getRuntime.maxMemory * 3 / 8))
   private val sq16Registry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
   private[graft] def sq16BytesUsed: Long = {
@@ -137,12 +150,21 @@ object GraftEngine {
     idPoolRegistry.remove(h)
 }
 
+/** `refineU8Fallback` (OPT-IN, default off): when the sq16 refine
+  * store is budget-denied but a HALF-SIZE uint8 copy fits, serve
+  * refined rows from the u8 store instead of dropping to the
+  * distributed plan — the degraded tier trades measured recall
+  * (~0.980 vs 0.995 on the bench gauge) for three orders of latency.
+  * Off by default because served scores then differ from the plan's
+  * sq16 rerank; the serving trace announces the tier
+  * ("head+pqtail-refined-u8"). */
 class GraftEngine(spark: SparkSession, root: String,
                   idPoolMaxBytes: Long = GraftEngine.IdPoolMaxBytesDefault,
                   hashAllowedMinEntries: Int = 1 << 17,
                   pqServeMaxLookupsMT: Long =
                     graft.operators.IvfPq.PqServeMaxLookupsMT,
-                  sq16MaxBytes: Long = GraftEngine.Sq16MaxBytesDefault) {
+                  sq16MaxBytes: Long = GraftEngine.Sq16MaxBytesDefault,
+                  refineU8Fallback: Boolean = false) {
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -545,6 +567,35 @@ class GraftEngine(spark: SparkSession, root: String,
                 floor((x - lit(p16.min)) * lit(scale16) + lit(0.5))))
                 .cast("int")).as("qvec16"))
           .write.mode("overwrite").parquet(s"$dir/sq16/codes")
+        // binary SEGMENT sidecar over the codes just written: the merged
+        // resident store persisted as raw sorted arrays, so a restarted
+        // engine (warmServing, or the first refined call after boot)
+        // loads the rerank store by sequential file read (~disk
+        // bandwidth) instead of re-running the parquet scan + encode +
+        // k-way merge every boot (measured ~27 s at the 10M rung —
+        // the r9 warm-boot regression). Build-time cost is one extra
+        // read of the codes table; gated on THIS engine's per-store
+        // budget — past it, serving would deny residency anyway, so
+        // the transient driver-side merge would buy nothing. Reading
+        // BACK the parquet (rather than re-encoding from `state`) keeps
+        // the sidecar bit-identical to what a segment-less engine would
+        // build from the same snapshot, duplicate-surrogate resolution
+        // included (same files, same partition order).
+        locally {
+          val codesDf = spark.read.parquet(s"$dir/sq16/codes")
+          val st = codesDf.agg(count(lit(1)), min(size(col("qvec16"))),
+            max(size(col("qvec16")))).head
+          val n16 = st.getLong(0)
+          if (n16 > 0 && !st.isNullAt(1) && st.getInt(1) == st.getInt(2)) {
+            val d16 = st.getInt(1)
+            val est = graft.operators.Sq16Store.estimateBytes(n16, d16)
+            if (est <= sq16MaxBytes) {
+              val store = graft.operators.Sq16Store.buildResident(
+                codesDf, d16, p16.min, p16.max, estBytes = est)
+              graft.operators.Sq16Store.save(store, s"$dir/sq16/segments")
+            }
+          }
+        }
         // centroids also at the IVF location so the cache's L2 layer can
         // probe them without knowing the algo
         idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -710,13 +761,16 @@ class GraftEngine(spark: SparkSession, root: String,
     // strand gigabytes in a registered store no call would ever use
     // when the pool then denies (pool and store admissions are
     // independent budget lines: long user ids can deny a pool whose
-    // corpus the store budget happily admits).
-    val sq16Opt: Option[graft.operators.Sq16Store] =
+    // corpus the store budget happily admits). When the sq16 store is
+    // budget-denied and the deployment opted into the degraded tier,
+    // the half-size u8 store is tried against the same budget line.
+    val refineStoreOpt: Option[graft.operators.RefineStore] =
       if (wantRefine && algoPqBase && poolOpt.isDefined)
-        sq16StoreOf(tenant, index, m)
+        sq16StoreOf(tenant, index, m).orElse(
+          if (refineU8Fallback) sq8StoreOf(tenant, index, m) else None)
       else None
     val algoPq = algoPqBase &&
-      (!wantRefine || sq16Opt.isDefined) // refined serving needs the store
+      (!wantRefine || refineStoreOpt.isDefined) // refined serving needs the store
     val algoOk = (algoFlat || algoPq || algoHnsw) && poolOpt.isDefined
     // the head path below is exact-scan; the reference's RESP serving has
     // the same shape (fresh delta head scanned per query,
@@ -775,7 +829,7 @@ class GraftEngine(spark: SparkSession, root: String,
           // order) reranked EXACTLY against the resident SQ16 store —
           // rows return already masked, true-metric scored, cut at k
           pqTailRowsRefined(tenant, index, m, queries, metricU, k, refine,
-            nprobe, hs, sq16Opt.get)
+            nprobe, hs, refineStoreOpt.get)
         else if (algoPq) pqTailRows(tenant, index, m, queries, metricU, kTail, nprobe)
         else if (algoHnsw)
           // per-graph fetch AND global cut at kTail = k + maskInTail —
@@ -803,7 +857,11 @@ class GraftEngine(spark: SparkSession, root: String,
           }
       }
       (rows, SearchTrace(
-        if (algoPq && wantRefine) "head+pqtail-refined"
+        if (algoPq && wantRefine)
+          refineStoreOpt.get.kind match {
+            case "u8" => "head+pqtail-refined-u8"
+            case _ => "head+pqtail-refined"
+          }
         else if (algoPq) "head+pqtail"
         else if (algoHnsw) "head+hnswtail"
         else "head+tail", None, Nil,
@@ -864,7 +922,7 @@ class GraftEngine(spark: SparkSession, root: String,
                                 queries: Array[(Long, Array[Float])],
                                 metricU: String, k: Int, refine: Int,
                                 nprobe: Int, hs: HeadServeState,
-                                store: graft.operators.Sq16Store): Array[(Long, Int, Long, Double)] = {
+                                store: graft.operators.RefineStore): Array[(Long, Int, Long, Double)] = {
     val pqIdx = pqIndexOf(tenant, index, m)
     val (tq, _) = pqFoldedQueries(tenant, index, m, pqIdx, queries, metricU)
     // the cut is Long-guarded, but + maskInTail can still wrap a cut
@@ -889,7 +947,7 @@ class GraftEngine(spark: SparkSession, root: String,
       val reranked = cut.map { case (_, _, surr, _) =>
         val row = store.lookup(surr)
         require(row >= 0,
-          s"sq16 store missing surrogate $surr — snapshot/store version skew")
+          s"${store.kind} store missing surrogate $surr — snapshot/store version skew")
         (surr, IvfFlat.candidateScore(metricU, qvRaw, store.dequant(row)))
       }.toArray
       reranked.sortBy { case (surr, s) => (-s, surr) }.take(k).zipWithIndex
@@ -1720,9 +1778,16 @@ class GraftEngine(spark: SparkSession, root: String,
   private def sq16StoreOf(tenant: String, index: String,
                           m: Manifest): Option[graft.operators.Sq16Store] =
     residentMemo(sq16StoreCache, s"$tenant/$index/v${m.version}") {
+      val segDir = s"${snapDir(tenant, index, m)}/sq16/segments"
       val ndOpt = sq16StatsCache.getOrElseUpdate(
         s"$tenant/$index/v${m.version}", {
-          if (!sq16TableExists(tenant, index, m)) None
+          if (graft.operators.Sq16Store.sidecarExists(segDir)) {
+            // segment sidecar: rows/dim from its meta — no Spark job
+            // (the parquet aggregation below scans the full array
+            // column just to size it)
+            val (n, d) = graft.operators.Sq16Store.sidecarStats(segDir)
+            if (n == 0) None else Some((n, d))
+          } else if (!sq16TableExists(tenant, index, m)) None
           else {
             val codes = spark.read.parquet(
               s"${snapDir(tenant, index, m)}/sq16/codes")
@@ -1738,7 +1803,10 @@ class GraftEngine(spark: SparkSession, root: String,
       ndOpt match {
         case None => (None, true)
         case Some((n, dim)) =>
-          val est = n * (8L + 2L * dim) + 64L
+          // shared estimator — includes per-segment headers, so the
+          // admitted estimate can never undercount what the built store
+          // registers (ADVICE r9)
+          val est = graft.operators.Sq16Store.estimateBytes(n, dim)
           // byte budgets are the ONLY capacity gate: the store is
           // segmented (Sq16Store.SegMaxCodes), so no Int-indexed-array
           // ceiling exists to deny around
@@ -1748,15 +1816,54 @@ class GraftEngine(spark: SparkSession, root: String,
               GraftEngine.Sq16GlobalMaxBytes)
             (None, false)
           else {
-            val codes = spark.read.parquet(
-              s"${snapDir(tenant, index, m)}/sq16/codes")
-            val p = graft.operators.ScalarQuant.loadParams(
-              s"${snapDir(tenant, index, m)}/sq16/params.json")
-            val store = graft.operators.Sq16Store.buildResident(
-              codes, dim, p.min, p.max, estBytes = est)
+            // segment sidecar when the snapshot carries it (sequential
+            // file read, no Spark jobs); wave-fetch build for
+            // pre-sidecar snapshots
+            val store =
+              if (graft.operators.Sq16Store.sidecarExists(segDir))
+                graft.operators.Sq16Store.load(segDir)
+              else {
+                val codes = spark.read.parquet(
+                  s"${snapDir(tenant, index, m)}/sq16/codes")
+                val p = graft.operators.ScalarQuant.loadParams(
+                  s"${snapDir(tenant, index, m)}/sq16/params.json")
+                graft.operators.Sq16Store.buildResident(
+                  codes, dim, p.min, p.max, estBytes = est)
+              }
             GraftEngine.registerSq16(store, store.bytes)
             (Some(store), true)
           }
+      }
+    }
+
+  /** Degraded-tier u8 store (see `refineU8Fallback`): derived by
+    * streaming the sq16 SEGMENT sidecar at half size, against the SAME
+    * budget line as the sq16 store (it is the refine-store budget;
+    * the whole point is fitting where the full-precision copy did not).
+    * Snapshots without a segment sidecar memoize None — the degraded
+    * tier exists for budget-tight serving, which reads sidecars written
+    * at build time. */
+  private val sq8StoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[graft.operators.Sq8Store]]
+  private def sq8StoreOf(tenant: String, index: String,
+                         m: Manifest): Option[graft.operators.Sq8Store] =
+    residentMemo(sq8StoreCache, s"$tenant/$index/v${m.version}") {
+      val segDir = s"${snapDir(tenant, index, m)}/sq16/segments"
+      if (!graft.operators.Sq16Store.sidecarExists(segDir)) (None, true)
+      else {
+        val (n, dim) = graft.operators.Sq16Store.sidecarStats(segDir)
+        if (n == 0) (None, true)
+        else {
+          val est = graft.operators.Sq8Store.estimateBytes(n, dim)
+          if (est > sq16MaxBytes) (None, true)
+          else if (GraftEngine.sq16BytesUsed + est >
+              GraftEngine.Sq16GlobalMaxBytes) (None, false)
+          else {
+            val store = graft.operators.Sq16Store.loadAsU8(segDir)
+            GraftEngine.registerSq16(store, store.bytes)
+            (Some(store), true)
+          }
+        }
       }
     }
 
@@ -1972,10 +2079,14 @@ class GraftEngine(spark: SparkSession, root: String,
           // the big packed collects: clusterCounts is a corpus-wide
           // groupBy job (~2.4 s at the 10M rung — measured as exactly
           // the residue the r8 warm-boot bench row exposed when warm
-          // only touched packedDriver), centroidsLocal a small collect
-          val poolOpt =
-            if (m.nVectors <= RowsServeMaxRows) idPoolOf(tenant, index, m)
-            else None
+          // only touched packedDriver), centroidsLocal a small collect.
+          // The id pool warms AFTER the algo-specific residency checks,
+          // mirroring the serving path's codes → pool → store gate order
+          // (searchRowsTraced): a codes-denied PQ index or a graph-denied
+          // HNSW index can never serve rows-native, so warming its pool
+          // would strand bytes against IdPoolGlobalMaxBytes for a tier
+          // that will never run (ADVICE r9)
+          val rowsSized = m.nVectors <= RowsServeMaxRows
           m.algo match {
             case "IVF_PQ" =>
               val pq = pqIndexOf(tenant, index, m)
@@ -1988,15 +2099,24 @@ class GraftEngine(spark: SparkSession, root: String,
               // decision, after codes and pool admit): a pool-denied
               // index can never serve rows-native, so warming its store
               // would strand the bytes against the global sq16 line
-              if (pq.packedDriver.isDefined && poolOpt.isDefined)
-                sq16StoreOf(tenant, index, m)
-            case "HNSW" => hnswGraphsOf(tenant, index, m)
+              if (rowsSized && pq.packedDriver.isDefined &&
+                  idPoolOf(tenant, index, m).isDefined) {
+                if (sq16StoreOf(tenant, index, m).isEmpty && refineU8Fallback)
+                  sq8StoreOf(tenant, index, m)
+              }
+            case "HNSW" =>
+              // serving computes graphs only for rows-sized corpora; the
+              // same gate here keeps warm from paying a graph collect an
+              // oversized index would re-deny at serve time
+              if (rowsSized && hnswGraphsOf(tenant, index, m).isDefined)
+                idPoolOf(tenant, index, m)
             case _ =>
               val tail = tailIndexOf(tenant, index, m)
               tail.packedDriver
               tail.centroidsLocal
               tail.clusterCounts
               tail.sizeStats
+              if (rowsSized) idPoolOf(tenant, index, m)
           }
           ok += 1
         } else skipped += 1
@@ -2063,6 +2183,10 @@ class GraftEngine(spark: SparkSession, root: String,
     sq16StoreCache.keys.toSeq.foreach { k =>
       if (versionOf(k).exists(_ < keep))
         sq16StoreCache.remove(k).foreach(_.foreach(GraftEngine.unregisterSq16))
+    }
+    sq8StoreCache.keys.toSeq.foreach { k =>
+      if (versionOf(k).exists(_ < keep))
+        sq8StoreCache.remove(k).foreach(_.foreach(GraftEngine.unregisterSq16))
     }
     // measurement memos (bytes, not handles) for evicted versions
     sq16StatsCache.keys.toSeq.foreach { k =>

@@ -82,6 +82,8 @@ object SidecarWire {
           case '"' => sb.append('"'); i += 2
           case '\\' => sb.append('\\'); i += 2
           case 'u' =>
+            require(i + 6 <= s.length,
+              s"truncated \\u escape in frame string value: $s")
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => sb.append(other); i += 2
@@ -96,23 +98,37 @@ object SidecarWire {
     val at = json.indexOf(k)
     require(at >= 0, s"frame row missing contract field '$name': $json")
     var i = at + k.length
+    require(i < json.length,
+      s"frame row truncated after contract field '$name': $json")
     if (json.charAt(i) == '"') {
       // escape-aware scan: a lookbehind on charAt(i-1) == '\\' misreads
       // a value ENDING in an escaped backslash ("a\\") — the backslash
       // before the closing quote is itself escaped, so the quote
-      // terminates; consume escape PAIRS instead of peeking back
+      // terminates; consume escape PAIRS instead of peeking back.
+      // Bounds-checked: a truncated frame (unterminated string, or a
+      // lone trailing backslash) must surface as the same descriptive
+      // contract-violation error every other parse path throws, not a
+      // raw StringIndexOutOfBoundsException (ADVICE r9)
       val sb = new StringBuilder
       i += 1
       var done = false
       while (!done) {
+        require(i < json.length,
+          s"frame row has unterminated string value for field '$name': $json")
         val c = json.charAt(i)
-        if (c == '\\') { sb.append(c).append(json.charAt(i + 1)); i += 2 }
+        if (c == '\\') {
+          require(i + 1 < json.length,
+            s"frame row ends in a dangling escape in field '$name': $json")
+          sb.append(c).append(json.charAt(i + 1)); i += 2
+        }
         else if (c == '"') done = true
         else { sb.append(c); i += 1 }
       }
       unesc(sb.toString)
     } else {
       val end = json.indexWhere(c => c == ',' || c == '}', i)
+      require(end >= 0,
+        s"frame row truncated inside value of field '$name': $json")
       json.substring(i, end).trim
     }
   }

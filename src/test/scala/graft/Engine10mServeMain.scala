@@ -80,7 +80,8 @@ object Engine10mServeMain {
     val codesResident =
       n * (pqM + 16L) <= graft.operators.IvfPq.PackedCodesMaxBytes
     val sq16Resident =
-      n * (8L + 2L * dim) + 64L <= GraftEngine.Sq16MaxBytesDefault
+      graft.operators.Sq16Store.estimateBytes(n, dim) <=
+        GraftEngine.Sq16MaxBytesDefault
     // "v" + decimal seq digits, the generator's id shape: the pool
     // estimate the engine itself computes (n·12 + Σ|id| + 32)
     val sumIdLen: Long = {

@@ -1583,6 +1583,57 @@ class EngineSpec extends SparkSpec {
       "both paths must serve the same refined answer")
   }
 
+  test("u8 degraded refine tier: opt-in, budget-gated between sq16 denial and plan fallback") {
+    val root = Files.createTempDirectory("engine_u8tier").toString
+    val eng = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(97)
+    val recs = (0 until 60).map(i =>
+      (s"v$i", Seq.fill(8)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    eng.add(mkRecords(recs))
+    eng.build("t1", "idx", nlist = 3, algo = "IVF_PQ", pqM = 2, pqK = 16)
+    // the build wrote the binary segment sidecar the u8 tier streams
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      s"$root/indexes/t1/idx/v1/sq16/segments/meta.json")))
+    val qv = Array.fill(8)(rng.nextFloat())
+    // full-precision reference answer (default budgets admit sq16)
+    val (rows16, tr16) = eng.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(tr16.path == "head+pqtail-refined", tr16)
+    // budget between est8 (1088) and est16 (1568) for this 60×8 store:
+    // sq16 denied, u8 admitted — but ONLY with the opt-in flag
+    val budget = 1200L
+    assert(graft.operators.Sq8Store.estimateBytes(60, 8) <= budget &&
+      graft.operators.Sq16Store.estimateBytes(60, 8) > budget,
+      "fixture must straddle the two estimates")
+    val deg = new GraftEngine(spark, root, sq16MaxBytes = budget,
+      refineU8Fallback = true)
+    val (rows8, tr8) = deg.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(tr8.path == "head+pqtail-refined-u8", tr8)
+    assert(rows8.length == 5)
+    // scores are true-metric over dequantized u8 vectors: monotone rank
+    assert(rows8.map(_._4).toSeq == rows8.map(_._4).sortBy(-_).toSeq)
+    // on this fixture's score gaps the coarser codes must still agree
+    // with the full-precision top-k on at least 4 of 5 ids (the gauge
+    // recall story; exact equality would pin uint8 rounding artifacts)
+    assert(rows8.map(_._3).toSet.intersect(rows16.map(_._3).toSet).size >= 4,
+      s"u8=${rows8.toSeq} vs sq16=${rows16.toSeq}")
+    // same budget WITHOUT opt-in: plan fallback (scores must match the
+    // plan's sq16 rerank — the default never silently degrades)
+    val noOpt = new GraftEngine(spark, root, sq16MaxBytes = budget)
+    val (rowsN, trN) = noOpt.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trN.path == "plan-fallback", trN)
+    assert(rowsN.toSeq == rows16.toSeq)
+    // budget below BOTH estimates: opt-in engine still takes the plan
+    val deny = new GraftEngine(spark, root, sq16MaxBytes = 16L,
+      refineU8Fallback = true)
+    val (rowsD, trD) = deny.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trD.path == "plan-fallback", trD)
+    assert(rowsD.toSeq == rows16.toSeq)
+  }
+
   test("beam-filtered HNSW: new semantics flag returns reachable members the parity post-filter loses; scoped cache keys") {
     val root = Files.createTempDirectory("engine_hnswbeam").toString
     val eng = new GraftEngine(spark, root)

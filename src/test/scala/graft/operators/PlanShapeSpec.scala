@@ -193,13 +193,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\((span|col)#".r.findFirstIn(plan).isEmpty, plan)
   }
 
-  test("star edges: the band table crosses ONE exchange (the window's), no cache, no self-join") {
-    // the corpus-scale property of the r9 star stage: bucket-min comes
-    // from a window aggregate, so the bands×corpus table is shuffled
-    // exactly once (on the fused single-long bucket key) and never
-    // persisted — the second hashpartitioning in the plan is the
-    // distinct over the (tiny) edge set, and nothing joins the band
-    // table against itself or a mins table
+  test("star edges: one bucket exchange, per-task two-pass — no sort, no join, no cache") {
+    // the corpus-scale property of the r10 star stage: the bands×corpus
+    // table crosses exactly ONE exchange (the bucket repartition) into a
+    // per-task two-pass map — no Window (whose required per-partition
+    // ordering sorted the full 640M-row band table at the 10M rung,
+    // 87.2 s graded, the r9 stage's measured cost center), no sort, no
+    // join, nothing corpus-sized persisted. The second hashpartitioning
+    // in the plan is the distinct over the (tiny) edge set.
     val docs = (0L until 40L)
       .map(i => (i, (0 until 12).map(t => s"w${(i % 5 + t)}").mkString(" ")))
       .toDF("doc_id", "text")
@@ -209,18 +210,21 @@ class PlanShapeSpec extends SparkSpec {
         TextDedup.shingleHashesOfTokens(col("toks"), 3).as("sh"))
       .select(col("doc_id"),
         TextDedup.minhashUdf(16)(col("sh")).as("sig"))
-    val edges = TextDedup.starEdges(TextDedup.bandedTable(sigs, 16, 8))
+    val banded = TextDedup.bandedTable(sigs, 16, 8)
+    val edges = TextDedup.starEdges(banded)
     edges.collect() // finalize the adaptive plan
     // AQE's toString prints final + initial plans — assert on final only
     val plan = edges.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("Window"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Sort ["), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
     val exchanges = "Exchange hashpartitioning\\(([a-z0-9_]+)#".r
       .findAllMatchIn(plan).map(_.group(1)).toList
     assert(exchanges.count(_ == "bucket") == 1,
       s"band table must cross exactly one bucket exchange: $exchanges\n$plan")
     assert(!plan.contains("InMemoryTableScan"), plan)
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("verify hydrate BROADCASTS a checkpointed pair side under the gate: the shingle table never shuffles") {

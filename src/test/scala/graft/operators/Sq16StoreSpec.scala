@@ -107,4 +107,75 @@ class Sq16StoreSpec extends SparkSpec {
       .map(c => (mn.toDouble + c * delta).toFloat)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("segment sidecar roundtrip: multi-segment store loads bit-identical") {
+    val rng = new Random(29)
+    val rows = (0 until 200).map(_ => (rng.nextLong(), codesOf(rng)))
+      .distinctBy(_._1).sortBy(_._1)
+    val run = Sq16Store.packRun(
+      rows.iterator.map { case (id, cs) => (id, cs) }, dim).next()
+    // decimal-unrepresentable float params: the meta stores exact bits,
+    // so the loaded dequant must be bit-equal, not just close
+    val store = Sq16Store.merge(Array(run), dim, -1.1f, 2.7f, rowsPerSeg = 37)
+    val dir = java.nio.file.Files.createTempDirectory("sq16seg").toString
+    Sq16Store.save(store, dir)
+    assert(Sq16Store.sidecarExists(dir))
+    assert(Sq16Store.sidecarStats(dir) == ((rows.length.toLong, dim)))
+    val loaded = Sq16Store.load(dir)
+    assert(loaded.size == store.size)
+    assert(loaded.bytes == store.bytes)
+    rows.foreach { case (id, _) =>
+      val a = store.lookup(id); val b = loaded.lookup(id)
+      assert(a == b, s"row index drift at $id")
+      assert(loaded.dequant(b).toSeq == store.dequant(a).toSeq,
+        s"dequant drift at $id")
+    }
+  }
+
+  test("sidecar corruption fails loudly: truncation, reordering, version skew") {
+    val run = Sq16Store.packRun(
+      (0L until 30L).iterator.map(i => (i * 3, Array.fill(dim)(i.toInt))), dim)
+      .next()
+    val store = Sq16Store.merge(Array(run), dim, -1f, 1f, rowsPerSeg = 10)
+    def freshDir(): java.nio.file.Path = {
+      val d = java.nio.file.Files.createTempDirectory("sq16corrupt")
+      Sq16Store.save(store, d.toString)
+      d
+    }
+    // truncated segment file → size mismatch, named in the error
+    val d1 = freshDir()
+    val seg = d1.resolve("seg-00001.bin")
+    val ch = java.nio.channels.FileChannel.open(seg,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(java.nio.file.Files.size(seg) - 2) finally ch.close()
+    val e1 = intercept[IllegalArgumentException](Sq16Store.load(d1.toString))
+    assert(e1.getMessage.contains("truncated or mismatched"), e1.getMessage)
+    // byte-swapped ids → sort-order violation
+    val d2 = freshDir()
+    val p2 = d2.resolve("seg-00000.bin")
+    val bytes = java.nio.file.Files.readAllBytes(p2)
+    val tmp = bytes.take(8)
+    System.arraycopy(bytes, 8, bytes, 0, 8)
+    System.arraycopy(tmp.toArray, 0, bytes, 8, 8)
+    java.nio.file.Files.write(p2, bytes)
+    val e2 = intercept[IllegalArgumentException](Sq16Store.load(d2.toString))
+    assert(e2.getMessage.contains("ascending"), e2.getMessage)
+    // future meta version → refused, not misread
+    val d3 = freshDir()
+    val meta = d3.resolve("meta.json")
+    java.nio.file.Files.writeString(meta,
+      java.nio.file.Files.readString(meta)
+        .replace("\"version\": 1", "\"version\": 99"))
+    val e3 = intercept[IllegalArgumentException](Sq16Store.load(d3.toString))
+    assert(e3.getMessage.contains("version"), e3.getMessage)
+  }
+
+  test("empty store sidecar roundtrip") {
+    val store = Sq16Store.merge(Array.empty[Sq16Store.Run], dim, 0f, 1f)
+    val dir = java.nio.file.Files.createTempDirectory("sq16empty").toString
+    Sq16Store.save(store, dir)
+    val loaded = Sq16Store.load(dir)
+    assert(loaded.size == 0L)
+    assert(loaded.lookup(7L) == -1L)
+  }
 }

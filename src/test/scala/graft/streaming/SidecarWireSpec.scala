@@ -46,6 +46,25 @@ class SidecarWireSpec extends SparkSpec {
     assert(SidecarWire.decodeMetrics(Array.empty[Byte]).isEmpty)
   }
 
+  test("truncated frames throw the contract error, never an index exception") {
+    // each truncation class must surface as the descriptive
+    // IllegalArgumentException the other parse paths throw — a raw
+    // StringIndexOutOfBoundsException from the scanner leaks an
+    // unattributed crash to the transport loop (ADVICE r9)
+    def reject(js: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        SidecarWire.decodeMetrics(js.getBytes(UTF_8))
+      }
+      assert(e.getMessage.contains("frame row") ||
+        e.getMessage.contains("escape"), e.getMessage)
+    }
+    reject("""{"tenant":"a""") // unterminated string value
+    reject("""{"tenant":"a\""") // lone trailing backslash inside string
+    reject("""{"tenant":"a""" + "\\u12") // truncated \u escape
+    reject("""{"tenant":"t","window":7""") // numeric value, no terminator
+    reject("""{"tenant":""") // key present, value missing entirely
+  }
+
   test("plain TCP exchange: metrics out, policy decisions back") {
     val srv = new SidecarWire.Server(handler)
     try {
