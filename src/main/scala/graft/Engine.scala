@@ -105,7 +105,15 @@ object GraftEngine {
     * `-Dgraft.sq16.globalMaxBytes=<bytes>` (read once at class init —
     * the registry's ceiling must not move while stores are resident). */
   val Sq16GlobalMaxBytes: Long =
-    sys.props.get("graft.sq16.globalMaxBytes").map(_.toLong).getOrElse(
+    sys.props.get("graft.sq16.globalMaxBytes").map { s =>
+      // named error: a bad value would otherwise surface as an opaque
+      // ExceptionInInitializerError from this object's static init
+      try s.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"-Dgraft.sq16.globalMaxBytes must be a plain byte count, got '$s'")
+      }
+    }.getOrElse(
       math.min(12288L << 20, Runtime.getRuntime.maxMemory * 3 / 8))
   private val sq16Registry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, java.lang.Long]())
@@ -573,14 +581,24 @@ class GraftEngine(spark: SparkSession, root: String,
         // loads the rerank store by sequential file read (~disk
         // bandwidth) instead of re-running the parquet scan + encode +
         // k-way merge every boot (measured ~27 s at the 10M rung —
-        // the r9 warm-boot regression). Build-time cost is one extra
-        // read of the codes table; gated on THIS engine's per-store
-        // budget — past it, serving would deny residency anyway, so
-        // the transient driver-side merge would buy nothing. Reading
-        // BACK the parquet (rather than re-encoding from `state`) keeps
-        // the sidecar bit-identical to what a segment-less engine would
-        // build from the same snapshot, duplicate-surrogate resolution
-        // included (same files, same partition order).
+        // the r9 warm-boot regression). Build-time cost is two extra
+        // reads of the codes table (the sizing aggregation + the
+        // wave-fetch). Gated: written when the full store fits THIS
+        // engine's per-store budget (past it, serving would deny
+        // residency and the transient merge buys nothing), OR — for a
+        // u8-opted-in engine — when the HALF-SIZE store fits (the u8
+        // tier streams this sidecar; without it a budget-tight builder
+        // would strand its own serving on the plan fallback, the exact
+        // cliff the tier removes; the build then transiently holds the
+        // full-precision store it persists). The transient merge is
+        // additionally fenced on global-registry headroom and counted
+        // against it while alive, so a build inside a loaded serving
+        // JVM cannot stack an unaccounted multi-GB store on top of a
+        // near-ceiling registry. Reading BACK the parquet (rather than
+        // re-encoding from `state`) keeps the sidecar bit-identical to
+        // what a segment-less engine would build from the same
+        // snapshot, duplicate-surrogate resolution included (same
+        // files, same partition order).
         locally {
           val codesDf = spark.read.parquet(s"$dir/sq16/codes")
           val st = codesDf.agg(count(lit(1)), min(size(col("qvec16"))),
@@ -589,10 +607,16 @@ class GraftEngine(spark: SparkSession, root: String,
           if (n16 > 0 && !st.isNullAt(1) && st.getInt(1) == st.getInt(2)) {
             val d16 = st.getInt(1)
             val est = graft.operators.Sq16Store.estimateBytes(n16, d16)
-            if (est <= sq16MaxBytes) {
+            val wanted = est <= sq16MaxBytes ||
+              (refineU8Fallback &&
+                graft.operators.Sq8Store.estimateBytes(n16, d16) <= sq16MaxBytes)
+            if (wanted &&
+                GraftEngine.sq16BytesUsed + est <= GraftEngine.Sq16GlobalMaxBytes) {
               val store = graft.operators.Sq16Store.buildResident(
                 codesDf, d16, p16.min, p16.max, estBytes = est)
-              graft.operators.Sq16Store.save(store, s"$dir/sq16/segments")
+              GraftEngine.registerSq16(store, store.bytes)
+              try graft.operators.Sq16Store.save(store, s"$dir/sq16/segments")
+              finally GraftEngine.unregisterSq16(store)
             }
           }
         }

@@ -540,13 +540,16 @@ object TextDedup {
     * now exchange-bound, which is the 100-TB property a cluster absorbs
     * with executor count.
     *
-    * Per-task memory is the partition's rows (16 B/row in two primitive
-    * arrays + a half-loaded long map): parts = 8× the session's shuffle
-    * partitions keeps that at ~40 MB/task at the 10M rung; the one
-    * irreducible skew bound is the largest near-dup cluster's bands·c
-    * rows hashing to one task's buckets — the same bound the window
-    * form's per-bucket buffer had. Shared by the pipeline and the stage
-    * profiler so they can never measure different plans. */
+    * Per-task memory ≈ 100 B per buffered row (16 B row buffer + a
+    * ≤ 0.5-loaded open-addressing map at 17 B/slot one-star,
+    * 25 B/slot two-star, over a [2n, 4n) power-of-2 capacity) plus the
+    * emitted-edge buffer: ~250 MB/task at the 10M rung's 2.5M rows/task
+    * — size `spark.sql.shuffle.partitions` (parts = 8× it) so this fits
+    * the executor; the row count per task is require-guarded at 2^28.
+    * The one irreducible skew bound is the largest near-dup cluster's
+    * bands·c rows hashing to one task's buckets — the same bound the
+    * window form's per-bucket buffer had. Shared by the pipeline and
+    * the stage profiler so they can never measure different plans. */
   private[operators] def starEdges(banded: DataFrame,
                                    stars: Int = 1): DataFrame = {
     require(stars == 1 || stars == 2,
@@ -575,12 +578,21 @@ object TextDedup {
         }
         if (n == 0) Iterator.empty
         else {
-          // pass 1: open-addressing bucket → (min, min2), power-of-2
-          // capacity at ≤ 0.5 load
+          // pass 1: open-addressing bucket → (min[, min2]), power-of-2
+          // capacity at ≤ 0.5 load. Guarded against Int overflow: a
+          // task holding ≥ 2^28 rows would push the *4 capacity past
+          // Int range — fail with the remedy named instead of a
+          // NegativeArraySizeException (same loud-failure discipline
+          // as the buffer growth above).
+          require(n < (1 << 28),
+            s"starEdges task buffered $n band rows — per-task bound blown " +
+              "(raise spark.sql.shuffle.partitions; parts = 8x that conf)")
           val cap = Integer.highestOneBit(math.max(16, n)) * 4
           val keys = new Array[Long](cap)
           val min1 = new Array[Long](cap)
-          val min2 = new Array[Long](cap)
+          // second-min tracked only when a second hub is asked for —
+          // at one star the array would be pure per-task waste
+          val min2 = if (twoStars) new Array[Long](cap) else null
           val used = new Array[Boolean](cap)
           val mask = cap - 1
           def slot(k: Long): Int = {
@@ -594,9 +606,11 @@ object TextDedup {
             val s = slot(bk(i)); val d = dc(i)
             if (!used(s)) {
               used(s) = true; keys(s) = bk(i)
-              min1(s) = d; min2(s) = Long.MaxValue
-            } else if (d < min1(s)) { min2(s) = min1(s); min1(s) = d }
-            else if (d != min1(s) && d < min2(s)) min2(s) = d
+              min1(s) = d; if (twoStars) min2(s) = Long.MaxValue
+            } else if (d < min1(s)) {
+              if (twoStars) min2(s) = min1(s)
+              min1(s) = d
+            } else if (twoStars && d != min1(s) && d < min2(s)) min2(s) = d
             i += 1
           }
           // pass 2: emit (hub, member) — and (second hub, member) for
@@ -654,9 +668,9 @@ object TextDedup {
         sigs.count()
       }),
       ("star_edges", () => {
-        // band explode + hub hash-agg + broadcast edge join + distinct,
-        // one stage — nothing corpus-sized persisted (see starEdges);
-        // both band-table scans read the persisted sigs
+        // band explode + one bucket exchange + per-task two-pass map +
+        // distinct, one stage — no sort, nothing corpus-sized persisted
+        // (see starEdges); the single band scan reads the persisted sigs
         star = starEdges(bandedTable(sigs, numHashes, bands))
           .localCheckpoint()
         val n = star.count()

@@ -1632,6 +1632,31 @@ class EngineSpec extends SparkSpec {
       5, "L2", nprobe = 2, refine = 5)
     assert(trD.path == "plan-fallback", trD)
     assert(rowsD.toSeq == rows16.toSeq)
+    // a budget-tight engine that OPTED IN and runs the BUILD itself must
+    // still write the segment sidecar (the u8 tier streams it; the
+    // build gate keying on the full-precision estimate alone stranded
+    // exactly this deployment on the plan fallback — r10 review)
+    val root2 = Files.createTempDirectory("engine_u8build").toString
+    val tight = new GraftEngine(spark, root2, sq16MaxBytes = budget,
+      refineU8Fallback = true)
+    tight.add(mkRecords(recs))
+    tight.build("t1", "idx", nlist = 3, algo = "IVF_PQ", pqM = 2, pqK = 16)
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      s"$root2/indexes/t1/idx/v1/sq16/segments/meta.json")),
+      "opted-in tight-budget build must persist the sidecar")
+    val (rowsT, trT) = tight.searchRowsTraced("t1", "idx", Array((1L, qv)),
+      5, "L2", nprobe = 2, refine = 5)
+    assert(trT.path == "head+pqtail-refined-u8", trT)
+    assert(rowsT.map(_._3).toSet == rows8.map(_._3).toSet)
+    // same tight budget WITHOUT the opt-in: the build skips the sidecar
+    // (the transient full-precision merge would buy nothing)
+    val root3 = Files.createTempDirectory("engine_u8off").toString
+    val tightOff = new GraftEngine(spark, root3, sq16MaxBytes = budget)
+    tightOff.add(mkRecords(recs))
+    tightOff.build("t1", "idx", nlist = 3, algo = "IVF_PQ", pqM = 2, pqK = 16)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$root3/indexes/t1/idx/v1/sq16/segments")),
+      "non-opted tight-budget build must not pay the sidecar merge")
   }
 
   test("beam-filtered HNSW: new semantics flag returns reachable members the parity post-filter loses; scoped cache keys") {
