@@ -1170,6 +1170,60 @@ object Bench {
     val lat1mP99 = lat1m(lat1m.length * 98 / 100)
     System.err.println(
       f"# bench-runs ivf_1m_single_query_ms p50=$lat1mP50%.3f p99=$lat1mP99%.3f n=${lat1m.length}")
+    // HNSW at the 1M rung — the one operator family previously proven
+    // only at 100k (r9 optional #8). One graph per core is the
+    // production partitioning (the recall GAUGE stays the 100k row,
+    // where 4 partitions keep the n-way top-k union from hiding beam
+    // quality); serving is the zero-job resident tier via the
+    // (query × graph)-pair-parallel beam (sequential sub-graph walks
+    // read p50 53 ms here — the 100k rung's 4 graphs masked it; the
+    // pair-parallel form reads ~3 ms). Ground truth for recall is the
+    // SAME 1M IVF index probed exhaustively (nprobe = nlist ⇒ exact).
+    // Guarded: a failure costs these rows only.
+    var ratesHnsw1m: Map[String, Double] = Map.empty
+    try {
+      val tHb0 = System.nanoTime()
+      val hnsw1m = graft.operators.Hnsw.build(
+        synth1m.select(col("id"), col("vec")), "L2", m = 32,
+        efConstruction = 200, numPartitions = nCpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hnsw1m.count()
+      val tHnswBuild1m = (System.nanoTime() - tHb0) / 1e9
+      val local1m = hnsw1m.collect()
+      graft.operators.Hnsw.searchLocalRows(local1m, Array(q100x1m.head), 10,
+        efSearch = 64)
+      val latH1m = stormGuarded("hnsw_1m") {
+        (0 until 3).flatMap(_ => q100x1m.map { q =>
+          val t0 = System.nanoTime()
+          graft.operators.Hnsw.searchLocalRows(local1m, Array(q), 10,
+            efSearch = 64)
+          (System.nanoTime() - t0) / 1e6
+        }).toArray.sorted
+      }
+      val exact1m = IvfFlat.searchLocalRows(idx1m, q100x1m, "L2", 10,
+          nprobe = 128, spark)
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+      val got1m = graft.operators.Hnsw.searchLocalRows(local1m, q100x1m, 10,
+          efSearch = 64)
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+      val hnswRecall1m = exact1m.map { case (q, e) =>
+        got1m.get(q).map(g => (g & e).size.toDouble / e.size).getOrElse(0.0)
+      }.sum / exact1m.size
+      System.err.println(
+        f"# bench-runs hnsw_1m build=$tHnswBuild1m%.1f " +
+          f"p50=${latH1m(latH1m.length / 2)}%.3f " +
+          f"p99=${latH1m(latH1m.length * 98 / 100)}%.3f " +
+          f"recall10_ef64=$hnswRecall1m%.4f n=${latH1m.length}")
+      ratesHnsw1m = Map(
+        "hnsw_1m_build_sec" -> tHnswBuild1m,
+        "hnsw_1m_serving_p50_ms" -> latH1m(latH1m.length / 2),
+        "hnsw_1m_serving_p99_ms" -> latH1m(latH1m.length * 98 / 100),
+        "hnsw_1m_recall10_ef64" -> hnswRecall1m)
+      hnsw1m.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"# bench-runs hnsw_1m FAILED: ${e.getMessage}")
+    }
     synth1m.unpersist()
     idx1m.assigned.unpersist(); idx1m.packed.unpersist()
 
@@ -1782,7 +1836,7 @@ object Bench {
       "pq_100k_recall10_sq16_wire_refined50" -> sq16WireRecall,
       "hnsw_100k_serving_p50_ms" -> hnswServeP50,
       "hnsw_100k_serving_p99_ms" -> hnswServeP99) ++
-      rates10m ++ ratesDedup ++ ratesEmb
+      ratesHnsw1m ++ rates10m ++ ratesDedup ++ ratesEmb
 
     sentinel("end")
     val total = results.filter(_._2 >= 0).values.sum
@@ -2015,6 +2069,8 @@ object Bench {
     "ivf_100k_recall10_nprobe10", "hnsw_100k_recall10_ef128",
     "pq_100k_recall10_refined50",
     "hnsw_100k_serving_p50_ms", "hnsw_100k_serving_p99_ms",
+    "hnsw_1m_build_sec", "hnsw_1m_serving_p50_ms", "hnsw_1m_serving_p99_ms",
+    "hnsw_1m_recall10_ef64",
     "engine_pq_10m_cold_first_call_sec", "engine_pq_10m_refined_cold_sec",
     "engine_pq_10m_u8_p50_ms", "engine_pq_10m_u8_recall10",
     "engine_pq_10m_u8_cold_sec",
