@@ -958,6 +958,11 @@ class GraftEngine(spark: SparkSession, root: String,
     val adc = graft.operators.IvfPq.searchLocalRowsPath(pqIdx, tq, kAdc,
       nprobe, spark, mtBound = pqServeMaxLookupsMT)
     val byQuery = adc.groupBy(_._1)
+    // one scratch vector for the whole call's reranks (queries are
+    // processed sequentially here): k·refine fresh dequant arrays per
+    // call were ~256 KB of young-gen garbage each, measured as the
+    // refined row's p99 tail
+    val scratch = new Array[Float](store.dim)
     queries.indices.flatMap { qi =>
       val (qid, qvRaw) = queries(qi)
       // rows arrive rank-ordered (raw ADC desc, surrogate asc — the same
@@ -972,7 +977,8 @@ class GraftEngine(spark: SparkSession, root: String,
         val row = store.lookup(surr)
         require(row >= 0,
           s"${store.kind} store missing surrogate $surr — snapshot/store version skew")
-        (surr, IvfFlat.candidateScore(metricU, qvRaw, store.dequant(row)))
+        store.dequantInto(row, scratch)
+        (surr, IvfFlat.candidateScore(metricU, qvRaw, scratch))
       }.toArray
       reranked.sortBy { case (surr, s) => (-s, surr) }.take(k).zipWithIndex
         .map { case ((surr, s), r) => (qid, r + 1, surr, s) }

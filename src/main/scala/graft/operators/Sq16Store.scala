@@ -14,8 +14,18 @@ trait RefineStore extends Serializable {
   def bytes: Long
   /** Global row index of a surrogate id, or -1 when absent. */
   def lookup(id: Long): Long
-  /** Dequantized vector of global row `row`. */
-  def dequant(row: Long): Array[Float]
+  /** Dequantized vector of global row `row` into a CALLER-OWNED buffer
+    * of length [[dim]] — the rerank hot loop's form: k·refine candidate
+    * dequants per call otherwise allocate ~256 KB of float-array
+    * garbage each, and young-GC pauses were the refined row's measured
+    * p99 tail (r10: 14.6-41.8 ms across quiet runs at a ~9 ms p50). */
+  def dequantInto(row: Long, out: Array[Float]): Unit
+  /** Allocating form of [[dequantInto]] (specs, one-off callers). */
+  final def dequant(row: Long): Array[Float] = {
+    val out = new Array[Float](dim)
+    dequantInto(row, out)
+    out
+  }
   /** Tier label for traces/tests: "sq16" or "u8". */
   def kind: String
 }
@@ -131,18 +141,16 @@ final class Sq16Store private[operators] (
   /** Dequantized vector of global row `row` — bit-exact twin of the
     * plan-side decode expression ((mn + code·delta).toFloat, double
     * arithmetic). */
-  def dequant(row: Long): Array[Float] = {
+  def dequantInto(row: Long, out: Array[Float]): Unit = {
     val seg = segOf(row)
     val codes = segCodes(seg)
     val off = (row - segStarts(seg)).toInt * dim
-    val out = new Array[Float](dim)
     val mnD = mn.toDouble
     var i = 0
     while (i < dim) {
       out(i) = (mnD + (codes(off + i) & 0xffff) * delta).toFloat
       i += 1
     }
-    out
   }
 }
 
@@ -204,21 +212,19 @@ final class Sq8Store private[operators] (
     if (i < 0) -1L else segStarts(seg) + i
   }
 
-  def dequant(row: Long): Array[Float] = {
+  def dequantInto(row: Long, out: Array[Float]): Unit = {
     val p = java.util.Arrays.binarySearch(segStarts, row)
     val seg = if (p >= 0) p else -p - 2
     require(seg >= 0 && seg < segIds.length && row < size,
       s"u8 row $row out of range [0, $size)")
     val codes = segCodes(seg)
     val off = (row - segStarts(seg)).toInt * dim
-    val out = new Array[Float](dim)
     val mnD = mn.toDouble
     var i = 0
     while (i < dim) {
       out(i) = (mnD + (codes(off + i) & 0xff) * delta).toFloat
       i += 1
     }
-    out
   }
 
   /** The uint8 code cell (specs/debugging). */
