@@ -108,11 +108,18 @@ object GraftEngine {
     sys.props.get("graft.sq16.globalMaxBytes").map { s =>
       // named error: a bad value would otherwise surface as an opaque
       // ExceptionInInitializerError from this object's static init
-      try s.trim.toLong
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"-Dgraft.sq16.globalMaxBytes must be a plain byte count, got '$s'")
-      }
+      val v =
+        try s.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"-Dgraft.sq16.globalMaxBytes must be a plain byte count, got '$s'")
+        }
+      // a zero/negative ceiling would silently deny every refine store
+      // (used + est <= 0 never holds) instead of failing at init like
+      // the NumberFormat case (ADVICE r10)
+      if (v <= 0) throw new IllegalArgumentException(
+        s"-Dgraft.sq16.globalMaxBytes must be positive, got '$s'")
+      v
     }.getOrElse(
       math.min(12288L << 20, Runtime.getRuntime.maxMemory * 3 / 8))
   private val sq16Registry = java.util.Collections.synchronizedMap(
@@ -129,6 +136,22 @@ object GraftEngine {
     sq16Registry.put(h, java.lang.Long.valueOf(bytes))
   private[graft] def unregisterSq16(h: AnyRef): Unit =
     sq16Registry.remove(h)
+  /** Atomic check-and-reserve against the global refine-store line:
+    * returns a placeholder token holding `bytes` when headroom exists,
+    * None otherwise. Callers build under the reservation and swap to the
+    * real store (register store, unregister token) — closing the TOCTOU
+    * where two concurrent admissions both pass the same `sq16BytesUsed`
+    * pre-check and overshoot the ceiling together (ADVICE r10). The
+    * whole check+put runs under the registry's own monitor (the
+    * synchronizedMap wrapper — reentrant with [[sq16BytesUsed]]). */
+  private[graft] def tryReserveSq16(bytes: Long): Option[AnyRef] =
+    sq16Registry.synchronized {
+      if (sq16BytesUsed + bytes <= Sq16GlobalMaxBytes) {
+        val token = new Object
+        sq16Registry.put(token, java.lang.Long.valueOf(bytes))
+        Some(token)
+      } else None
+    }
 
   /** Per-part AND of two aligned row-position bitmap sets (the
     * multi-tag conjunction on the resident tier). */
@@ -172,7 +195,14 @@ class GraftEngine(spark: SparkSession, root: String,
                   pqServeMaxLookupsMT: Long =
                     graft.operators.IvfPq.PqServeMaxLookupsMT,
                   sq16MaxBytes: Long = GraftEngine.Sq16MaxBytesDefault,
-                  refineU8Fallback: Boolean = false) {
+                  refineU8Fallback: Boolean = false,
+                  sq16IgnoreSidecar: Boolean = false) {
+  // sq16IgnoreSidecar: serve the refine store via the wave-fetch build
+  // even when the snapshot carries the binary segment sidecar — an
+  // attribution/ops escape hatch (A/B the two load paths on one
+  // corpus, or serve a snapshot whose sidecar is suspected corrupt
+  // without deleting it). Content is bit-identical either way
+  // (Sq16StoreSpec pins the roundtrip); only load cost differs.
 
   private def withManifestLock[T](tenant: String, index: String)(f: => T): T =
     GraftEngine.lockFor(root, tenant, index).synchronized(f)
@@ -610,13 +640,19 @@ class GraftEngine(spark: SparkSession, root: String,
             val wanted = est <= sq16MaxBytes ||
               (refineU8Fallback &&
                 graft.operators.Sq8Store.estimateBytes(n16, d16) <= sq16MaxBytes)
-            if (wanted &&
-                GraftEngine.sq16BytesUsed + est <= GraftEngine.Sq16GlobalMaxBytes) {
-              val store = graft.operators.Sq16Store.buildResident(
-                codesDf, d16, p16.min, p16.max, estBytes = est)
-              GraftEngine.registerSq16(store, store.bytes)
-              try graft.operators.Sq16Store.save(store, s"$dir/sq16/segments")
-              finally GraftEngine.unregisterSq16(store)
+            if (wanted) GraftEngine.tryReserveSq16(est).foreach { token =>
+              // the reservation covers the multi-second wave-fetch +
+              // merge itself, not just the finished store — two
+              // concurrent builds can no longer both pass the same
+              // headroom pre-check and overshoot together (ADVICE r10)
+              try {
+                val store = graft.operators.Sq16Store.buildResident(
+                  codesDf, d16, p16.min, p16.max, estBytes = est)
+                GraftEngine.registerSq16(store, store.bytes)
+                GraftEngine.unregisterSq16(token) // swap reserve → real
+                try graft.operators.Sq16Store.save(store, s"$dir/sq16/segments")
+                finally GraftEngine.unregisterSq16(store)
+              } finally GraftEngine.unregisterSq16(token) // no-op if swapped
             }
           }
         }
@@ -1809,9 +1845,11 @@ class GraftEngine(spark: SparkSession, root: String,
                           m: Manifest): Option[graft.operators.Sq16Store] =
     residentMemo(sq16StoreCache, s"$tenant/$index/v${m.version}") {
       val segDir = s"${snapDir(tenant, index, m)}/sq16/segments"
+      val useSidecar = !sq16IgnoreSidecar &&
+        graft.operators.Sq16Store.sidecarExists(segDir)
       val ndOpt = sq16StatsCache.getOrElseUpdate(
         s"$tenant/$index/v${m.version}", {
-          if (graft.operators.Sq16Store.sidecarExists(segDir)) {
+          if (useSidecar) {
             // segment sidecar: rows/dim from its meta — no Spark job
             // (the parquet aggregation below scans the full array
             // column just to size it)
@@ -1842,26 +1880,39 @@ class GraftEngine(spark: SparkSession, root: String,
           // ceiling exists to deny around
           if (est > sq16MaxBytes)
             (None, true)
-          else if (GraftEngine.sq16BytesUsed + est >
-              GraftEngine.Sq16GlobalMaxBytes)
-            (None, false)
-          else {
-            // segment sidecar when the snapshot carries it (sequential
-            // file read, no Spark jobs); wave-fetch build for
-            // pre-sidecar snapshots
-            val store =
-              if (graft.operators.Sq16Store.sidecarExists(segDir))
-                graft.operators.Sq16Store.load(segDir)
-              else {
-                val codes = spark.read.parquet(
-                  s"${snapDir(tenant, index, m)}/sq16/codes")
-                val p = graft.operators.ScalarQuant.loadParams(
-                  s"${snapDir(tenant, index, m)}/sq16/params.json")
-                graft.operators.Sq16Store.buildResident(
-                  codes, dim, p.min, p.max, estBytes = est)
-              }
-            GraftEngine.registerSq16(store, store.bytes)
-            (Some(store), true)
+          else GraftEngine.tryReserveSq16(est) match {
+            case None => (None, false)
+            case Some(token) =>
+              // the reservation covers the load/build window, so two
+              // snapshots admitting concurrently can't both pass one
+              // headroom read and overshoot the ceiling (ADVICE r10)
+              try {
+                // segment sidecar when the snapshot carries it
+                // (sequential file read, no Spark jobs); wave-fetch
+                // build for pre-sidecar snapshots (or when the
+                // deployment opts out via sq16IgnoreSidecar)
+                val store =
+                  if (useSidecar)
+                    graft.operators.Sq16Store.load(segDir)
+                  else {
+                    val codes = spark.read.parquet(
+                      s"${snapDir(tenant, index, m)}/sq16/codes")
+                    val p = graft.operators.ScalarQuant.loadParams(
+                      s"${snapDir(tenant, index, m)}/sq16/params.json")
+                    graft.operators.Sq16Store.buildResident(
+                      codes, dim, p.min, p.max, estBytes = est)
+                  }
+                GraftEngine.registerSq16(store, store.bytes)
+                // upgrade path (ADVICE r10): a u8 store admitted while
+                // sq16 was globally denied would otherwise stay
+                // registered against the refine line for the snapshot's
+                // lifetime while never served again (the serve path's
+                // orElse short-circuits once this store exists) — evict
+                // its memo and return its share
+                sq8StoreCache.remove(s"$tenant/$index/v${m.version}")
+                  .foreach(_.foreach(GraftEngine.unregisterSq16))
+                (Some(store), true)
+              } finally GraftEngine.unregisterSq16(token)
           }
       }
     }
@@ -1886,12 +1937,14 @@ class GraftEngine(spark: SparkSession, root: String,
         else {
           val est = graft.operators.Sq8Store.estimateBytes(n, dim)
           if (est > sq16MaxBytes) (None, true)
-          else if (GraftEngine.sq16BytesUsed + est >
-              GraftEngine.Sq16GlobalMaxBytes) (None, false)
-          else {
-            val store = graft.operators.Sq16Store.loadAsU8(segDir)
-            GraftEngine.registerSq16(store, store.bytes)
-            (Some(store), true)
+          else GraftEngine.tryReserveSq16(est) match {
+            case None => (None, false)
+            case Some(token) =>
+              try {
+                val store = graft.operators.Sq16Store.loadAsU8(segDir)
+                GraftEngine.registerSq16(store, store.bytes)
+                (Some(store), true)
+              } finally GraftEngine.unregisterSq16(token)
           }
         }
       }

@@ -1659,6 +1659,53 @@ class EngineSpec extends SparkSpec {
       "non-opted tight-budget build must not pay the sidecar merge")
   }
 
+  test("sq16 global-denial retry upgrades past a resident u8 store and returns its share") {
+    // ADVICE r10: a global-line sq16 denial is NOT memoized (headroom
+    // can return), so an opted-in engine admits + memoizes the u8
+    // store; a later refined call that retries and admits sq16 must
+    // EVICT the u8 store's registry share — otherwise both stores stay
+    // counted against Sq16GlobalMaxBytes for the snapshot's lifetime
+    // while orElse never serves the u8 one again.
+    val root = Files.createTempDirectory("engine_u8upgrade").toString
+    val builder = new GraftEngine(spark, root)
+    val rng = new scala.util.Random(103)
+    val recs = (0 until 60).map(i =>
+      (s"v$i", Seq.fill(8)(rng.nextFloat()), null: String, Seq.empty[String], 100L))
+    builder.add(mkRecords(recs))
+    builder.build("t1", "idx", nlist = 3, algo = "IVF_PQ", pqM = 2, pqK = 16)
+    val est16 = graft.operators.Sq16Store.estimateBytes(60, 8)
+    val est8 = graft.operators.Sq8Store.estimateBytes(60, 8)
+    val qv = Array.fill(8)(rng.nextFloat())
+    // fresh opted-in engine with a per-store budget that ADMITS sq16 —
+    // only the GLOBAL line will deny it
+    val eng = new GraftEngine(spark, root, refineU8Fallback = true)
+    val base = GraftEngine.sq16BytesUsed
+    // consume global headroom down to a sliver that straddles the two
+    // estimates: sq16 denied on the global line, u8 still admitted
+    val blocker = new Object
+    GraftEngine.registerSq16(blocker,
+      GraftEngine.Sq16GlobalMaxBytes - base - est16 + 1)
+    val usedWithU8 =
+      try {
+        val (rows8, tr8) = eng.searchRowsTraced("t1", "idx",
+          Array((1L, qv)), 5, "L2", nprobe = 2, refine = 5)
+        assert(tr8.path == "head+pqtail-refined-u8", tr8)
+        assert(rows8.length == 5)
+        GraftEngine.sq16BytesUsed
+      } finally GraftEngine.unregisterSq16(blocker)
+    // headroom restored: the retry must admit sq16 AND return the u8
+    // share (weak-registry GC can only shrink the count further, so the
+    // net-growth bound below is one-sided safe)
+    val (rows16, tr16) = eng.searchRowsTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", nprobe = 2, refine = 5)
+    assert(tr16.path == "head+pqtail-refined", tr16)
+    assert(rows16.length == 5)
+    val after = GraftEngine.sq16BytesUsed
+    assert(after - base <= est16,
+      s"u8 store not evicted on sq16 upgrade: base=$base withU8=$usedWithU8 " +
+        s"after=$after est16=$est16 est8=$est8")
+  }
+
   test("beam-filtered HNSW: new semantics flag returns reachable members the parity post-filter loses; scoped cache keys") {
     val root = Files.createTempDirectory("engine_hnswbeam").toString
     val eng = new GraftEngine(spark, root)

@@ -111,6 +111,47 @@ class ManagementSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("refine-tier sidecar parity: export → import serves refined resident without the codes table") {
+    // r10 verdict #6: a copied snapshot must serve REFINED on the
+    // destination from the exported binary segment sidecar — no
+    // wave-fetch rebuild. Proof device: delete the sq16 codes TABLE on
+    // the destination after import; a resident refined answer can then
+    // only come from the sidecar (the wave-fetch path needs the table).
+    val m1 = mkMgmt()
+    m1.createIndex("t1", "idx", DeclaredIndex(dim = 8, algo = "IVF_PQ",
+      nlist = 2, pqM = 4, pqK = 8))
+    val rng = new scala.util.Random(11)
+    val recs = (0 until 40).map(i => (s"v$i", Seq.fill(8)(rng.nextFloat())))
+    m1.engine.add(mkRecords(recs))
+    m1.buildIndex("t1", "idx")
+    val dest = Files.createTempDirectory("snap_sidecar").toString
+    m1.snapshotIndex("t1", "idx", dest)
+    // the export tree carries the sidecar verbatim
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      s"$dest/snapshot/sq16/segments/meta.json")),
+      "export must carry the binary segment sidecar")
+    val root2 = Files.createTempDirectory("mgmt").toString
+    val m2 = new Management(spark, root2)
+    m2.loadIndex("t1", "idx", dest)
+    val ver = m2.engine.manifest("t1", "idx").version
+    val codes = java.nio.file.Paths.get(
+      s"$root2/indexes/t1/idx/v$ver/sq16/codes")
+    assert(Files.isDirectory(codes), "import must land the codes table")
+    scala.reflect.io.Directory(new java.io.File(codes.toString))
+      .deleteRecursively()
+    val qv = recs(7)._2.toArray
+    val (rows2, tr2) = m2.engine.searchRowsTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", nprobe = 2, refine = 5)
+    assert(tr2.path == "head+pqtail-refined",
+      s"destination must serve refined from the sidecar, got $tr2")
+    // identical refined answer on both sides of the copy
+    val (rows1, tr1) = m1.engine.searchRowsTraced("t1", "idx",
+      Array((1L, qv)), 5, "L2", nprobe = 2, refine = 5)
+    assert(tr1.path == "head+pqtail-refined", tr1)
+    assert(rows2.toSeq == rows1.toSeq,
+      "sidecar-served refined answer must match the source engine")
+  }
+
   test("cache invalidate flips warm hits back to misses without flushing files") {
     val m = mkMgmt()
     m.createIndex("t1", "idx", DeclaredIndex(dim = 3, nlist = 2))
