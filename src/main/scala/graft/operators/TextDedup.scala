@@ -466,7 +466,16 @@ object TextDedup {
                                  n: Int, tau: Double,
                                  numHashes: Int = 128,
                                  bands: Int = 64,
-                                 stars: Int = 1): DataFrame = {
+                                 stars: Int = 1,
+                                 stageSecs: (String, Double) => Unit =
+                                   (_, _) => ()): DataFrame = {
+    // per-stage wall clock reported at the recipe's own boundary (the
+    // blocking stage-1 release below) — both stages end on an eager
+    // localCheckpoint, so the two callbacks partition the recipe's real
+    // cost and a slow composed run names which stage carried it
+    // (r10 verdict #2: the graded row read 1.5-1.8× its quiet band,
+    // unattributed)
+    val tStage0 = System.nanoTime()
     val base = docs
       .select(col("doc_id"), col(shardCol).as("__shard"),
         tokens(col("text")).as("toks"))
@@ -493,13 +502,75 @@ object TextDedup {
       // disk mid-stage-2 (NOTES_r9) while either stage alone fits.
       base.unpersist(blocking = true)
       System.gc()
+      stageSecs("stage1", (System.nanoTime() - tStage0) / 1e9)
+      val tStage2 = System.nanoTime()
       // stage 2: global star pass over stage-1 survivors only
       val kc = keepCanonical(docs.select("doc_id"), within)
       val survivors = docs.join(
         kc.filter(col("keep")).select("doc_id"), "doc_id")
       val cross = minhashLshStarPairs(survivors, n, tau, numHashes, bands, stars)
+      stageSecs("stage2", (System.nanoTime() - tStage2) / 1e9)
       within.unionByName(cross)
     } finally base.unpersist()
+  }
+
+  /** Scratch-bounded form of the star dedup recipe, for corpora whose
+    * full band exchange (docs × bands rows) PLUS a persisted shingle
+    * table would overrun the deployment's disk allotment — the
+    * composition a 100M-doc single-box rung (or a 100-TB cluster with a
+    * fixed per-executor scratch budget) actually runs. The `bands` LSH
+    * bands are processed in `bandGroups` consecutive groups: each group
+    * synthesizes only ITS slice of the band-hash array, pays a
+    * bands/bandGroups-sized bucket exchange, and materializes its
+    * (tiny) star edge set before the next group starts — peak shuffle
+    * scratch is 1/bandGroups of the fused form's, and nothing
+    * corpus-sized is ever persisted. The price is deliberate: the
+    * tokenize → shingle → minhash pass is RECOMPUTED per group (plus
+    * once more for the verify hydrate) — bandGroups extra CPU passes
+    * buy an O(corpus/bandGroups) scratch ceiling, the knob that keeps
+    * the candidate stage inside a fixed disk budget at any corpus size.
+    *
+    * Edge-set parity: buckets are band-scoped (the band index seeds the
+    * bucket hash — [[bandHashesUdf]]), so the union of per-group star
+    * edges equals the fused form's edge set up to the same ~2⁻⁶⁴
+    * cross-band key collisions the fused form already accepts;
+    * TextDedupSpec pins keep-set equality against [[minhashLshStarPairs]].
+    * `stageSecs` reports per-group and verify wall clock like the
+    * sharded recipe's stage reporter. */
+  def minhashLshStarPairsBatched(docs: DataFrame, n: Int, tau: Double,
+                                 numHashes: Int = 128, bands: Int = 64,
+                                 stars: Int = 1, bandGroups: Int = 4,
+                                 stageSecs: (String, Double) => Unit =
+                                   (_, _) => ()): DataFrame = {
+    require(bandGroups >= 1 && bandGroups <= bands && bands % bandGroups == 0,
+      s"bandGroups must divide bands: got $bandGroups over $bands")
+    // fresh plans per use — NEVER persisted (bounded scratch is the
+    // contract; the fused form is the right choice when the shingle
+    // table fits)
+    def shingles = docShingleTable(docs, n)
+    def sigs = shingles.select(col("doc_id"),
+      minhashUdf(numHashes)(col("shingles")).as("sig"))
+    val per = bands / bandGroups
+    val groupEdges = (0 until bandGroups).map { g =>
+      val t0 = System.nanoTime()
+      val bandedG = sigs.select(col("doc_id"),
+        explode_outer(slice(bandHashesUdf(numHashes, bands)(col("sig")),
+          g * per + 1, per)).as("bucket"))
+      val e = starEdges(bandedG, stars).localCheckpoint()
+      // the group's exchange files are dead once its edges materialize —
+      // nudge ContextCleaner so the NEXT group's scratch replaces them
+      // on disk instead of stacking (the whole point of batching)
+      System.gc()
+      stageSecs(s"band_group_$g", (System.nanoTime() - t0) / 1e9)
+      e
+    }
+    val t1 = System.nanoTime()
+    val star = groupEdges.reduce(_.unionByName(_)).distinct().localCheckpoint()
+    val out = verifyPairLocal(shingles, hintedPairs(star))
+      .filter(col("jaccard") >= tau)
+      .localCheckpoint()
+    stageSecs("verify", (System.nanoTime() - t1) / 1e9)
+    out
   }
 
   /** Above this many candidate edges the verify hydrate stops
@@ -570,6 +641,14 @@ object TextDedup {
         while (it.hasNext) {
           val (b, d) = it.next()
           if (n == bk.length) {
+            // per-task bound checked BEFORE the doubling allocation: a
+            // task past it has not yet committed the multi-GB grown
+            // buffers, so the descriptive error fires instead of the
+            // executor OOM it was meant to prevent (ADVICE r10)
+            require(n < (1 << 28),
+              s"starEdges task buffered $n band rows — per-task bound " +
+                "blown (raise spark.sql.shuffle.partitions; parts = 8x " +
+                "that conf)")
             val grown = math.multiplyExact(n, 2) // fail loudly, not OOM-quietly
             bk = java.util.Arrays.copyOf(bk, grown)
             dc = java.util.Arrays.copyOf(dc, grown)
@@ -579,11 +658,11 @@ object TextDedup {
         if (n == 0) Iterator.empty
         else {
           // pass 1: open-addressing bucket → (min[, min2]), power-of-2
-          // capacity at ≤ 0.5 load. Guarded against Int overflow: a
-          // task holding ≥ 2^28 rows would push the *4 capacity past
-          // Int range — fail with the remedy named instead of a
-          // NegativeArraySizeException (same loud-failure discipline
-          // as the buffer growth above).
+          // capacity at ≤ 0.5 load. Int-overflow guard: a task holding
+          // ≥ 2^28 rows would push the *4 capacity past Int range — the
+          // buffering loop's grow-time require fires first for any task
+          // that GROWS past the bound; this one catches the exact-fill
+          // edge (n lands on 2^28 without triggering a grow).
           require(n < (1 << 28),
             s"starEdges task buffered $n band rows — per-task bound blown " +
               "(raise spark.sql.shuffle.partitions; parts = 8x that conf)")

@@ -15,9 +15,16 @@ import graft.operators.{Components, TextDedup}
 object DedupRungMain {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // optional: [shufflePartitions] [bandGroups] — bandGroups > 0
+    // switches to the scratch-bounded BATCHED pipeline only (the
+    // 100M-doc single-box path; the fused/span/sharded/star2 sections
+    // below are disk-infeasible at that rung and already measured at
+    // 1M/10M)
+    val shufflePartitions = args.lift(1).map(_.toInt).getOrElse(32)
+    val bandGroups = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
@@ -34,8 +41,49 @@ object DedupRungMain {
     val tGen = timeOnce {
       gen.repartition(32).write.mode("overwrite").parquet(docsDir)
     }
-    println(f"docs_gen_sec=$tGen%.2f")
+    def dirBytes(d: String): Long =
+      Option(new java.io.File(d).listFiles()).map(_.map(f =>
+        if (f.isDirectory) dirBytes(f.toString) else f.length()).sum)
+        .getOrElse(0L)
+    def freeGb: Double =
+      new java.io.File("/tmp").getUsableSpace / 1e9
+    println(f"docs_gen_sec=$tGen%.2f corpus_gb=${dirBytes(docsDir) / 1e9}%.1f " +
+      f"free_gb=$freeGb%.1f")
     val docs1m = spark.read.parquet(docsDir)
+
+    // expected planted keep-set for any nDocs that is a multiple of the
+    // 1M layout (see BenchData.plantedDocs regions)
+    val sc = nDocs / 1000000L
+    val expectedKept =
+      if (nDocs % 1000000L == 0 && sc >= 1)
+        1L + (100000L * sc) / 5 + (50000L * sc) / 2 + 100000L * sc +
+          (nDocs - 260000L * sc)
+      else -1L
+
+    if (bandGroups > 0) {
+      // ---- scratch-bounded batched pipeline only (the 100M rung) ----
+      var keptB = 0L; var nPairsB = 0L; var roundsB = 0
+      val tBatched = timeOnce {
+        val pairs = TextDedup.minhashLshStarPairsBatched(
+          docs1m, n = 3, tau = 0.5, bandGroups = bandGroups,
+          stageSecs = (st, sec) =>
+            println(f"batched_stage $st sec=$sec%.1f free_gb=$freeGb%.1f"))
+        nPairsB = pairs.count()
+        val (comp, r) = Components.connectedComponentsWithRounds(pairs)
+        roundsB = r
+        keptB = TextDedup.keepCanonicalFrom(docs1m.select("doc_id"), comp)
+          .filter(col("keep")).count()
+      }
+      println(f"dedup_batched_sec=$tBatched%.2f pairs=$nPairsB " +
+        s"rounds=$roundsB kept=$keptB expected=$expectedKept " +
+        s"bandGroups=$bandGroups")
+      if (expectedKept > 0)
+        require(keptB == expectedKept,
+          s"batched keep-set $keptB != planted $expectedKept")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
+      spark.stop()
+      return
+    }
     var nPairs = 0L; var rounds = 0; var kept = 0L
     val tPipe = timeOnce {
       val pairs = TextDedup.minhashLshStarPairs(docs1m, n = 3, tau = 0.5)

@@ -260,11 +260,18 @@ class TextDedupSpec extends SparkSpec {
     def keepSet(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       TextDedup.keepCanonical(corpus.select("doc_id"), pairs)
         .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sharded = keepSet(
-      TextDedup.minhashLshStarPairsSharded(corpus, "shard", n = 3, tau = 0.5))
+      TextDedup.minhashLshStarPairsSharded(corpus, "shard", n = 3, tau = 0.5,
+        stageSecs = (st, sec) => stages(st) = sec))
     val unsharded = keepSet(
       TextDedup.minhashLshStarPairs(corpus, n = 3, tau = 0.5))
     assert(sharded == unsharded)
+    // the stage reporter fires once per stage, in recipe order, with
+    // real (positive) wall clock — the bench's per-stage attribution
+    // rows depend on this contract
+    assert(stages.keys.toSeq == Seq("stage1", "stage2"), stages)
+    assert(stages.values.forall(_ > 0.0), stages)
     // structure sanity: 10 cluster canonicals + 30 singletons survive
     assert(sharded.values.toSet.size == 40, sharded.values.toSet.size)
     // and stage 1 alone must NOT suffice (the test would be vacuous if
@@ -278,6 +285,36 @@ class TextDedupSpec extends SparkSpec {
     val withinKeep = TextDedup.keepCanonical(corpus.select("doc_id"), within)
       .select("canonical_id").distinct().count()
     assert(withinKeep > 40, s"within-shard pairs alone must under-merge: $withinKeep")
+  }
+
+  test("batched star recipe: per-group band slices reproduce the fused keep-set") {
+    // the scratch-bounded form (bands processed in groups, shingles
+    // recomputed per group, nothing corpus-sized persisted) must land
+    // on the SAME verified pair semantics as the fused recipe — buckets
+    // are band-scoped, so grouping is a pure partition of the band set
+    val corpus = clusterCorpus(clusters = 10, size = 8, unique = 30)
+    def keepSet(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextDedup.keepCanonical(corpus.select("doc_id"), pairs)
+        .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val batched = keepSet(TextDedup.minhashLshStarPairsBatched(
+      corpus, n = 3, tau = 0.5, bandGroups = 4,
+      stageSecs = (st, sec) => stages(st) = sec))
+    val fused = keepSet(TextDedup.minhashLshStarPairs(corpus, n = 3, tau = 0.5))
+    assert(batched == fused)
+    // stage reporter: one row per band group plus the verify tail
+    assert(stages.keys.toSeq ==
+      (0 until 4).map(g => s"band_group_$g") :+ "verify", stages)
+    assert(stages.values.forall(_ > 0.0), stages)
+    // degenerate single group ≡ the fused band set in one batch
+    val one = keepSet(TextDedup.minhashLshStarPairsBatched(
+      corpus, n = 3, tau = 0.5, bandGroups = 1))
+    assert(one == fused)
+    // bandGroups must divide bands
+    intercept[IllegalArgumentException] {
+      TextDedup.minhashLshStarPairsBatched(corpus, n = 3, tau = 0.5,
+        bandGroups = 7)
+    }
   }
 
   test("starEdges: two stars add exactly the second-hub edges, one window exchange") {
