@@ -215,8 +215,10 @@ object Bench {
       val cpu0 = Bench.cpuSample()
       val io0 = Bench.ioSample()
       val steal0 = (Bench.stealJiffies(), System.nanoTime())
+      val own0 = Bench.ownCpuSample()
       val first = measure
       val ext1 = Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      val ownSys = Bench.ownSysFrac(own0, Bench.ownCpuSample())
       val io1 = Bench.ioSample()
       val steal = Bench.stealFrac(steal0, (Bench.stealJiffies(), System.nanoTime()))
       val probe = sentinelProbe()
@@ -229,6 +231,7 @@ object Bench {
       sentinelRows(s"steal_at_$tag") = steal
       sentinelRows(s"iowait_at_$tag") = Bench.iowaitFrac(io0, io1)
       sentinelRows(s"ownio_at_${tag}_mb") = (io1._2 - io0._2) / 1e6
+      sentinelRows(s"ownsys_at_$tag") = ownSys
       val scalarStorm =
         sentinelBase != Double.MaxValue && probe > 2.0 * sentinelBase
       // parallel capacity withheld (steal/quota/thermal): the MT probe
@@ -270,9 +273,12 @@ object Bench {
       val cpu0 = Bench.cpuSample()
       val io0 = Bench.ioSample()
       val steal0 = (Bench.stealJiffies(), System.nanoTime())
+      val own0 = Bench.ownCpuSample()
       val t = timeOnce(f)
       sentinelRows(s"extcpu_$tag") =
         Bench.externalCpuFrac(cpu0, Bench.cpuSample())
+      sentinelRows(s"ownsys_$tag") =
+        Bench.ownSysFrac(own0, Bench.ownCpuSample())
       sentinelRows(s"steal_$tag") =
         Bench.stealFrac(steal0, (Bench.stealJiffies(), System.nanoTime()))
       val io1 = Bench.ioSample()
@@ -1200,25 +1206,50 @@ object Bench {
           (System.nanoTime() - t0) / 1e6
         }).toArray.sorted
       }
+      // ef128 is the OPERATING POINT a user would serve this rung at
+      // (the 100k rung's headline: recall 0.974 @ ef128 vs 0.847 @
+      // ef64) — publish its recall AND serving latency alongside the
+      // ef64 gauge so the graded number is the one a deployment picks
+      // (r10 verdict #4)
+      graft.operators.Hnsw.searchLocalRows(local1m, Array(q100x1m.head), 10,
+        efSearch = 128)
+      val latH1m128 = stormGuarded("hnsw_1m_ef128") {
+        (0 until 3).flatMap(_ => q100x1m.map { q =>
+          val t0 = System.nanoTime()
+          graft.operators.Hnsw.searchLocalRows(local1m, Array(q), 10,
+            efSearch = 128)
+          (System.nanoTime() - t0) / 1e6
+        }).toArray.sorted
+      }
       val exact1m = IvfFlat.searchLocalRows(idx1m, q100x1m, "L2", 10,
           nprobe = 128, spark)
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
-      val got1m = graft.operators.Hnsw.searchLocalRows(local1m, q100x1m, 10,
-          efSearch = 64)
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
-      val hnswRecall1m = exact1m.map { case (q, e) =>
-        got1m.get(q).map(g => (g & e).size.toDouble / e.size).getOrElse(0.0)
-      }.sum / exact1m.size
+      def hnswRecallAt(ef: Int): Double = {
+        val got = graft.operators.Hnsw.searchLocalRows(local1m, q100x1m, 10,
+            efSearch = ef)
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+        exact1m.map { case (q, e) =>
+          got.get(q).map(g => (g & e).size.toDouble / e.size).getOrElse(0.0)
+        }.sum / exact1m.size
+      }
+      val hnswRecall1m = hnswRecallAt(64)
+      val hnswRecall1m128 = hnswRecallAt(128)
       System.err.println(
         f"# bench-runs hnsw_1m build=$tHnswBuild1m%.1f " +
           f"p50=${latH1m(latH1m.length / 2)}%.3f " +
           f"p99=${latH1m(latH1m.length * 98 / 100)}%.3f " +
-          f"recall10_ef64=$hnswRecall1m%.4f n=${latH1m.length}")
+          f"recall10_ef64=$hnswRecall1m%.4f " +
+          f"ef128: p50=${latH1m128(latH1m128.length / 2)}%.3f " +
+          f"p99=${latH1m128(latH1m128.length * 98 / 100)}%.3f " +
+          f"recall10_ef128=$hnswRecall1m128%.4f n=${latH1m.length}")
       ratesHnsw1m = Map(
         "hnsw_1m_build_sec" -> tHnswBuild1m,
         "hnsw_1m_serving_p50_ms" -> latH1m(latH1m.length / 2),
         "hnsw_1m_serving_p99_ms" -> latH1m(latH1m.length * 98 / 100),
-        "hnsw_1m_recall10_ef64" -> hnswRecall1m)
+        "hnsw_1m_recall10_ef64" -> hnswRecall1m,
+        "hnsw_1m_serving_p50_ms_ef128" -> latH1m128(latH1m128.length / 2),
+        "hnsw_1m_serving_p99_ms_ef128" -> latH1m128(latH1m128.length * 98 / 100),
+        "hnsw_1m_recall10_ef128" -> hnswRecall1m128)
       hnsw1m.unpersist()
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -1419,21 +1450,32 @@ object Bench {
           require(eng.searchRows("t1", "big", Array(q100x10m.head), 10,
             nprobe = 10, refine = 50).nonEmpty)
         }
+        // full-width warmup (3×100 calls, matching the plain row): the
+        // r10 graded regression (p50 8.93 → 15.12 ms, every attribution
+        // channel quiet) is consistent with the 24-call warmup this row
+        // had — the rerank+dequant path compiles DURING the measured
+        // loop, and a 100-sample single round prices those early calls
+        // into the median. 3 interleaved rounds (300 samples) widen the
+        // estimator like the ivf_10m/1M rows (same p98-index convention).
         (0 until 3).foreach { _ =>
-          eng.searchRows("t1", "big", q100x10m.take(8), 10, nprobe = 10,
+          eng.searchRows("t1", "big", q100x10m, 10, nprobe = 10,
             refine = 50)
         }
-        val latEngR = stormGuarded("engine_pq_10m_refined") { q100x10m.map { q =>
-          val t0 = System.nanoTime()
-          val (rowsR, trR) = eng.searchRowsTraced("t1", "big", Array(q), 10,
-            nprobe = 10, refine = 50)
-          require(rowsR.length == 10 && trR.path == "head+pqtail-refined",
-            s"engine 10M refined rung expected head+pqtail-refined, got ${trR.path}")
-          (System.nanoTime() - t0) / 1e6
-        }.sorted }
+        val latEngR = stormGuarded("engine_pq_10m_refined") {
+          (0 until 3).flatMap(_ => q100x10m.map { q =>
+            val t0 = System.nanoTime()
+            val (rowsR, trR) = eng.searchRowsTraced("t1", "big", Array(q), 10,
+              nprobe = 10, refine = 50)
+            require(rowsR.length == 10 && trR.path == "head+pqtail-refined",
+              s"engine 10M refined rung expected head+pqtail-refined, got ${trR.path}")
+            (System.nanoTime() - t0) / 1e6
+          }).toArray.sorted
+        }
         System.err.println(
-          f"# bench-runs engine_pq_10m_refined_ms p50=${latEngR(49)}%.3f " +
-            f"p99=${latEngR(98)}%.3f cold=$tSq16Cold%.2f")
+          f"# bench-runs engine_pq_10m_refined_ms " +
+            f"p50=${latEngR(latEngR.length / 2)}%.3f " +
+            f"p99=${latEngR(latEngR.length * 98 / 100)}%.3f " +
+            f"cold=$tSq16Cold%.2f n=${latEngR.length}")
         // FILTERED serving at 10M — the rows the tag-resident ladder
         // (sorted array → hash set → row bitmap → bitmap AND) exists
         // for. Single tag "even" = a half-corpus allowed set (5M ids);
@@ -1516,8 +1558,8 @@ object Bench {
           "engine_pq_10m_p50_ms" -> latEng(49),
           "engine_pq_10m_p99_ms" -> latEng(98),
           "engine_pq_10m_refined_cold_sec" -> tSq16Cold,
-          "engine_pq_10m_refined_p50_ms" -> latEngR(49),
-          "engine_pq_10m_refined_p99_ms" -> latEngR(98),
+          "engine_pq_10m_refined_p50_ms" -> latEngR(latEngR.length / 2),
+          "engine_pq_10m_refined_p99_ms" -> latEngR(latEngR.length * 98 / 100),
           "engine_pq_10m_filtered_p50_ms" -> latF1(49),
           "engine_pq_10m_filtered_p99_ms" -> latF1(98),
           "engine_pq_10m_filtered2_p50_ms" -> latF2(49),
@@ -1672,17 +1714,29 @@ object Bench {
       // 1 can never see a whole cluster and the merge pass must restore
       // exactly the planted keep-set
       var keptSharded = 0L
+      // per-stage attribution (r10 verdict #2): the graded row read
+      // 40.3 s against a 22-28 s quiet band with every channel quiet —
+      // the recipe reports its own stage-1 (per-shard star) / stage-2
+      // (cross-shard merge over survivors) split so a recurrence names
+      // where the residue lives instead of reading as one opaque number
+      val shardedStageSecs =
+        scala.collection.mutable.LinkedHashMap[String, Double]()
       drainToBand("dedup_sharded_1m")
       val tSharded = timeAttributed("dedup_sharded_1m") {
         val pairsS = TextDedup.minhashLshStarPairsSharded(
           docs1m.withColumn("shard", pmod(col("doc_id"), lit(4))),
-          "shard", n = 3, tau = 0.5)
+          "shard", n = 3, tau = 0.5,
+          stageSecs = (st, sec) => shardedStageSecs(st) = sec)
         keptSharded = TextDedup
           .keepCanonical(docs1m.select("doc_id"), pairsS)
           .filter(col("keep")).count()
       }
       System.err.println(
-        f"# bench-runs dedup_sharded_1m $tSharded%.4f kept=$keptSharded")
+        f"# bench-runs dedup_sharded_1m $tSharded%.4f kept=$keptSharded " +
+          shardedStageSecs.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
+      shardedStageSecs.foreach { case (st, sec) =>
+        ratesDedup = ratesDedup + (s"dedup_sharded_1m_${st}_sec" -> sec)
+      }
       require(keptSharded == 885001L,
         s"sharded dedup kept=$keptSharded, expected 885001")
       scrubOne(docsDir)
@@ -1690,7 +1744,7 @@ object Bench {
       results("dedup_pipeline_1m_sec") = tPipe
       results("dedup_sharded_1m_sec") = tSharded
       results("span_dedup_1m_sec") = tSpan
-      ratesDedup = Map(
+      ratesDedup = ratesDedup ++ Map(
         "dedup_pipeline_1m_pairs" -> nPairs.toDouble,
         "dedup_pipeline_1m_kept" -> kept.toDouble,
         "components_rounds_1m" -> rounds.toDouble,
@@ -1886,6 +1940,9 @@ object Bench {
     val iows = sentinelRows.collect {
       case (k, v) if k.startsWith("iowait_") => v }
     if (iows.nonEmpty) results("iowait_max") = iows.max
+    val ownsys = sentinelRows.collect {
+      case (k, v) if k.startsWith("ownsys_") => v }
+    if (ownsys.nonEmpty) results("ownsys_max") = ownsys.max
 
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -1930,6 +1987,41 @@ object Bench {
       val selfLine = try selfSrc.mkString finally selfSrc.close()
       ((hostBusyJiffies(cpuLine), selfJiffies(selfLine), t))
     } catch { case scala.util.control.NonFatal(_) => (0L, 0L, t) }
+  }
+
+  /** (own utime jiffies, own stime jiffies, nanoTime) from
+    * /proc/self/stat — all threads of this process. */
+  private[graft] def ownCpuSample(): (Long, Long, Long) = {
+    val t = System.nanoTime()
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      val line = try src.mkString finally src.close()
+      val afterComm = line.substring(line.lastIndexOf(')') + 1).trim
+      val f = afterComm.split("\\s+")
+      (f(11).toLong, f(12).toLong, t)
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L, t) }
+  }
+
+  /** Share of this process's OWN CPU that ran in the kernel between two
+    * samples (Δstime / (Δutime + Δstime)) — the SIXTH attribution
+    * channel. The five existing ones all watch the environment (other
+    * processes, the hypervisor, the disk queue); none can see the
+    * failure mode measured live in r11: the bench's own JVM at 13 cores
+    * with 97% of machine time in SYS — a kernel-side pathology (page
+    * reclaim, THP compaction, mmap churn) inside the measured work
+    * itself, which reads as "quiet" on every other channel while rows
+    * inflate 2-5×. On a healthy run compute-bound rows read ≲ 0.05 and
+    * shuffle/IO-heavy rungs ≲ 0.2; a row bracketed by ownsys ≳ 0.5 is
+    * the kernel, not the code. A failed first sample reads 0 (same
+    * convention as externalCpuFrac/stealFrac). */
+  private[graft] def ownSysFrac(a: (Long, Long, Long),
+                                b: (Long, Long, Long)): Double = {
+    if (a._1 == 0 && a._2 == 0) 0.0
+    else {
+      val du = (b._1 - a._1).toDouble
+      val ds = (b._2 - a._2).toDouble
+      if (du < 0 || ds < 0 || du + ds <= 0) 0.0 else ds / (du + ds)
+    }
   }
 
   /** Hypervisor steal jiffies (/proc/stat cpu field 8) — the channel
@@ -2063,14 +2155,16 @@ object Bench {
     "embedding_dedup_1m_hub_pairs",
     "storm_retries", "sentinel_min_sec", "sentinel_max_sec",
     "sentinel_mt_min_sec", "sentinel_mt_max_sec", "load1_max",
-    "extcpu_max", "steal_max", "iowait_max",
+    "extcpu_max", "steal_max", "iowait_max", "ownsys_max",
     "brute_100k_fused_qps", "brute_100k_qps", "ivf_100k_2000q_qps",
     "pq_100k_recall10_sq16_wire_refined50",
     "ivf_100k_recall10_nprobe10", "hnsw_100k_recall10_ef128",
     "pq_100k_recall10_refined50",
     "hnsw_100k_serving_p50_ms", "hnsw_100k_serving_p99_ms",
     "hnsw_1m_build_sec", "hnsw_1m_serving_p50_ms", "hnsw_1m_serving_p99_ms",
-    "hnsw_1m_recall10_ef64",
+    "hnsw_1m_recall10_ef64", "hnsw_1m_recall10_ef128",
+    "hnsw_1m_serving_p50_ms_ef128", "hnsw_1m_serving_p99_ms_ef128",
+    "dedup_sharded_1m_stage1_sec", "dedup_sharded_1m_stage2_sec",
     "engine_pq_10m_cold_first_call_sec", "engine_pq_10m_refined_cold_sec",
     "engine_pq_10m_u8_p50_ms", "engine_pq_10m_u8_recall10",
     "engine_pq_10m_u8_cold_sec",

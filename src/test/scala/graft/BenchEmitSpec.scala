@@ -122,6 +122,34 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(math.abs(frac - 0.5) < 1e-9, s"frac=$frac")
   }
 
+  test("ownSysFrac: kernel share of own CPU, failed-sample and skew conventions") {
+    val t0 = 0L; val t1 = 1000000000L
+    // failed first sample (0,0) reads 0 — same convention as the
+    // extcpu/steal channels
+    assert(Bench.ownSysFrac((0L, 0L, t0), (500L, 300L, t1)) == 0.0)
+    // 97% of own CPU in the kernel — the r11 live signature
+    val hot = Bench.ownSysFrac((100L, 100L, t0), (103L, 197L, t1)) // du=3, ds=97
+    assert(math.abs(hot - 0.97) < 1e-9, s"frac=$hot")
+    // no CPU burned at all → 0, never NaN
+    assert(Bench.ownSysFrac((100L, 100L, t0), (100L, 100L, t1)) == 0.0)
+    // counter skew (negative delta) reads 0, never a garbage fraction
+    assert(Bench.ownSysFrac((100L, 100L, t0), (90L, 300L, t1)) == 0.0)
+  }
+
+  test("live ownCpuSample is monotone and user-dominated on a compute loop") {
+    val a = Bench.ownCpuSample()
+    var x = 0L
+    (0L until 50000000L).foreach(i => x += i * 31L)
+    assert(x != 0)
+    val b = Bench.ownCpuSample()
+    assert(b._3 > a._3)
+    if (a._1 != 0L || a._2 != 0L) { // on Linux
+      assert(b._1 >= a._1 && b._2 >= a._2)
+      val frac = Bench.ownSysFrac(a, b)
+      assert(frac >= 0.0 && frac <= 1.0, s"frac=$frac")
+    }
+  }
+
   test("live ioSample reads monotone counters on Linux") {
     val a = Bench.ioSample()
     val b = Bench.ioSample()
