@@ -1218,6 +1218,26 @@ object Queries {
     * second-hub edge still passes the exact-Jaccard verify). */
   val dedupStar2Pipeline: QueryFn = starPipelineWith(stars = 2)
 
+  /** The scratch-bounded BATCHED form of the star recipe (LSH bands
+    * processed in sequential groups, shingles recomputed per group;
+    * see TextDedup.minhashLshStarPairsBatched) under the SAME oracle:
+    * band grouping is a pure partition of the band set over band-scoped
+    * buckets, so the grouped union of star edges — and therefore the
+    * verified keep-set — equals the fused recipe's. This row pins that
+    * equivalence cross-engine on the driver's corpus. */
+  val dedupBatchedPipeline: QueryFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = TextDedup.minhashLshStarPairsBatched(docs, n = 3, tau = 0.5,
+      bandGroups = 4)
+    val kc = TextDedup.keepCanonical(docs.select("doc_id", "lang"), pairs)
+    val sizes = kc.groupBy("canonical_id").agg(count(lit(1)).as("dup_count"))
+    kc.filter(col("keep"))
+      .join(sizes, "canonical_id")
+      .select("doc_id", "lang", "dup_count")
+      .orderBy("doc_id")
+  }
+
   val dedupPipelineSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1966,6 +1986,7 @@ object Queries {
     "dedup_pipeline" -> dedupPipeline,
     "dedup_star_pipeline" -> dedupStarPipeline,
     "dedup_star2_pipeline" -> dedupStar2Pipeline,
+    "dedup_batched_pipeline" -> dedupBatchedPipeline,
     "span_dedup" -> spanDedup,
     "corpus_sample" -> corpusSample,
     "decontamination" -> decontamination,
@@ -2051,6 +2072,7 @@ object Queries {
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_star_pipeline" -> dedupPipelineSql, // same keep-set, see scaladoc
     "dedup_star2_pipeline" -> dedupPipelineSql, // same keep-set, see scaladoc
+    "dedup_batched_pipeline" -> dedupPipelineSql, // same keep-set, see scaladoc
     "dedup_simhash" -> dedupSimhashSql,
     "span_dedup" -> spanDedupSql,
     "corpus_sample" -> corpusSampleSql,

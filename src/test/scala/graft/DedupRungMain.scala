@@ -22,6 +22,14 @@ object DedupRungMain {
     // 1M/10M)
     val shufflePartitions = args.lift(1).map(_.toInt).getOrElse(32)
     val bandGroups = args.lift(2).map(_.toInt).getOrElse(0)
+    // "direct": skip the corpus parquet and read every pass straight
+    // from the expression generator — the 100M rung's corpus (≈69 GB at
+    // the measured 0.69 GB/M parquet rate) cannot coexist with the
+    // band-exchange scratch on this box's disk, and the batched recipe
+    // recomputes per group anyway, so each pass re-synthesizes instead
+    // of re-reading. Timing rows then price synthesis+pipeline; the
+    // kept-count assert is unaffected (the generator is deterministic).
+    val generatorDirect = args.lift(3).contains("direct")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -38,18 +46,24 @@ object DedupRungMain {
     val gen = BenchData.plantedDocs(spark, nDocs)
     val docsDir = java.nio.file.Files
       .createTempDirectory("dedup_rung").toString
-    val tGen = timeOnce {
-      gen.repartition(32).write.mode("overwrite").parquet(docsDir)
-    }
     def dirBytes(d: String): Long =
       Option(new java.io.File(d).listFiles()).map(_.map(f =>
         if (f.isDirectory) dirBytes(f.toString) else f.length()).sum)
         .getOrElse(0L)
     def freeGb: Double =
       new java.io.File("/tmp").getUsableSpace / 1e9
-    println(f"docs_gen_sec=$tGen%.2f corpus_gb=${dirBytes(docsDir) / 1e9}%.1f " +
-      f"free_gb=$freeGb%.1f")
-    val docs1m = spark.read.parquet(docsDir)
+    val docs1m =
+      if (generatorDirect) {
+        println(f"docs_generator_direct=1 free_gb=$freeGb%.1f")
+        gen
+      } else {
+        val tGen = timeOnce {
+          gen.repartition(32).write.mode("overwrite").parquet(docsDir)
+        }
+        println(f"docs_gen_sec=$tGen%.2f corpus_gb=${dirBytes(docsDir) / 1e9}%.1f " +
+          f"free_gb=$freeGb%.1f")
+        spark.read.parquet(docsDir)
+      }
 
     // expected planted keep-set for any nDocs that is a multiple of the
     // 1M layout (see BenchData.plantedDocs regions)
