@@ -115,6 +115,30 @@ final class SidecarLoop(engine: GraftEngine, spark: SparkSession,
     }
   }
 
+  /** One loop iteration over the gRPC-style proto framing
+    * ([[SidecarProto]]): the reference's ReportSystemMetrics RPC is
+    * GLOBAL — SidecarMetricsReporter.cs:52-110 reports one system-wide
+    * snapshot and DynamicPolicyEngine.cs:31-45 applies the single
+    * returned WarmPathPolicy — so this tick aggregates across tenants,
+    * sends one SystemMetricsRequest, and applies the reply's policy to
+    * every tenant currently serving. */
+  def tickWireProto(windowMs: Long, client: SidecarWire.Client): Unit = {
+    val counters = engine.servingCountersLive
+    val hits = counters.map(_._3).sum
+    val misses = counters.map(_._4).sum
+    val total = hits + misses
+    val resp = client.exchangeProto(SidecarProto.SystemMetricsRequest(
+      missRate = if (total > 0) misses.toDouble / total else 0.0,
+      cacheHitTotal = hits, cacheMissTotal = misses,
+      timestampUnixMs = windowMs))
+    resp.policy.foreach { p =>
+      val tenants = counters.map(_._1).distinct
+      (if (tenants.nonEmpty) tenants else Seq(SidecarWire.GlobalTenant))
+        .foreach(t => engine.applyServingPolicy(t, p.ttlSeconds,
+          p.admissionThreshold, SidecarProto.evictionName(p.evictionPriority)))
+    }
+  }
+
   @volatile private var runner: Thread = _
   @volatile private var running = false
   private val pause = new Object

@@ -47,7 +47,19 @@ object SidecarWire {
   val TypeMetrics: Byte = 1
   val TypePolicies: Byte = 2
   val TypeErr: Byte = 3
+  // proto-framed RPCs: payloads are gRPC 5-byte-prefixed proto3 messages
+  // ([[SidecarProto]]) — the reference's ReportSystemMetrics and
+  // GetPrefetchRules unary calls (policy_service.proto), byte-compatible
+  // with a protoc encoder. Reply to 4 is 5; reply to 6 is 7.
+  val TypeMetricsProto: Byte = 4
+  val TypePoliciesProto: Byte = 5
+  val TypePrefetchReqProto: Byte = 6
+  val TypePrefetchRulesProto: Byte = 7
   val MaxPayloadBytes: Int = 16 << 20
+
+  /** Tenant key the global (tenant-less) proto metrics RPC folds onto
+    * when it meets the per-tenant row handler. */
+  val GlobalTenant = "__global__"
 
   /** One metrics row — mirrors [[SidecarContract.MetricsSchema]]. */
   final case class MetricsRow(tenant: String, window: Long,
@@ -203,7 +215,9 @@ object SidecarWire {
     * dropped connections. Connections are handled on daemon threads;
     * each carries any number of sequential exchanges. */
   final class Server(handler: Seq[MetricsRow] => Seq[PolicyRow],
-                     ssl: Option[SSLContext] = None) extends AutoCloseable {
+                     ssl: Option[SSLContext] = None,
+                     prefetchRules: (String, String) => Seq[(Int, Int)] =
+                       (_, _) => Seq.empty) extends AutoCloseable {
     private val server: ServerSocket = ssl match {
       case Some(ctx) =>
         val s = ctx.getServerSocketFactory.createServerSocket(
@@ -229,10 +243,7 @@ object SidecarWire {
             writeFrame(out, TypeErr,
               (s"contract version skew: peer speaks v$version, " +
                 s"this sidecar speaks v${SidecarContract.Version}").getBytes(UTF_8))
-          else if (msgType != TypeMetrics)
-            writeFrame(out, TypeErr,
-              s"unexpected frame type $msgType — sidecar accepts METRICS".getBytes(UTF_8))
-          else {
+          else if (msgType == TypeMetrics) {
             try writeFrame(out, TypePolicies,
               encodePolicies(handler(decodeMetrics(payload))))
             catch {
@@ -240,7 +251,46 @@ object SidecarWire {
                 writeFrame(out, TypeErr,
                   s"policy handler failed: ${e.getMessage}".getBytes(UTF_8))
             }
-          }
+          } else if (msgType == TypeMetricsProto) {
+            // the reference's ReportSystemMetrics RPC is GLOBAL (no
+            // tenant field — policy_service.proto SystemMetricsRequest);
+            // fold it onto the row handler as the global tenant and
+            // reply with the head policy as a WarmPathPolicy
+            try {
+              val req = SidecarProto.decodeSystemMetricsRequest(
+                SidecarProto.grpcUnframe(payload))
+              val rows = Seq(MetricsRow(GlobalTenant, req.timestampUnixMs,
+                req.cacheHitTotal + req.cacheMissTotal, req.cacheMissTotal))
+              val policy = handler(rows).headOption.map(p =>
+                SidecarProto.WarmPathPolicy(p.admissionThreshold, p.ttlSeconds,
+                  SidecarProto.evictionCode(p.evictionPriority)))
+              writeFrame(out, TypePoliciesProto, SidecarProto.grpcFrame(
+                SidecarProto.encodeSystemMetricsResponse(
+                  SidecarProto.SystemMetricsResponse("ok",
+                    nextReportIntervalMs = 10000, policy = policy))))
+            } catch {
+              case NonFatal(e) =>
+                writeFrame(out, TypeErr,
+                  s"policy handler failed: ${e.getMessage}".getBytes(UTF_8))
+            }
+          } else if (msgType == TypePrefetchReqProto) {
+            try {
+              val req = SidecarProto.decodeGetPrefetchRulesRequest(
+                SidecarProto.grpcUnframe(payload))
+              val rules = prefetchRules(req.tenantId, req.indexName)
+                .map { case (cur, nxt) => SidecarProto.PrefetchRule(cur, nxt) }
+              writeFrame(out, TypePrefetchRulesProto, SidecarProto.grpcFrame(
+                SidecarProto.encodeGetPrefetchRulesResponse(
+                  SidecarProto.GetPrefetchRulesResponse(rules))))
+            } catch {
+              case NonFatal(e) =>
+                writeFrame(out, TypeErr,
+                  s"prefetch rules handler failed: ${e.getMessage}".getBytes(UTF_8))
+            }
+          } else
+            writeFrame(out, TypeErr,
+              (s"unexpected frame type $msgType — sidecar accepts METRICS, " +
+                "METRICS_PROTO, PREFETCH_REQ_PROTO").getBytes(UTF_8))
         }
       } catch {
         case NonFatal(e) if running =>
@@ -277,7 +327,28 @@ object SidecarWire {
     * tick every 10 s amortizes nothing worth a pooled socket). */
   final class Client(host: String, port: Int,
                      ssl: Option[SSLContext] = None) {
-    def exchange(metrics: Seq[MetricsRow]): Seq[PolicyRow] = {
+    def exchange(metrics: Seq[MetricsRow]): Seq[PolicyRow] =
+      roundTrip(TypeMetrics, encodeMetrics(metrics), TypePolicies,
+        decodePolicies)
+
+    /** The reference's unary ReportSystemMetrics over the proto framing:
+      * one gRPC-framed SystemMetricsRequest out, one SystemMetricsResponse
+      * back. Same skew/refusal posture as [[exchange]]. */
+    def exchangeProto(req: SidecarProto.SystemMetricsRequest): SidecarProto.SystemMetricsResponse =
+      roundTrip(TypeMetricsProto,
+        SidecarProto.grpcFrame(SidecarProto.encodeSystemMetricsRequest(req)),
+        TypePoliciesProto, p =>
+          SidecarProto.decodeSystemMetricsResponse(SidecarProto.grpcUnframe(p)))
+
+    /** The reference's unary GetPrefetchRules over the proto framing. */
+    def prefetchRulesProto(req: SidecarProto.GetPrefetchRulesRequest): SidecarProto.GetPrefetchRulesResponse =
+      roundTrip(TypePrefetchReqProto,
+        SidecarProto.grpcFrame(SidecarProto.encodeGetPrefetchRulesRequest(req)),
+        TypePrefetchRulesProto, p =>
+          SidecarProto.decodeGetPrefetchRulesResponse(SidecarProto.grpcUnframe(p)))
+
+    private def roundTrip[A](reqType: Byte, reqPayload: Array[Byte],
+                             wantType: Byte, decode: Array[Byte] => A): A = {
       val sock: Socket = ssl match {
         case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
         case None => new Socket(host, port)
@@ -285,14 +356,14 @@ object SidecarWire {
       try {
         sock.setTcpNoDelay(true)
         val out = new BufferedOutputStream(sock.getOutputStream)
-        writeFrame(out, TypeMetrics, encodeMetrics(metrics))
+        writeFrame(out, reqType, reqPayload)
         val (msgType, version, payload) =
           readFrame(new BufferedInputStream(sock.getInputStream))
         require(version == SidecarContract.Version,
           s"contract version skew: sidecar replied v$version, " +
             s"this engine speaks v${SidecarContract.Version}")
         msgType match {
-          case TypePolicies => decodePolicies(payload)
+          case t if t == wantType => decode(payload)
           case TypeErr =>
             throw new IllegalStateException(
               s"sidecar refused frame: ${new String(payload, UTF_8)}")
