@@ -41,6 +41,17 @@ object DedupRungMain {
     def timeOnce(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // per-stage own-kernel-time attribution (Bench's sixth channel): on
+    // this host's intermittent sys-CPU storms a stage bracketed by
+    // ownsys ≳ 0.5 is the kernel, not the pipeline — the rung's printed
+    // table carries its own diagnosis
+    var lastCpu = Bench.ownCpuSample()
+    def ownsysSince(): Double = {
+      val now = Bench.ownCpuSample()
+      val f = Bench.ownSysFrac(lastCpu, now)
+      lastCpu = now
+      f
+    }
     // the one shared planted-corpus generator (BenchData): the graded
     // rung, this main, and the stage profiler always see one corpus
     val gen = BenchData.plantedDocs(spark, nDocs)
@@ -81,12 +92,14 @@ object DedupRungMain {
         val pairs = TextDedup.minhashLshStarPairsBatched(
           docs1m, n = 3, tau = 0.5, bandGroups = bandGroups,
           stageSecs = (st, sec) =>
-            println(f"batched_stage $st sec=$sec%.1f free_gb=$freeGb%.1f"))
+            println(f"batched_stage $st sec=$sec%.1f free_gb=$freeGb%.1f " +
+              f"ownsys=${ownsysSince()}%.2f"))
         nPairsB = pairs.count()
         val (comp, r) = Components.connectedComponentsWithRounds(pairs)
         roundsB = r
         keptB = TextDedup.keepCanonicalFrom(docs1m.select("doc_id"), comp)
           .filter(col("keep")).count()
+        println(f"batched_stage components+keep ownsys=${ownsysSince()}%.2f")
       }
       println(f"dedup_batched_sec=$tBatched%.2f pairs=$nPairsB " +
         s"rounds=$roundsB kept=$keptB expected=$expectedKept " +
