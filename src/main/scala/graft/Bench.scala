@@ -47,6 +47,9 @@ object Bench {
       new Thread(() => scrubTempDirs(), "bench-temp-scrub"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // fault the whole heap in BEFORE any timed row (see preTouchHeap's
+    // scaladoc — host fault phases; self-paced, phase-gated touch)
+    val preTouch = preTouchHeap()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -317,6 +320,10 @@ object Bench {
     SparkEntry.entry(spark).count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("pretouch_sec") = preTouch.sec
+    results("pretouch_us_per_page") = preTouch.usPerPage
+    results("pretouch_gb") = preTouch.touchedGb
+    results("pretouch_completed") = preTouch.completed.toDouble
     // SPARK_GRAFT_ONLY=<substring>[,<substring>...] narrows the per-query
     // loop for local iteration; unset (the driver) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
@@ -2024,6 +2031,76 @@ object Bench {
     }
   }
 
+  /** Outcome of [[preTouchHeap]]: seconds spent, mean fault cost over
+    * the fast chunks, GB actually faulted, and whether the touch ran to
+    * completion (0 = time budget exhausted with heap left untouched). */
+  final case class PreTouch(sec: Double, usPerPage: Double, touchedGb: Double,
+                            completed: Int)
+
+  /** Fault the JVM heap into host residency BEFORE any timed work, at a
+    * duty cycle the host's page provider can actually serve.
+    *
+    * Mechanism, measured on this host (2026-08, microVM kernel
+    * 6.18.5-fc, virtio_balloon with FREE PAGE REPORTING active — feature
+    * bit 5): guest pages freed by any process are continuously returned
+    * to the host, so every fresh JVM re-faults its working set from the
+    * host — and the host serves from a REPLENISHING POOL: ~13 GB fills
+    * fast (0.75-1.5 GB/s measured solo), after which service collapses
+    * to ~40-100 MB/s (~500-1150 us/page) until the pool refills over
+    * minutes. A timed row whose work touches fresh heap in the drained
+    * state pays 2-20x and reads as an 80-97%-sys storm on the ownsys_*
+    * channel; once-faulted pages stay host-resident for the JVM's
+    * lifetime because -Xms = -Xmx (build.sbt) never uncommits. So this
+    * touch makes MONOTONIC progress on one thread (zeroed 64 MB chunks —
+    * array zeroing touches every page; NOT -XX:+AlwaysPreTouch, whose
+    * all-ParallelGCThreads burst measured 8.7 min wall / 150 min sys):
+    * chunks that read fast are free; when consecutive chunks read slow
+    * (pool drained) it SLEEPS to give the pool a refill window and
+    * resumes where it left off, bounded overall by maxSec. A partial
+    * touch still protects the touched fraction; the artifact's pretouch
+    * rows document what the run launched into. */
+  private[graft] def preTouchHeap(fraction: Double = 0.75, maxSec: Int = 420,
+                                  slowUsPerPage: Double = 100.0,
+                                  log: String => Unit =
+                                    s => System.err.println(s)): PreTouch = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    val chunk = 64 << 20
+    val chunkPages = chunk / 4096
+    val nChunks = ((Runtime.getRuntime.maxMemory() * fraction) / chunk).toInt
+    val refs = new java.util.ArrayList[Array[Byte]](nChunks)
+    var i = 0
+    var slowStreak = 0
+    var pauses = 0
+    var fastUs = 0.0; var fastN = 0
+    while (i < nChunks && elapsed < maxSec) {
+      val c0 = System.nanoTime()
+      refs.add(new Array[Byte](chunk))
+      val usPerPage = (System.nanoTime() - c0) / 1e3 / chunkPages
+      i += 1
+      if (usPerPage > slowUsPerPage) {
+        slowStreak += 1
+        if (slowStreak >= 4) {
+          pauses += 1
+          if (pauses <= 3 || pauses % 8 == 0)
+            log(f"# pretouch: host pool drained at ${i.toLong * chunk / (1L << 30)} GB " +
+              f"($usPerPage%.0f us/page) — pausing for refill (${elapsed}%.0f s)")
+          Thread.sleep(15000)
+          slowStreak = 0
+        }
+      } else { slowStreak = 0; fastUs += usPerPage; fastN += 1 }
+    }
+    val touchedGb = refs.size.toDouble * chunk / (1L << 30)
+    refs.clear()
+    System.gc() // drop the arrays; committed (= faulted) heap remains
+    val done = i >= nChunks
+    if (!done)
+      log(f"# pretouch: time budget $maxSec s exhausted at $touchedGb%.1f GB " +
+        f"of ${nChunks.toLong * chunk / (1L << 30)} GB")
+    PreTouch(elapsed, if (fastN > 0) fastUs / fastN else -1.0, touchedGb,
+      if (done) 1 else 0)
+  }
+
   /** Hypervisor steal jiffies (/proc/stat cpu field 8) — the channel
     * that sees VM co-tenancy the in-guest extcpu CANNOT: a throttled
     * guest's own processes burn no extra jiffies and its single-thread
@@ -2153,7 +2230,9 @@ object Bench {
     "dedup_sharded_1m_sec", "span_dedup_1m_sec",
     "embedding_dedup_1m_sec", "embedding_dedup_1m_recall",
     "embedding_dedup_1m_hub_pairs",
-    "storm_retries", "sentinel_min_sec", "sentinel_max_sec",
+    "storm_retries", "pretouch_sec", "pretouch_us_per_page",
+    "pretouch_gb", "pretouch_completed",
+    "sentinel_min_sec", "sentinel_max_sec",
     "sentinel_mt_min_sec", "sentinel_mt_max_sec", "load1_max",
     "extcpu_max", "steal_max", "iowait_max", "ownsys_max",
     "brute_100k_fused_qps", "brute_100k_qps", "ivf_100k_2000q_qps",

@@ -30,6 +30,9 @@ object DedupRungMain {
     // of re-reading. Timing rows then price synthesis+pipeline; the
     // kept-count assert is unaffected (the generator is deterministic).
     val generatorDirect = args.lift(3).contains("direct")
+    // fault the heap in before any timed stage (host fault phases —
+    // Bench.preTouchHeap scaladoc)
+    println(s"pretouch ${Bench.preTouchHeap()}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -20,6 +20,9 @@ object RefinedAbMain {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val dim = 128
+    // fault the heap in before any timed phase (host fault phases —
+    // Bench.preTouchHeap scaladoc)
+    println(s"pretouch ${Bench.preTouchHeap()}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
