@@ -316,14 +316,28 @@ object Bench {
       System.err.println(s"# bench-runs $tag tiers[$tiers] packed[$st]")
     }
 
-    // Warmup: JIT + codegen + parquet footer caches.
+    // Warmup: JIT + codegen + parquet footer caches — including the BENCH
+    // data dir's: the per-query loop is alphabetical, so its first rows
+    // otherwise absorb sfDir's first-touch file-listing/footer costs into
+    // BOTH timed runs (min-of-2 cannot shed a cost both runs pay; the r10
+    // artifact read alias_lookup — an 8-row all-broadcast plan — at 3.3 s
+    // for exactly this reason).
     SparkEntry.entry(spark).count()
+    Seq("embeddings", "documents", "orders", "lineitem", "events",
+        "customer", "nation", "part", "region", "supplier").foreach { t =>
+      try { graft.model.Tables.load(spark, sfDir, t).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results("pretouch_sec") = preTouch.sec
-    results("pretouch_us_per_page") = preTouch.usPerPage
-    results("pretouch_gb") = preTouch.touchedGb
-    results("pretouch_completed") = preTouch.completed.toDouble
+    // pretouch rows are HOST-STATE attribution (like the sentinel/extcpu
+    // channels), not measured engine work: they land in the artifact via
+    // sentinelRows, AFTER `total` is summed — a stormy-host pretouch
+    // (up to 420 s of pool-refill pauses) must not read as engine seconds
+    sentinelRows("pretouch_sec") = preTouch.sec
+    sentinelRows("pretouch_us_per_page") = preTouch.usPerPage
+    sentinelRows("pretouch_gb") = preTouch.touchedGb
+    sentinelRows("pretouch_completed") = preTouch.completed.toDouble
     // SPARK_GRAFT_ONLY=<substring>[,<substring>...] narrows the per-query
     // loop for local iteration; unset (the driver) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)

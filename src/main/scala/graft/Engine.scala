@@ -496,7 +496,16 @@ class GraftEngine(spark: SparkSession, root: String,
   def build(tenant: String, index: String, nlist: Int, metric: String = "L2",
             seed: Long = 42L, algo: String = "IVF_FLAT",
             pqM: Int = 8, pqK: Int = 256): Unit = {
+    // The LWW state resolve is a full-log window sort (payload-wide
+    // exchange + sort). Every downstream consumer — watermark agg, the
+    // coarse/PQ build, the sq16 param train + codes write, the records
+    // snapshot — is an independent action, so an unpersisted plan re-runs
+    // that window once PER ACTION (measured 5× at the 10M rung, the
+    // dominant share of a 296 s engine build). One materialization, many
+    // cache scans; released in the finally.
     val state = currentState(tenant, index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val vecs = state.select(col("id"), col("vector").as("vec"))
     val wmRow = state.agg(max("updated_at"), count(lit(1))).head
     require(!wmRow.isNullAt(0),
@@ -568,9 +577,18 @@ class GraftEngine(spark: SparkSession, root: String,
           case _ => keyed
         }
         val cached = forPq.cache()
-        val idx = graft.operators.IvfPq.build(
-          cached.select("id", "vec"),
-          nlist, m = pqM, k = math.min(pqK, 256), seed = seed)
+        // Coarse build and PQ layer split (same composition IvfPq.build
+        // performs) so the coarse assignment can be persisted between
+        // them: Pq.train's sample collect and Pq.encode's codes pass are
+        // separate actions over `assigned`, and an unpersisted assignment
+        // re-runs the 512-centroid KMeans transform over the full corpus
+        // once per action (~nlist×dim FLOPs per row per pass at 10M).
+        val coarse = IvfFlat.build(
+          cached.select("id", "vec"), nlist, "L2", seed)
+        coarse.assigned.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idx = graft.operators.IvfPq.buildFrom(
+          coarse, m = pqM, k = math.min(pqK, 256), seed = seed)
         val withStr = idx.assigned.join(cached.select("id", "id_str"), Seq("id"))
         withStr.write.mode("overwrite").partitionBy("cluster_id")
           .parquet(s"$dir/ivfpq/codes")
@@ -659,6 +677,7 @@ class GraftEngine(spark: SparkSession, root: String,
         // centroids also at the IVF location so the cache's L2 layer can
         // probe them without knowing the algo
         idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+        coarse.assigned.unpersist()
         cached.unpersist()
       case other => throw new IllegalArgumentException(s"unknown algo: $other")
     }
@@ -690,6 +709,7 @@ class GraftEngine(spark: SparkSession, root: String,
     // before this build may still resolve into it
     gcOldSnapshots(tenant, index, keep = newVersion - 1)
     evictStaleHandles(tenant, index, keep = newVersion - 1)
+    } finally state.unpersist()
   }
 
   // -------------------------------------------------------------------

@@ -24,6 +24,51 @@ import graft.functions.StableHash
   */
 object Hnsw {
 
+  /** Primitive binary heap of (distance, node) pairs in parallel arrays —
+    * the beam search's scratch structure (no boxing, no tuple churn).
+    * `max = true` keeps the LARGEST distance at the head (bounded result
+    * set), `max = false` the smallest (candidate frontier). Ordering is
+    * by distance only; equal-distance order is unspecified, matching the
+    * tuple-PriorityQueue ordering it replaces. */
+  private final class DistHeap(cap0: Int, max: Boolean) {
+    private[this] var ds = new Array[Double](math.max(cap0, 8))
+    private[this] var ns = new Array[Int](ds.length)
+    var size: Int = 0
+    private[this] def before(a: Double, b: Double): Boolean =
+      if (max) a > b else a < b
+    def headDist: Double = ds(0)
+    def headNode: Int = ns(0)
+    def distAt(i: Int): Double = ds(i)
+    def nodeAt(i: Int): Int = ns(i)
+    def add(d: Double, n: Int): Unit = {
+      if (size == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, size * 2)
+        ns = java.util.Arrays.copyOf(ns, size * 2)
+      }
+      var i = size; size += 1
+      while (i > 0) {
+        val p = (i - 1) >>> 1
+        if (before(d, ds(p))) { ds(i) = ds(p); ns(i) = ns(p); i = p }
+        else { ds(i) = d; ns(i) = n; return }
+      }
+      ds(0) = d; ns(0) = n
+    }
+    def removeHead(): Unit = {
+      size -= 1
+      val d = ds(size); val n = ns(size)
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        if (l >= size) { ds(i) = d; ns(i) = n; return }
+        var c = l
+        val r = l + 1
+        if (r < size && before(ds(r), ds(l))) c = r
+        if (before(ds(c), d)) { ds(i) = ds(c); ns(i) = ns(c); i = c }
+        else { ds(i) = d; ns(i) = n; return }
+      }
+    }
+  }
+
   /** One per-partition navigable small-world graph. */
   final class Graph(val metric: String, val m: Int, val efC: Int, val seed: Long)
       extends Serializable {
@@ -35,17 +80,30 @@ object Hnsw {
     var maxLevel: Int = -1
     private val mL = 1.0 / math.log(m.toDouble)
 
+    // metric resolved ONCE at construction: dist() is the innermost loop
+    // of both build (every neighbor visit) and the serving beam — the
+    // previous per-call `metric.toUpperCase(...) match` allocated a fresh
+    // String and string-compared on every distance evaluation (hundreds
+    // of millions of calls in a 1M-node build)
+    private val metricCode: Int =
+      metric.toUpperCase(java.util.Locale.ROOT) match {
+        case "L2"                  => 0
+        case "IP" | "INNERPRODUCT" => 1
+        case "COSINE"              => 2
+        case x => throw new IllegalArgumentException(s"unknown metric: $x")
+      }
+
     /** "distance": lower is better — negated metric score. */
-    private def dist(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase(java.util.Locale.ROOT) match {
-      case "L2" =>
+    private def dist(a: Array[Float], b: Array[Float]): Double =
+      if (metricCode == 0) {
         var s = 0.0; var i = 0
         while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
         s
-      case "IP" | "INNERPRODUCT" =>
+      } else if (metricCode == 1) {
         var s = 0.0; var i = 0
         while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
         -s
-      case "COSINE" =>
+      } else {
         var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) {
           val x = a(i).toDouble; val y = b(i).toDouble
@@ -53,8 +111,7 @@ object Hnsw {
         }
         val den = math.sqrt(na) * math.sqrt(nb)
         if (den < 1e-6) 0.0 else -dp / den
-      case x => throw new IllegalArgumentException(s"unknown metric: $x")
-    }
+      }
 
     private def levelOf(id: Long): Int = {
       val u = ((StableHash.rehash(id, seed) >>> 11).toDouble + 1.0) / (1L << 53).toDouble
@@ -78,28 +135,41 @@ object Hnsw {
     private def searchLayerFiltered(q: Array[Float], ep: Int, ef: Int,
                                     level: Int,
                                     member: Int => Boolean): mutable.ArrayBuffer[(Int, Double)] = {
-      val visited = mutable.HashSet(ep)
+      // Primitive scratch structures: the innermost serving/build loop
+      // previously paid a boxed HashSet[Int] insert and tuple
+      // PriorityQueue enqueue per visited node — allocation per edge on a
+      // path executed hundreds of millions of times in a 1M-node build.
+      // visited = flat bitset over node indexes (graphs are partition-
+      // local, so index space is dense and small); heaps = parallel
+      // double/int arrays, ordered by distance only, exactly the previous
+      // Ordering.by(_._1) (ties remain implementation-order, as before).
+      val visited = new Array[Long]((ids.length >>> 6) + 1)
+      visited(ep >>> 6) |= 1L << ep
       val epD = dist(q, vecs(ep))
       // candidates: closest-first over ALL nodes; results: farthest-first
       // bounded ef over MEMBERS only
-      val cand = mutable.PriorityQueue((epD, ep))(Ordering.by(-_._1))
-      val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
-      if (member == null || member(ep)) res.enqueue((epD, ep))
-      while (cand.nonEmpty) {
-        val (cd, c) = cand.dequeue()
-        if (res.size >= ef && cd > res.head._1) { cand.clear() }
+      val cand = new DistHeap(16, max = false)
+      cand.add(epD, ep)
+      val res = new DistHeap(math.min(ef + 1, 1 << 16), max = true)
+      if (member == null || member(ep)) res.add(epD, ep)
+      var done = false
+      while (!done && cand.size > 0) {
+        val cd = cand.headDist; val c = cand.headNode
+        cand.removeHead()
+        if (res.size >= ef && cd > res.headDist) { done = true }
         else {
           val adj = layers(level)(c)
           var i = 0
           while (i < adj.length) {
             val n = adj(i)
-            if (visited.add(n)) {
+            if ((visited(n >>> 6) & (1L << n)) == 0L) {
+              visited(n >>> 6) |= 1L << n
               val d = dist(q, vecs(n))
-              if (res.size < ef || d < res.head._1) {
-                cand.enqueue((d, n))
+              if (res.size < ef || d < res.headDist) {
+                cand.add(d, n)
                 if (member == null || member(n)) {
-                  res.enqueue((d, n))
-                  if (res.size > ef) res.dequeue()
+                  res.add(d, n)
+                  if (res.size > ef) res.removeHead()
                 }
               }
             }
@@ -107,8 +177,9 @@ object Hnsw {
           }
         }
       }
-      val out = mutable.ArrayBuffer.empty[(Int, Double)]
-      res.foreach { case (d, n) => out += ((n, d)) }
+      val out = new mutable.ArrayBuffer[(Int, Double)](res.size)
+      var ri = 0
+      while (ri < res.size) { out += ((res.nodeAt(ri), res.distAt(ri))); ri += 1 }
       out.sortInPlace()(Ordering.by(_._2))
       out
     }

@@ -382,13 +382,20 @@ object Sq16Store {
           off += n
         }
         off = 0
+        // bulk-get each chunk into a heap short[] (one memcpy) and
+        // convert with a plain array loop: per-element ShortBuffer.get on
+        // a direct buffer is a bounds-checked accessor call per cell —
+        // measured as the dominant cost of the 5.3 GB u8 cold stream at
+        // the 10M rung (readSegment's full-precision path already bulk-
+        // gets; this brings the u8 conversion to the same IO discipline)
+        val tmp = new Array[Short](IoChunkBytes / 2)
         while (off < codes.length) {
           val n = math.min(codes.length - off, IoChunkBytes / 2)
           fill(n * 2)
-          val shorts = buf.asShortBuffer()
+          buf.asShortBuffer().get(tmp, 0, n)
           var j = 0
           while (j < n) {
-            val c16 = shorts.get(j) & 0xffff
+            val c16 = tmp(j) & 0xffff
             codes(off + j) = ((2 * c16 + 257) / 514).toByte // round(c16/257)
             j += 1
           }

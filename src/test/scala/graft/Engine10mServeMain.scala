@@ -26,6 +26,10 @@ object Engine10mServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same host-state discipline as the bench (NOTES_r14 §5b): prepay
+    // heap faults so build seconds aren't storm-priced page-fault service
+    val pt = Bench.preTouchHeap()
+    println(f"pretouch_sec=${pt.sec}%.1f completed=${pt.completed} us_per_page=${pt.usPerPage}%.2f")
     val root = Files.createTempDirectory("engine10m").toString
     sys.addShutdownHook {
       scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
@@ -48,9 +52,11 @@ object Engine10mServeMain {
     var t0 = System.nanoTime()
     eng.upsert(records(n))
     println(f"upsert_${n}%d_sec ${(System.nanoTime() - t0) / 1e9}%.1f")
+    val own0 = Bench.ownCpuSample()
     t0 = System.nanoTime()
     eng.build("t1", "big", nlist = nlist, algo = "IVF_PQ", pqM = 8, pqK = 256)
-    println(f"engine_build_sec ${(System.nanoTime() - t0) / 1e9}%.1f")
+    val ownSysB = Bench.ownSysFrac(own0, Bench.ownCpuSample())
+    println(f"engine_build_sec ${(System.nanoTime() - t0) / 1e9}%.1f ownsys=$ownSysB%.3f")
 
     val qs = records(100).select(col("id"), col("vector")).collect()
       .map(r => (r.getString(0).stripPrefix("v").toLong,

@@ -19,6 +19,11 @@ object Hnsw1mMain {
     val parts = args.drop(1).headOption.map(_.toInt).getOrElse(32)
     val ef = args.drop(2).headOption.map(_.toInt).getOrElse(64)
     val dim = 128
+    // same host-state discipline as the bench: prepay heap faults, and
+    // stamp each phase with the process's own sys-share so a storm-priced
+    // reading names itself (NOTES_r14 §2/§5b)
+    val pt = Bench.preTouchHeap()
+    println(f"pretouch_sec=${pt.sec}%.1f completed=${pt.completed} us_per_page=${pt.usPerPage}%.2f")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,13 +42,15 @@ object Hnsw1mMain {
       .select(col("id").as("query_id"), col("vec").as("qvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
+    val own0 = Bench.ownCpuSample()
     val t0 = System.nanoTime()
     val graphs = Hnsw.build(corpus, "L2", m = 32, efConstruction = 200,
       numPartitions = parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graphs.count()
     val tBuild = (System.nanoTime() - t0) / 1e9
-    println(f"hnsw_1m_build_sec=$tBuild%.1f n=$n parts=$parts")
+    val ownSysB = Bench.ownSysFrac(own0, Bench.ownCpuSample())
+    println(f"hnsw_1m_build_sec=$tBuild%.1f n=$n parts=$parts ownsys=$ownSysB%.3f")
 
     // resident serving: collected sub-graphs, zero-job per-call beam
     val local = graphs.collect()
